@@ -1,0 +1,135 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s._
+import graft.traversal.{Element, Graph, Traversal}
+
+/**
+ * Composed JSON query execution — the rebuild of the reference's
+ * `QueryExecutor` (reference: query/QueryExecutor.scala:115-170,
+ * query/Query.scala:42-49): a query is a JSON array of named steps folded
+ * left-to-right, the first resolved against the graph, each next against
+ * the output of the previous, with a type check between steps.
+ *
+ * The reference type-checks with runtime scala-reflection `ru.Type`s
+ * (Query.scala:18-34); here the "from type" is the [[QVal]] ADT — a
+ * traversal (with its element tag) or a terminal result DataFrame — so
+ * composition errors surface with the same step-name/type discipline but
+ * no reflection.
+ *
+ * Built-in steps appended to every executor, as in the reference
+ * (QueryExecutor.scala:25): `filter`, `sort`, `aggregation`, `count`,
+ * `limitedCount`, plus `page` (the richPage/range pagination,
+ * TraversalOps.scala:165-171).
+ */
+sealed trait QVal
+object QVal {
+  final case class Trav(t: Traversal) extends QVal
+  final case class Result(df: DataFrame) extends QVal
+}
+
+final class QueryExecutor(
+    graph: Graph,
+    /** App-registered named queries (reference: Query.init/withParam,
+      * Query.scala:52-122), e.g. "allCustomers" → label scan. */
+    namedQueries: Map[String, (JValue, Graph) => Traversal],
+    /** Public-property catalog per vertex/edge label (reference:
+      * PublicProperty lookup per type, query/PublicProperty.scala:143-158). */
+    propsByLabel: Map[String, Properties] = Map.empty,
+    limitedCountThreshold: Long = 1000L) {
+
+  private def propsFor(t: Traversal): Properties = t.element match {
+    case Element.Vertex(l, _) => propsByLabel.getOrElse(l, Properties.passthrough)
+    case Element.Edge(l, _) => propsByLabel.getOrElse(l, Properties.passthrough)
+    case _ => Properties.passthrough
+  }
+
+  def execute(json: String): DataFrame =
+    executeJ(org.json4s.jackson.JsonMethods.parse(json))
+
+  def executeJ(q: JValue): DataFrame = {
+    val steps = q match {
+      case JArray(items) => items
+      case single => List(single)
+    }
+    require(steps.nonEmpty, "empty query")
+    val folded = steps.zipWithIndex.foldLeft[Option[QVal]](None) { case (acc, (step, i)) =>
+      Some(applyStep(acc, step, i))
+    }
+    folded.get match {
+      case QVal.Result(df) => df
+      case QVal.Trav(t) => t.toDF
+    }
+  }
+
+  private def stepName(step: JValue): String = step \ "_name" match {
+    case JString(s) => s
+    case _ => throw new IllegalArgumentException(s"query step without _name: $step")
+  }
+
+  private def applyStep(acc: Option[QVal], step: JValue, idx: Int): QVal = {
+    val name = stepName(step)
+    (acc, name) match {
+      case (None, _) =>
+        val init = namedQueries.getOrElse(
+          name,
+          throw new IllegalArgumentException(s"unknown initial query '$name'"))
+        QVal.Trav(init(step, graph))
+      case (Some(QVal.Trav(t)), "filter") =>
+        val pred = FilterParser.fromJValue(step \ "_query", propsFor(t))
+        QVal.Trav(t.where(pred))
+      case (Some(QVal.Trav(t)), "sort") =>
+        QVal.Trav(t.sortBy(SortParser.fromJValue(step \ "_fields", propsFor(t)): _*))
+      case (Some(QVal.Trav(t)), "aggregation") =>
+        val props = propsFor(t)
+        QVal.Result(AggCompiler(t.df, AggregationParser.fromJValue(step, props), props))
+      case (Some(QVal.Trav(t)), "count") =>
+        QVal.Result(t.count)
+      case (Some(QVal.Trav(t)), "limitedCount") =>
+        QVal.Result(t.limitedCount(limitedCountThreshold))
+      case (Some(QVal.Trav(t)), "page") =>
+        val from = (step \ "from") match { case JInt(n) => n.toInt; case _ => 0 }
+        val to = (step \ "to") match { case JInt(n) => n.toInt; case _ => Int.MaxValue }
+        QVal.Trav(t.range(from, to))
+      case (Some(QVal.Trav(t)), other) =>
+        // named continuation (e.g. a registered hop like "created")
+        namedQueries.get(other) match {
+          case Some(_) =>
+            throw new IllegalArgumentException(
+              s"step $idx: '$other' is an initial query, not applicable mid-stream")
+          case None =>
+            continuations.get(other) match {
+              case Some(f) => QVal.Trav(f(t, step))
+              case None => throw new IllegalArgumentException(s"step $idx: unknown step '$other'")
+            }
+        }
+      case (Some(QVal.Result(_)), other) =>
+        throw new IllegalArgumentException(
+          s"step $idx: '$other' cannot follow a terminal step (type check, cf. reference Query.scala:18-34)")
+    }
+  }
+
+  /** Mid-stream registered continuations: traversal → traversal steps (the
+    * analog of app-registered non-initial named queries like "created" in
+    * core-test/.../ModernQuery.scala:72-86). */
+  private var continuations: Map[String, (Traversal, JValue) => Traversal] = Map(
+    "out" -> ((t, j) => t.out(FilterParser.str(j \ "_edge"))),
+    "in" -> ((t, j) => t.in(FilterParser.str(j \ "_edge"))),
+    "both" -> ((t, j) => t.both(FilterParser.str(j \ "_edge"))),
+    "dedup" -> ((t, _) => t.dedup())
+  )
+
+  def withContinuation(name: String)(f: (Traversal, JValue) => Traversal): QueryExecutor = {
+    continuations = continuations + (name -> f)
+    this
+  }
+}
+
+object QueryExecutor {
+  /** Default named queries for a graph: `all<Label>` scans per vertex label. */
+  def defaultNamed(graph: Graph): Map[String, (JValue, Graph) => Traversal] =
+    graph.vertices.keys.map { label =>
+      s"all_$label" -> ((_: JValue, g: Graph) => g.V(label))
+    }.toMap
+}

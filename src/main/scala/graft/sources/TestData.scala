@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.traversal.{FkEdge, Graph, VertexTable}
+
+/**
+ * Catalog for the driver-generated TPC-H-ish star schema (TESTDATA.md,
+ * FIXTURES.md §5), mapped as a labeled property graph: each table is a
+ * vertex label with its natural key as `_id`; the foreign keys define
+ * [[graft.traversal.FkEdge]] relationships, so every hop compiles to a
+ * single equi-join with no intermediate edge table.
+ *
+ * Scale notes: parquet scans here are label-pruned by construction (one
+ * dataset per label). `nation`/`region` are tiny dimensions — Catalyst
+ * broadcast-joins them automatically (they are far below the 10 MB
+ * autoBroadcastJoinThreshold at any SF); the big fact-to-fact joins
+ * (lineitem→orders) shuffle on their join key, which is also the natural
+ * bucketing key for a production deployment.
+ */
+object TestData {
+  val vertexTables = Seq(
+    "region" -> "r_regionkey",
+    "nation" -> "n_nationkey",
+    "customer" -> "c_custkey",
+    "supplier" -> "s_suppkey",
+    "part" -> "p_partkey",
+    "orders" -> "o_orderkey",
+    // lineitem's natural key is composite (l_orderkey, l_linenumber);
+    // a derived surrogate `_rowid` (added in graph()) keeps every
+    // row-identity op (dedup/filter/outE) a single-column equi-join.
+    "lineitem" -> "_rowid",
+    "events" -> "event_id",
+    "documents" -> "doc_id",
+    "embeddings" -> "vec_id"
+  )
+
+  /** FK edges: label, src, dst, srcKey (FK col in src), dstKey (id in dst). */
+  val fkEdges = Seq(
+    FkEdge("of_region", "nation", "region", "n_regionkey", "r_regionkey"),
+    FkEdge("cust_nation", "customer", "nation", "c_nationkey", "n_nationkey"),
+    FkEdge("supp_nation", "supplier", "nation", "s_nationkey", "n_nationkey"),
+    FkEdge("placed_by", "orders", "customer", "o_custkey", "c_custkey"),
+    FkEdge("of_order", "lineitem", "orders", "l_orderkey", "o_orderkey"),
+    FkEdge("of_part", "lineitem", "part", "l_partkey", "p_partkey"),
+    FkEdge("of_supplier", "lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    FkEdge("by_user", "events", "events", "user_id", "user_id") // self-keyed stream, rarely hopped
+  )
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val graphCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Graph]
+
+  /** Cached per (session, dir): avoids re-reading parquet footers for every
+    * query construction. */
+  def graph(spark: SparkSession, dir: String): Graph =
+    graphCache.getOrElseUpdate((System.identityHashCode(spark), dir), buildGraph(spark, dir))
+
+  private def buildGraph(spark: SparkSession, dir: String): Graph = {
+    import org.apache.spark.sql.functions.expr
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects by default; read nanos as long and convert (floor) to micros.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val vs = vertexTables.map { case (name, id) =>
+      val df0 = table(spark, dir, name)
+      // TPC-H linenumber ∈ [1,7], so orderkey*8+linenumber is injective.
+      val df =
+        if (name == "lineitem") df0.withColumn("_rowid", expr("l_orderkey * 8 + l_linenumber"))
+        else if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else df0
+      name -> VertexTable(name, df, id)
+    }.toMap
+    new Graph(spark, vs, fkEdges.map(e => e.label -> (e: graft.traversal.EdgeRel)).toMap)
+  }
+}

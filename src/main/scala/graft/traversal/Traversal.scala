@@ -1,0 +1,356 @@
+package graft.traversal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Lazy traversal over the labeled property graph — the Spark rebuild of the
+ * reference's typed traversal DSL (reference: traversal/TraversalOps.scala,
+ * one implicit-class method ≈ one operator, each a TinkerPop step).
+ *
+ * Everything here is a *declarative DataFrame transformation*: no step is
+ * executed until a terminal action, so Catalyst sees the whole query and
+ * applies pushdown / pruning / join planning across hops. Gremlin
+ * multiplicity is preserved exactly: `out()` emits one row per edge
+ * (inner join keeps duplicates); `dedup` is explicit, as in the reference
+ * (SURVEY §2.4).
+ *
+ * Alias columns: `as(name)` (reference: TraversalOps.scala:216-219) stashes
+ * the current element as a struct column `__as_<name>` that is carried
+ * through subsequent hops — the relational rendering of Gremlin step labels.
+ * At 100 TB carrying a struct through a join is strictly cheaper than the
+ * reference's per-traverser path bookkeeping, and Catalyst prunes unused
+ * alias fields out of the scan.
+ */
+final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
+
+  import Traversal._
+
+  def idCol: String = element match {
+    case Element.Vertex(_, id) => id
+    case _ => throw new IllegalStateException(s"current element has no id column: $element")
+  }
+
+  /** Plain (non-alias) columns = the current element's own fields. */
+  def elementCols: Array[String] = df.columns.filterNot(_.startsWith(AliasPrefix))
+  private def aliasCols: Array[String] = df.columns.filter(_.startsWith(AliasPrefix))
+
+  // ---------------------------------------------------------------- filters
+
+  /** Typed property predicate (reference: has, TraversalOps.scala:550-563). */
+  def has(field: String, p: Column => Column): Traversal = copy(df = df.where(p(col(field))))
+  def has(field: String, value: Any): Traversal = copy(df = df.where(col(field) === lit(value)))
+  /** Property exists / is missing (reference: _contains filter,
+    * query/Filter.scala:32-46; hasNot TraversalOps.scala:548). */
+  def hasPresent(field: String): Traversal = copy(df = df.where(col(field).isNotNull))
+  def hasAbsent(field: String): Traversal = copy(df = df.where(col(field).isNull))
+  def hasNot(field: String, value: Any): Traversal = copy(df = df.where(!(col(field) <=> lit(value))))
+  def hasId(ids: Any*): Traversal = copy(df = df.where(col(idCol).isin(ids: _*)))
+  /** Arbitrary predicate on this element (reference: where(P)/is(P),
+    * TraversalOps.scala:576-578,681-682). */
+  def where(pred: Column): Traversal = copy(df = df.where(pred))
+  def is(p: Column => Column): Traversal = element match {
+    case Element.Value(c) => copy(df = df.where(p(col(c))))
+    case _ => throw new IllegalStateException("is() requires a value traversal")
+  }
+
+  /** EXISTS of a sub-traversal (reference: filter(f),
+    * TraversalOps.scala:645-648) → left-semi join on the element id. Valid
+    * because the sub-traversal's outcome is a function of the element alone,
+    * so all duplicate traversers of one id are kept or dropped together. */
+  def filter(f: Traversal => Traversal): Traversal = semiJoin(f, "left_semi")
+  /** NOT EXISTS (reference: filterNot/not, TraversalOps.scala:645-648,690). */
+  def filterNot(f: Traversal => Traversal): Traversal = semiJoin(f, "left_anti")
+
+  private def semiJoin(f: Traversal => Traversal, joinType: String): Traversal = {
+    val key = idCol
+    // Stash the element id before the sub-traversal so its hops can't lose
+    // it, then semi/anti-join the surviving ids back. Explicit DataFrame
+    // aliases keep the self-join lineage unambiguous for the analyzer.
+    val sub = f(this.as(SubKeyAlias))
+    val keys = sub.df.select(col(s"$AliasPrefix$SubKeyAlias.$key").as(key)).distinct()
+    val joined = df
+      .alias("__fl")
+      .join(keys.alias("__fr"), col(s"__fl.$key") === col(s"__fr.$key"), joinType)
+    copy(df = joined)
+  }
+
+  /** Boolean combinators over sub-traversals (reference: or/and/not,
+    * TraversalOps.scala:684-691). */
+  def or(fs: (Traversal => Traversal)*): Traversal =
+    filter(t => Traversal(graph, t.element, fs.map(f => f(t).df).reduce(_.unionByName(_, allowMissingColumns = true))))
+  def and(fs: (Traversal => Traversal)*): Traversal = fs.foldLeft(this)((t, f) => t.filter(f))
+  def not(f: Traversal => Traversal): Traversal = filterNot(f)
+
+  // ------------------------------------------------------------------ hops
+
+  /** Follow outgoing edges to adjacent vertices (reference: out[E],
+    * TraversalOps.scala:429-434). FK edges compile to ONE equi-join. */
+  def out(edgeLabel: String): Traversal = hopVertex(edgeLabel, forward = true)
+  /** Incoming (reference: in[E], TraversalOps.scala:443-448). */
+  def in(edgeLabel: String): Traversal = hopVertex(edgeLabel, forward = false)
+  /** Either direction (reference: both[E], TraversalOps.scala:464-469).
+    * Gremlin both() follows whichever directions exist for this vertex; a
+    * side whose endpoint label doesn't match contributes nothing. */
+  def both(edgeLabel: String): Traversal = {
+    val e = graph.edge(edgeLabel)
+    val sides = Seq(
+      if (e.srcLabel == vertexLabel) Some(out(edgeLabel)) else None,
+      if (e.dstLabel == vertexLabel) Some(in(edgeLabel)) else None).flatten
+    require(sides.nonEmpty, s"edge $edgeLabel does not touch label $vertexLabel")
+    sides.reduce((a, b) => Traversal(graph, a.element, a.df.unionByName(b.df, allowMissingColumns = true)))
+  }
+
+  /** Hop onto the edge element itself (reference: outE/inE,
+    * TraversalOps.scala:436-455). */
+  def outE(edgeLabel: String): Traversal = hopEdge(edgeLabel, forward = true)
+  def inE(edgeLabel: String): Traversal = hopEdge(edgeLabel, forward = false)
+
+  /** Edge → head vertex (reference: inV, TraversalOps.scala:457-462). */
+  def inV: Traversal = edgeToVertex(_.dstLabel, "_dst")
+  /** Edge → tail vertex (reference: outV). */
+  def outV: Traversal = edgeToVertex(_.srcLabel, "_src")
+  /** Edge → the endpoint we did not come from (reference: otherV); requires
+    * the edge was reached via outE/inE/bothE which record the origin side. */
+  def otherV: Traversal = element match {
+    case Element.Edge(_, Some(otherLabel)) if df.columns.contains(OtherKeyCol) =>
+      joinToVertexFromEdge(graph.vertex(otherLabel), OtherKeyCol)
+    case _ => throw new IllegalStateException("otherV requires an edge traversal reached via outE/inE/bothE")
+  }
+
+  def bothE(edgeLabel: String): Traversal = {
+    val e = graph.edge(edgeLabel)
+    val sides = Seq(
+      if (e.srcLabel == vertexLabel) Some(outE(edgeLabel)) else None,
+      if (e.dstLabel == vertexLabel) Some(inE(edgeLabel)) else None).flatten
+    require(sides.nonEmpty, s"edge $edgeLabel does not touch label $vertexLabel")
+    sides.reduce { (a, b) =>
+      val el = (a.element, b.element) match {
+        case (Element.Edge(l, x), Element.Edge(_, y)) if x == y => Element.Edge(l, x)
+        case (Element.Edge(l, _), _) => Element.Edge(l, None)
+        case _ => Element.Mixed
+      }
+      Traversal(graph, el, a.df.unionByName(b.df, allowMissingColumns = true))
+    }
+  }
+
+  private def vertexLabel: String = element match {
+    case Element.Vertex(l, _) => l
+    case other => throw new IllegalStateException(s"hop requires a vertex traversal, found $other")
+  }
+
+  private def hopVertex(edgeLabel: String, forward: Boolean): Traversal = {
+    val e = graph.edge(edgeLabel)
+    val (fromLabel, toLabel) = if (forward) (e.srcLabel, e.dstLabel) else (e.dstLabel, e.srcLabel)
+    require(vertexLabel == fromLabel, s"cannot hop $edgeLabel ${if (forward) "out" else "in"} from $vertexLabel")
+    val dst = graph.vertex(toLabel)
+    e match {
+      case FkEdge(_, _, _, srcKey, dstKey) =>
+        val (myKey, theirKey) = if (forward) (srcKey, dstKey) else (dstKey, srcKey)
+        joinToVertex(dst, myKey, theirKey)
+      case _: EdgeTable =>
+        hopEdge(edgeLabel, forward).joinToVertexFromEdge(dst, if (forward) "_dst" else "_src")
+    }
+  }
+
+  /** Single equi-join: carried aliases + my key vs. destination table. */
+  private def joinToVertex(dst: VertexTable, myKey: String, theirKey: String): Traversal = {
+    val left = df.select((aliasCols.map(df(_)) :+ df(myKey).as(HopKeyCol)): _*).alias("__l")
+    val right = dst.df.alias("__r")
+    val joined = left
+      .join(right, col(s"__l.$HopKeyCol") === col(s"__r.$theirKey"))
+      .select((col("__r.*") +: aliasCols.map(c => col(s"__l.$c"))): _*)
+    Traversal(graph, Element.Vertex(dst.label, dst.idCol), joined)
+  }
+
+  private def hopEdge(edgeLabel: String, forward: Boolean): Traversal = {
+    val e = graph.edge(edgeLabel)
+    val fromLabel = if (forward) e.srcLabel else e.dstLabel
+    require(vertexLabel == fromLabel, s"cannot hop ${if (forward) "outE" else "inE"} $edgeLabel from $vertexLabel")
+    val (nearKey, farKey) = if (forward) ("_src", "_dst") else ("_dst", "_src")
+    val edf = graph.edgeDf(edgeLabel)
+    val left = df.select((aliasCols.map(df(_)) :+ df(idCol).as(HopKeyCol)): _*).alias("__l")
+    val right = edf.alias("__r")
+    val joined = left
+      .join(right, col(s"__l.$HopKeyCol") === col(s"__r.$nearKey"))
+      .select((col("__r.*") +: (aliasCols.map(c => col(s"__l.$c")) :+ col(s"__r.$farKey").as(OtherKeyCol))): _*)
+    Traversal(graph, Element.Edge(edgeLabel, Some(if (forward) e.dstLabel else e.srcLabel)), joined)
+  }
+
+  private def edgeToVertex(pick: EdgeRel => String, key: String): Traversal = element match {
+    case Element.Edge(label, _) =>
+      val dst = graph.vertex(pick(graph.edge(label)))
+      joinToVertexFromEdge(dst, key)
+    case other => throw new IllegalStateException(s"inV/outV requires an edge traversal, found $other")
+  }
+
+  private def joinToVertexFromEdge(dst: VertexTable, key: String): Traversal = {
+    val left = df.select((aliasCols.map(df(_)) :+ df(key).as(HopKeyCol)): _*).alias("__l")
+    val right = dst.df.alias("__r")
+    val joined = left
+      .join(right, col(s"__l.$HopKeyCol") === col(s"__r.${dst.idCol}"))
+      .select((col("__r.*") +: aliasCols.map(c => col(s"__l.$c"))): _*)
+    Traversal(graph, Element.Vertex(dst.label, dst.idCol), joined)
+  }
+
+  // ------------------------------------------------------------ projections
+
+  /** Project one property (reference: value(_.field),
+    * TraversalOps.scala:611-631). */
+  def value(field: String): Traversal =
+    Traversal(graph, Element.Value(field), df.select((col(field) +: aliasCols.map(df(_))): _*))
+
+  /** Project several properties, keeping the traversal typed on them. */
+  def values(fields: String*): Traversal =
+    copy(df = df.select((fields.map(col) ++ aliasCols.map(df(_))): _*))
+
+  /** N-ary projection (reference: project(_.by..),
+    * TraversalOps.scala:408-413). Each entry is a named column expression;
+    * sub-traversal `by`s are pre-joined columns in the caller. */
+  def project(cols: (String, Column)*): Traversal =
+    copy(element = Element.Mixed, df = df.select(cols.map { case (n, c) => c.as(n) }: _*))
+
+  /** Replace value with a constant (reference: constant,
+    * TraversalOps.scala:223-227). */
+  def constant(v: Any): Traversal =
+    Traversal(graph, Element.Value("const"), df.select((lit(v).as("const") +: aliasCols.map(df(_))): _*))
+
+  // ---------------------------------------------------------------- aliases
+
+  /** Stash the current element under a step label (reference: as,
+    * TraversalOps.scala:216-219, StepLabel.scala:9-31). */
+  def as(name: String): Traversal = {
+    val self = struct(elementCols.map(col).toIndexedSeq: _*)
+    copy(df = df.withColumn(s"$AliasPrefix$name", self))
+  }
+
+  /** Recall an aliased element (reference: select(label),
+    * TraversalOps.scala:302-337). */
+  def select(name: String): Traversal = {
+    val restored = df.select((col(s"$AliasPrefix$name.*") +: aliasCols.filterNot(_ == s"$AliasPrefix$name").map(df(_))): _*)
+    Traversal(graph, Element.Mixed, restored)
+  }
+
+  /** Column of a field of an aliased element — for cross-alias predicates
+    * (reference: where(P.neq(label)) cycle-closing,
+    * services/IntegrityCheckOps.scala:277-278). */
+  def sel(name: String, field: String): Column = col(s"$AliasPrefix$name.$field")
+
+  // ------------------------------------------------- dedup / sort / paging
+
+  /** Distinct elements (reference: dedup, TraversalOps.scala:650-651) —
+    * by id for vertices, by value otherwise. */
+  def dedup(): Traversal = element match {
+    case Element.Vertex(_, id) =>
+      // keep one arbitrary-but-deterministic row per id
+      copy(df = df.dropDuplicates(Seq(id)))
+    case _ => copy(df = df.dropDuplicates(elementCols.toIndexedSeq))
+  }
+  /** Distinct over aliased elements (reference: dedup(labels*)). */
+  def dedup(aliases: String*): Traversal =
+    copy(df = df.dropDuplicates(aliases.map(a => s"$AliasPrefix$a")))
+
+  /** Multi-key global sort (reference: sort(_.by..),
+    * TraversalOps.scala:352-353). Nulls sort first on asc, last on desc —
+    * matching the reference's null-tolerant comparators
+    * (janus/.../OrderAcceptNullStrategy.java). */
+  def sort(keys: (String, Boolean)*): Traversal =
+    copy(df = df.orderBy(keys.map { case (f, asc) => if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last }: _*))
+  def sortBy(cols: Column*): Traversal = copy(df = df.orderBy(cols: _*))
+
+  def limit(n: Int): Traversal = copy(df = df.limit(n))
+  /** Offset+limit page (reference: range, TraversalOps.scala:173-177). */
+  def range(lo: Int, hi: Int): Traversal =
+    copy(df = if (lo == 0) df.limit(hi) else df.offset(lo).limit(hi - lo))
+
+  // ----------------------------------------------------------- aggregation
+
+  /** Global count (reference: TraversalOps.scala:184-192; the reference
+    * strips a trailing order step first — Catalyst's EliminateSorts does
+    * the same rewrite). */
+  def count: DataFrame = df.agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+
+  /** Count capped at a threshold, returning -threshold when saturated
+    * (reference: limitedCount, TraversalOps.scala:194-196). Spark shape:
+    * LIMIT t pushes into the scan, so a saturated count touches only t rows. */
+  def limitedCount(threshold: Long): DataFrame =
+    df.limit(threshold.toInt).agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .select(when(col("c") >= threshold, lit(-threshold)).otherwise(col("c")).as("count"))
+
+  def sum(field: String): DataFrame = df.agg(org.apache.spark.sql.functions.sum(col(field)).as("sum"))
+  def min(field: String): DataFrame = df.agg(org.apache.spark.sql.functions.min(col(field)).as("min"))
+  def max(field: String): DataFrame = df.agg(org.apache.spark.sql.functions.max(col(field)).as("max"))
+  def mean(field: String): DataFrame = df.agg(avg(col(field)).as("mean"))
+
+  /** key → count map (reference: groupCount, TraversalOps.scala:263-272). */
+  def groupCount(key: Column): DataFrame =
+    df.groupBy(key.as("key")).agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+
+  /** key → aggregated value (reference: group(keyBy, valueBy),
+    * TraversalOps.scala:229-246). One shuffle, map-side partials. */
+  def group(key: Column, aggs: Column*): DataFrame = df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+
+  /** Collect all into one row (reference: fold, TraversalOps.scala:344-345). */
+  def fold(field: String): DataFrame = df.agg(collect_list(col(field)).as("folded"))
+  /** Explode a collection column back to rows (reference: unfold,
+    * TraversalOps.scala:347-350). */
+  def unfold(field: String): Traversal =
+    Traversal(graph, Element.Value(field), df.select(explode(col(field)).as(field)))
+
+  /** Per-row collection size (reference: localCount, TraversalOps.scala:198). */
+  def localCount(field: String): Traversal =
+    Traversal(graph, Element.Value("count"), df.select(size(col(field)).as("count")))
+
+  // ------------------------------------------------------------- branching
+
+  /** Per-element conditional (reference: choose(pred, onTrue, onFalse),
+    * TraversalOps.scala:274-287) — scalar form compiles to when/otherwise,
+    * staying inside whole-stage codegen. */
+  def chooseValue(pred: Column, onTrue: Column, onFalse: Column, as: String): Traversal =
+    Traversal(graph, Element.Value(as), df.select((when(pred, onTrue).otherwise(onFalse).as(as) +: aliasCols.map(df(_))): _*))
+
+  /** First non-null of several columns with constant fallback (reference:
+    * coalesce/coalesceIdent, TraversalOps.scala:367-403, scalar case). */
+  def coalesceValue(as: String, cols: Column*): Traversal =
+    Traversal(graph, Element.Value(as), df.select((org.apache.spark.sql.functions.coalesce(cols: _*).as(as) +: aliasCols.map(df(_))): _*))
+
+  /** element → f(element) when non-empty else element (reference: optional,
+    * TraversalOps.scala:405-406): left join + per-row fallback. */
+  def optional(f: Traversal => Traversal): Traversal = {
+    val key = idCol
+    val sub = f(copy(df = df.select(col(key))).as(SubKeyAlias))
+    val subKeyed = sub.df
+      .select((col(s"$AliasPrefix$SubKeyAlias.$key").as(OptKeyCol) +: sub.elementCols.map(sub.df(_))): _*)
+    val joined = df.join(subKeyed, df(key) === subKeyed(OptKeyCol), "left_outer")
+    Traversal(graph, Element.Mixed, joined.drop(OptKeyCol))
+  }
+
+  /** Union of several branch traversals applied to this element (reference:
+    * unionFlat, TraversalOps.scala:661-666). */
+  def unionFlat(fs: (Traversal => Traversal)*): Traversal = {
+    val branches = fs.map(f => f(this))
+    Traversal(
+      graph,
+      if (branches.map(_.element).distinct.size == 1) branches.head.element else Element.Mixed,
+      branches.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** Arithmetic expression on the current value (reference: math(expr),
+    * TraversalOps.scala:678-679). */
+  def math(expression: String, as: String = "math"): Traversal =
+    Traversal(graph, Element.Value(as), df.select(expr(expression).as(as)))
+
+  // -------------------------------------------------------------- terminal
+
+  def toDF: DataFrame = df.select(elementCols.map(col).toIndexedSeq: _*)
+  /** Materialization barrier (reference: barrier, TraversalOps.scala:606). */
+  def barrier(): Traversal = copy(df = df.localCheckpoint())
+}
+
+object Traversal {
+  val AliasPrefix = "__as_"
+  val HopKeyCol = "__hopkey"
+  val OtherKeyCol = "__otherv"
+  val OptKeyCol = "__optkey"
+  val SubKeyAlias = "__subkey"
+}
