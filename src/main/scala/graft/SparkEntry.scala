@@ -8,7 +8,8 @@ import graft.queries._
   * express it). */
 object SparkEntry {
 
-  private def registry: Seq[CoreQueries.Q] = CoreQueries.all
+  private def registry: Seq[CoreQueries.Q] =
+    CoreQueries.all ++ TimeQueries.all ++ TextQueries.all ++ VectorQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

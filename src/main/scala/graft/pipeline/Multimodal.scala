@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: treat image/audio/video payloads as opaque
+ * `binary` columns with typed metadata, and run decode/feature-extract as
+ * per-partition imperative code (the place a real deployment calls an
+ * image/audio codec; Scala analog of a batched pandas-UDF stage).
+ *
+ * The codec libraries are not in this container, so [[FakeCodec]] is a
+ * clearly-marked deterministic stand-in — the Spark-side plumbing (schema,
+ * partitioning, per-partition batch shape, feature schema) is real and
+ * oracle-tested via `m01_binary_features`.
+ *
+ * Scale notes: `mapPartitions` keeps codec initialization per-partition
+ * (not per-row); the input stays columnar until the decode stage; output
+ * is a narrow typed Dataset so downstream ops return to full Catalyst
+ * optimization. Decode is embarrassingly parallel — no shuffle.
+ */
+object Multimodal {
+
+  /** Extracted features for one binary payload. */
+  final case class BinaryFeatures(doc_id: Long, byte_len: Long, first_byte: Long, content_md5: String)
+
+  /** Stand-in for a real image/audio decoder. A production build would
+    * initialize the codec once per partition and emit real features
+    * (dimensions, duration, frame samples). Deterministic by design. */
+  object FakeCodec {
+    def features(id: Long, bytes: Array[Byte]): BinaryFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+      BinaryFeatures(id, bytes.length.toLong, if (bytes.isEmpty) -1L else (bytes(0) & 0xff).toLong, hex)
+    }
+  }
+
+  /** Binary feature extraction over (id, blob) rows: one codec per
+    * partition, one output row per payload. */
+  def extractFeatures(spark: SparkSession, withBlob: DataFrame): DataFrame = {
+    import spark.implicits._
+    withBlob.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec init would go here
+        rows.map { case (id, bytes) => FakeCodec.features(id, bytes) }
+      }
+      .toDF()
+  }
+}

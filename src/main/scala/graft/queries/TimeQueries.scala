@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.query._
+import graft.sources.TestData
+import CoreQueries.{Q, Fn}
+
+/**
+ * Time-bucketed aggregations (reference: TimeAggregation,
+ * query/Aggregation.scala:401-480) and composed-JSON executor pipelines
+ * (reference: QueryExecutor.scala:115-170).
+ *
+ * Buckets are emitted as epoch-millis BIGINT on both engines: fixed-width
+ * units (s/m/h/d/w) are epoch-anchored `ts - ts % width` (weeks therefore
+ * Thursday-anchored, matching reference Aggregation.scala:409-418); months/
+ * years are UTC calendar truncation.
+ */
+object TimeQueries {
+
+  private def G(s: org.apache.spark.sql.SparkSession, dir: String) = TestData.graph(s, dir)
+
+  private def timeAgg(json: String): Fn = (s, dir) => {
+    val df = G(s, dir).V("events").df
+    val out = AggCompiler(df, AggregationParser.parse(json, Properties.passthrough), Properties.passthrough)
+    val rest = out.columns.filterNot(_ == "ts_bucket").map(col)
+    out.select((unix_millis(col("ts_bucket")).as("bucket_ms") +: rest.toIndexedSeq): _*)
+      .orderBy("bucket_ms")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("t01_time_agg_day",
+      timeAgg("""{"_agg":"time","_field":"ts","_interval":"1d",
+                |"_select":[{"_agg":"count","_name":"cnt"},
+                |           {"_agg":"sum","_field":"value","_name":"val_sum"}]}""".stripMargin),
+      Some("""SELECT (epoch_ms(ts) - epoch_ms(ts) % 86400000) AS bucket_ms, count(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS val_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t02_time_agg_month",
+      timeAgg("""{"_agg":"time","_field":"ts","_interval":{"_interval":1,"_unit":"MONTHS"},
+                |"_select":[{"_agg":"count","_name":"cnt"}]}""".stripMargin),
+      Some("""SELECT epoch_ms(date_trunc('month', ts)) AS bucket_ms, count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t03_time_agg_week",
+      timeAgg("""{"_agg":"time","_field":"ts","_interval":"1w",
+                |"_select":[{"_agg":"count","_name":"cnt"}]}""".stripMargin),
+      Some("""SELECT (epoch_ms(ts) - epoch_ms(ts) % 604800000) AS bucket_ms, count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t04_time_agg_filtered",
+      timeAgg("""{"_agg":"time","_field":"ts","_interval":"6h",
+                |"_query":{"_is":{"event_type":"click"}},
+                |"_select":[{"_agg":"count","_name":"cnt"},
+                |           {"_agg":"avg","_field":"value","_name":"v_avg"}]}""".stripMargin),
+      Some("""SELECT (epoch_ms(ts) - epoch_ms(ts) % 21600000) AS bucket_ms, count(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) AS v_avg
+             |FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------- composed JSON executor
+    Q("t05_executor_pipeline",
+      (s, dir) => {
+        val g = G(s, dir)
+        new QueryExecutor(g, QueryExecutor.defaultNamed(g)).execute(
+          """[{"_name":"all_customer"},
+            |  {"_name":"filter","_query":{"_gte":{"c_acctbal":1000}}},
+            |  {"_name":"sort","_fields":[{"c_acctbal":"desc"},{"c_custkey":"asc"}]},
+            |  {"_name":"page","from":0,"to":20}]""".stripMargin)
+      },
+      Some("""SELECT * FROM customer WHERE c_acctbal >= 1000
+             |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    Q("t06_executor_agg",
+      (s, dir) => {
+        val g = G(s, dir)
+        new QueryExecutor(g, QueryExecutor.defaultNamed(g)).execute(
+          """[{"_name":"all_orders"},
+            |  {"_name":"aggregation","_agg":"field","_field":"o_orderstatus",
+            |   "_select":[{"_agg":"count","_name":"cnt"}]}]""".stripMargin)
+      },
+      Some("SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY o_orderstatus")),
+
+    Q("t07_executor_hop_count",
+      (s, dir) => {
+        val g = G(s, dir)
+        new QueryExecutor(g, QueryExecutor.defaultNamed(g)).execute(
+          """[{"_name":"all_supplier"},
+            |  {"_name":"out","_edge":"supp_nation"},
+            |  {"_name":"dedup"},
+            |  {"_name":"count"}]""".stripMargin)
+      },
+      Some("""SELECT count(DISTINCT n.n_nationkey) AS count
+             |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin))
+  )
+}

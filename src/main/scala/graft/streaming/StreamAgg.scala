@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Structured Streaming ingest over the `events` table: the reference has
+ * no stream-processing semantics (SURVEY §2.9 — its "streaming" is chunked
+ * result delivery), so this is the engine's forward-looking streaming
+ * surface: windowed aggregation with event-time semantics over the same
+ * data the batch `time` aggregation serves, producing identical buckets.
+ *
+ * Scale notes: `window()` tumbling buckets are epoch-aligned like the
+ * batch path, so batch and streaming results are interchangeable; a
+ * production deployment swaps the file source for Kafka and `complete`
+ * mode for watermark+append with the same plan.
+ */
+object StreamAgg {
+
+  /** Daily count+sum buckets over a parquet events stream, processed with
+    * Trigger.AvailableNow into an in-memory table (batch-equivalent run). */
+  def dailyBuckets(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // The file stream source wants a directory; stage a symlink to the
+    // (read-only) events file in a scratch dir keyed by the source dir.
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val ev =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = ev
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("val_sum"))
+      .select(unix_millis(col("w.start")).as("bucket_ms"), col("cnt"), col("val_sum"))
+    val name = "stream_daily_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("bucket_ms")
+  }
+
+  /** Watermarked append-mode variant (the unbounded-stream shape): 1-hour
+    * tumbling windows, 2-hour watermark. Used by the streaming spec. */
+  def hourlyAppend(spark: SparkSession, events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("bucket"), col("cnt"))
+}

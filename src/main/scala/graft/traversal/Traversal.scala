@@ -319,8 +319,12 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
   def optional(f: Traversal => Traversal): Traversal = {
     val key = idCol
     val sub = f(copy(df = df.select(col(key))).as(SubKeyAlias))
+    // Sub-traversal columns that collide with the element's own columns
+    // (e.g. a self-label hop) come back suffixed `_opt`.
     val subKeyed = sub.df
-      .select((col(s"$AliasPrefix$SubKeyAlias.$key").as(OptKeyCol) +: sub.elementCols.map(sub.df(_))): _*)
+      .select((col(s"$AliasPrefix$SubKeyAlias.$key").as(OptKeyCol) +: sub.elementCols.map { c =>
+        if (df.columns.contains(c)) sub.df(c).as(s"${c}_opt") else sub.df(c)
+      }): _*)
     val joined = df.join(subKeyed, df(key) === subKeyed(OptKeyCol), "left_outer")
     Traversal(graph, Element.Mixed, joined.drop(OptKeyCol))
   }

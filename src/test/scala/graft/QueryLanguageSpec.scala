@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query._
+
+/** JSON filter/sort/aggregation grammar semantics (reference:
+  * query/Filter.scala, InputSort.scala, Aggregation.scala). */
+class QueryLanguageSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "alpha", 10, Some(1.5)),
+    (2L, "beta", 20, Some(2.5)),
+    (3L, "gamma", 30, None),
+    (4L, "alphabet", 40, Some(4.5))).toDF("id", "name", "n", "score")
+
+  private def ids(json: String): Seq[Long] =
+    df.where(FilterParser.parse(json, Properties.passthrough))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  describe("filter grammar") {
+    it("_and/_or/_not compose") {
+      assert(ids("""{"_and":[{"_gte":{"n":20}},{"_not":{"_is":{"name":"beta"}}}]}""") == Seq(3L, 4L))
+      assert(ids("""{"_or":[{"_is":{"name":"beta"}},{"_gt":{"n":35}}]}""") == Seq(2L, 4L))
+    }
+    it("_any matches all") { assert(ids("""{"_any":""}""") == Seq(1L, 2L, 3L, 4L)) }
+    it("string predicates") {
+      assert(ids("""{"_startsWith":{"_field":"name","_value":"alpha"}}""") == Seq(1L, 4L))
+      assert(ids("""{"_endsWith":{"_field":"name","_value":"a"}}""") == Seq(1L, 2L, 3L))
+      assert(ids("""{"_like":{"_field":"name","_value":"*phab*"}}""") == Seq(4L))
+      assert(ids("""{"_wildcard":{"_field":"name","_value":"g*"}}""") == Seq(3L))
+    }
+    it("_between is [from, to)") {
+      assert(ids("""{"_between":{"_field":"n","_from":20,"_to":40}}""") == Seq(2L, 3L))
+    }
+    it("_in membership") {
+      assert(ids("""{"_in":{"_field":"name","_values":["beta","gamma"]}}""") == Seq(2L, 3L))
+    }
+    it("_contains is existence (null check)") {
+      assert(ids("""{"_contains":"score"}""") == Seq(1L, 2L, 4L))
+      assert(ids("""{"_not":{"_contains":"score"}}""") == Seq(3L))
+    }
+    it("_ne is null-safe (null rows are 'not equal')") {
+      assert(ids("""{"_ne":{"score":2.5}}""") == Seq(1L, 3L, 4L))
+    }
+    it("bare {field: value} equality") { assert(ids("""{"name":"beta"}""") == Seq(2L)) }
+    it("unknown operator rejects") {
+      assertThrows[IllegalArgumentException](ids("""{"_bogus":1}"""))
+    }
+  }
+
+  describe("sort grammar") {
+    it("accepts {field: dir} and +/- prefix forms; nulls first on asc, last on desc") {
+      val asc = df.orderBy(SortParser.parse("""[{"score":"asc"}]""", Properties.passthrough): _*)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(asc == Seq(3L, 1L, 2L, 4L)) // null first
+      val desc = df.orderBy(SortParser.parse("""["-score"]""", Properties.passthrough): _*)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(desc == Seq(4L, 2L, 1L, 3L)) // null last
+    }
+  }
+
+  describe("aggregation language") {
+    it("scalar agg over empty input yields null (reference null-on-empty)") {
+      val agg = AggregationParser.parse(
+        """{"_agg":"sum","_field":"n","_query":{"_gt":{"n":1000}}}""", Properties.passthrough)
+      val row = AggCompiler(df, agg, Properties.passthrough).collect().head
+      assert(row.isNullAt(0))
+    }
+    it("field aggregation orders by -count with top-k") {
+      val data = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+      val agg = AggregationParser.parse(
+        """{"_agg":"field","_field":"k","_select":[{"_agg":"count","_name":"cnt"}],
+          |"_order":["-cnt"],"_size":2}""".stripMargin, Properties.passthrough)
+      val rows = AggCompiler(data, agg, Properties.passthrough)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq("a" -> 3L, "b" -> 2L))
+    }
+    it("week buckets are epoch-anchored (Thursday 1970-01-01)") {
+      val ts = Seq(
+        java.sql.Timestamp.valueOf("1970-01-01 12:00:00"), // Thu → bucket 0
+        java.sql.Timestamp.valueOf("1970-01-07 23:00:00"), // Wed → still bucket 0
+        java.sql.Timestamp.valueOf("1970-01-08 01:00:00")  // Thu → bucket 1
+      ).toDF("ts")
+      val agg = AggregationParser.parse(
+        """{"_agg":"time","_field":"ts","_interval":"1w","_select":[{"_agg":"count","_name":"cnt"}]}""",
+        Properties.passthrough)
+      val rows = AggCompiler(ts, agg, Properties.passthrough)
+        .select(unix_millis(col("ts_bucket")), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq(0L -> 2L, 604800000L -> 1L))
+    }
+    it("interval grammar parses n-unit strings and ChronoUnit objects") {
+      val a = AggregationParser.parse(
+        """{"_agg":"time","_field":"ts","_interval":"6h"}""", Properties.passthrough)
+      assert(a.asInstanceOf[Agg.ByTime].intervalMs.contains(6L * 3600000))
+      val b = AggregationParser.parse(
+        """{"_agg":"time","_field":"ts","_interval":{"_interval":1,"_unit":"MONTHS"}}""",
+        Properties.passthrough)
+      assert(b.asInstanceOf[Agg.ByTime].calendarUnit.contains("month"))
+    }
+  }
+
+  describe("public properties") {
+    it("renames and computes; rejects unknown names when closed") {
+      val props = Properties(PublicProperty("upper", upper(col("name"))))
+      val out = df.where(FilterParser.parse("""{"_is":{"upper":"BETA"}}""", props))
+      assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+      assertThrows[IllegalArgumentException](
+        FilterParser.parse("""{"_is":{"nope":1}}""", props))
+    }
+  }
+}
