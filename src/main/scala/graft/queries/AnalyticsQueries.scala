@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.analytics.GraphAnalytics
+import graft.services.Mutations
+import graft.sources.TestData
+import CoreQueries.Q
+
+/**
+ * Whole-graph analytics (GraphX) and write-path/maintenance compound jobs
+ * (reference: services/IntegrityCheckOps.scala — dedup resolve/copyEdge).
+ *
+ * Vertex id scheme for the exported region–nation–customer graph:
+ * region = r_regionkey, nation = 100 + n_nationkey,
+ * customer = 1000 + c_custkey — disjoint ranges, so the component of every
+ * customer is exactly its region's id (the smallest id in the component),
+ * which gives connected components an exact relational oracle.
+ */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("g01_connected_components",
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val nr = g.V("nation").df
+          .select((col("n_nationkey") + 100).as("src"), col("n_regionkey").cast("long").as("dst"))
+        val cn = g.V("customer").df
+          .select((col("c_custkey") + 1000).as("src"), (col("c_nationkey") + 100).as("dst"))
+        GraphAnalytics.connectedComponents(s, nr.unionByName(cn))
+          .orderBy("vid")
+      },
+      Some("""SELECT vid, component FROM (
+             |  SELECT CAST(r_regionkey AS BIGINT) AS vid, CAST(r_regionkey AS BIGINT) AS component FROM region
+             |  UNION ALL
+             |  SELECT CAST(100 + n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation
+             |  UNION ALL
+             |  SELECT CAST(1000 + c_custkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |ORDER BY vid""".stripMargin)),
+
+    // no SQL oracle (iterative fixed-point); driver records rows-only check
+    Q("g02_pagerank",
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val edges = g.V("supplier").df
+          .select((col("s_suppkey") + 100).as("src"), col("s_nationkey").cast("long").as("dst"))
+        GraphAnalytics.pageRank(s, edges, iters = 5).orderBy("vid")
+      },
+      None),
+
+    Q("g03_merge_duplicates_repoint",
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        // treat customers sharing (nation, segment) as "duplicates", keep
+        // the lowest custkey, re-point orders at the keeper — the
+        // reference's DedupCheck.resolve + copyEdge as one batch rewrite
+        val (keepers, mapping) = Mutations.mergeDuplicates(
+          g.V("customer").df, "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"), "c_custkey")
+        val repointed = Mutations.repointEdges(
+          g.V("orders").df, "o_custkey", mapping)
+        repointed.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+          .join(keepers.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_semi")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH keeper AS (
+             |  SELECT c_custkey, min(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS keeper_id
+             |  FROM customer)
+             |SELECT o_orderkey, k.keeper_id AS o_custkey
+             |FROM orders o JOIN keeper k ON o.o_custkey = k.c_custkey
+             |ORDER BY o_orderkey""".stripMargin))
+  )
+}

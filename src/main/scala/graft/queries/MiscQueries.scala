@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.services.Mutations
+import graft.sources.TestData
+import CoreQueries.Q
+
+/** Remaining operator-inventory entries: JSON projections, write-path
+  * rewrites, base64 codec, id rendering. */
+object MiscQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q38_value_map_json",
+      (s, dir) => TestData.graph(s, dir).V("customer")
+        .valueMap("c_custkey", "c_name", "c_mktsegment")
+        .sortBy(col("vm")).toDF,
+      Some("""SELECT CAST(to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,
+             |  c_mktsegment := c_mktsegment)) AS VARCHAR) AS vm
+             |FROM customer ORDER BY 1""".stripMargin)),
+
+    Q("q39_id_rendering",
+      // the reference renders entity ids as "~<id>" at the API boundary
+      // (EntityId.scala:10-19)
+      (s, dir) => TestData.graph(s, dir).V("nation")
+        .project("eid" -> concat(lit("~"), col("n_nationkey")), "n_name" -> col("n_name"))
+        .sortBy(col("n_name")).toDF,
+      Some("SELECT concat('~', n_nationkey) AS eid, n_name FROM nation ORDER BY n_name")),
+
+    Q("q40_base64_codec",
+      // binary ↔ base64 string round-trip (reference Mapping.scala:72-73)
+      (s, dir) => TestData.graph(s, dir).V("region")
+        .project(
+          "r_regionkey" -> col("r_regionkey"),
+          "b64" -> base64(col("r_name").cast("binary")),
+          "roundtrip" -> unbase64(base64(col("r_name").cast("binary"))).cast("string"))
+        .sortBy(col("r_regionkey")).toDF,
+      Some("""SELECT r_regionkey, to_base64(CAST(r_name AS BLOB)) AS b64, r_name AS roundtrip
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
+    Q("q41_update_rewrite",
+      (s, dir) => {
+        // PropertyUpdater as a batch rewrite: zero negative balances
+        val t = TestData.graph(s, dir).V("customer").df
+        Mutations.updateWhere(t, col("c_acctbal") < 0,
+            Map("c_acctbal" -> lit(0.0)), "admin",
+            java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+          .select("c_custkey", "c_acctbal").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("q42_delete_rewrite",
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        // remove() of a traversal's selection: drop customers that have
+        // no orders, as an anti-join rewrite
+        val doomed = g.V("customer").filterNot(_.in("placed_by")).df
+        Mutations.removeIds(g.V("customer").df, "c_custkey", doomed)
+          .select("c_custkey").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer c WHERE EXISTS (
+             |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q43_insert_with_audit",
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val spark = s
+        import spark.implicits._
+        val rows = Seq((9001L, "NEWLAND"), (9002L, "TERRA")).toDF("r_regionkey", "r_name")
+        val at = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        Mutations.create(
+            Mutations.withAudit(g.V("region").df, "region", "loader", at),
+            Mutations.withAudit(rows, "region", "admin", at))
+          .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"),
+            col("_label"), col("_createdBy"), unix_millis(col("_createdAt")).as("created_ms"))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name, 'region' AS _label,
+             |  'loader' AS _createdBy, CAST(1767225600000 AS BIGINT) AS created_ms FROM region
+             |UNION ALL SELECT v, n, 'region', 'admin', 1767225600000 FROM
+             |  (VALUES (CAST(9001 AS BIGINT), 'NEWLAND'), (CAST(9002 AS BIGINT), 'TERRA')) t(v, n)
+             |ORDER BY r_regionkey""".stripMargin))
+  )
+}

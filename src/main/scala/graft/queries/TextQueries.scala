@@ -134,7 +134,7 @@ object TextQueries {
 
     Q("d09_lsh_band_candidates",
       (s, dir) => {
-        val sig = minhashDF(s, dir).select(col("doc_id"), substring(col("mh"), 1, 2).as("band"))
+        val sig = minhashDF(s, dir).select(col("doc_id"), substring(md5(concat(lit("band:"), col("mh"))), 1, 4).as("band"))
         val a = sig.select(col("doc_id").as("a_id"), col("band"))
         val b = sig.select(col("doc_id").as("b_id"), col("band").as("band_b"))
         a.join(b, col("band") === col("band_b") && col("a_id") < col("b_id"))
@@ -142,12 +142,12 @@ object TextQueries {
       },
       Some(s"""WITH sig AS ($sigSql)
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id
-              |FROM sig a JOIN sig b ON substr(a.mh, 1, 2) = substr(b.mh, 1, 2) AND a.doc_id < b.doc_id
+              |FROM sig a JOIN sig b ON substr(md5(concat('band:', a.mh)), 1, 4) = substr(md5(concat('band:', b.mh)), 1, 4) AND a.doc_id < b.doc_id
               |ORDER BY 1, 2""".stripMargin)),
 
     Q("d10_ngram_jaccard_verify",
       (s, dir) => {
-        val sig = minhashDF(s, dir).select(col("doc_id"), substring(col("mh"), 1, 2).as("band"))
+        val sig = minhashDF(s, dir).select(col("doc_id"), substring(md5(concat(lit("band:"), col("mh"))), 1, 4).as("band"))
         val pairs = sig.select(col("doc_id").as("a_id"), col("band"))
           .join(sig.select(col("doc_id").as("b_id"), col("band").as("band_b")),
             col("band") === col("band_b") && col("a_id") < col("b_id"))
@@ -172,7 +172,7 @@ object TextQueries {
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
               |    (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard
-              |FROM sig a JOIN sig b ON substr(a.mh, 1, 2) = substr(b.mh, 1, 2) AND a.doc_id < b.doc_id
+              |FROM sig a JOIN sig b ON substr(md5(concat('band:', a.mh)), 1, 4) = substr(md5(concat('band:', b.mh)), 1, 4) AND a.doc_id < b.doc_id
               |JOIN sh sa ON sa.doc_id = a.doc_id
               |JOIN sh sb ON sb.doc_id = b.doc_id
               |ORDER BY 1, 2""".stripMargin)),

@@ -1,0 +1,92 @@
+package graft.services
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Write-path operations — the Spark rendering of the reference's OLTP
+ * services (reference: services/VertexSrv.scala:61-95, EdgeSrv.scala:36-38,
+ * query/PublicProperty.scala:107-141 PropertyUpdater,
+ * TraversalOps.scala:156-160 remove, models/Database.scala:175-208 audit
+ * columns, services/IntegrityCheckOps.scala:313-343,486-493 dedup resolve).
+ *
+ * In an analytics engine these are pure table→table rewrites the caller
+ * persists (overwrite or MERGE at the storage layer); none of them
+ * collect to the driver. At 100 TB an update/delete is a partition-
+ * pruned rewrite of affected partitions, and the duplicate-merge is two
+ * hash joins on the key columns.
+ */
+object Mutations {
+
+  /** Attach the six audit columns to new rows (reference:
+    * models/Model.scala:25-32; materialized at write time,
+    * janus/JanusDatabase.scala:436-471). `idCol` must already be unique. */
+  def withAudit(rows: DataFrame, label: String, by: String, at: java.sql.Timestamp): DataFrame =
+    rows
+      .withColumn("_label", lit(label))
+      .withColumn("_createdBy", lit(by))
+      .withColumn("_createdAt", lit(at))
+      .withColumn("_updatedBy", lit(null).cast("string"))
+      .withColumn("_updatedAt", lit(null).cast("timestamp"))
+
+  /** Insert = append (reference: VertexSrv.createEntity). */
+  def create(table: DataFrame, rows: DataFrame): DataFrame =
+    table.unionByName(rows, allowMissingColumns = true)
+
+  /** Point update of selected rows + `_updatedAt`/`_updatedBy` stamping
+    * (reference: PropertyUpdater, PublicProperty.scala:107-141). Rows not
+    * matching `cond` pass through unchanged. */
+  def updateWhere(
+      table: DataFrame,
+      cond: Column,
+      sets: Map[String, Column],
+      by: String,
+      at: java.sql.Timestamp): DataFrame = {
+    val withSets = sets.foldLeft(table) { case (df, (field, value)) =>
+      df.withColumn(field, when(cond, value).otherwise(col(field)))
+    }
+    if (!table.columns.contains("_updatedAt")) withSets
+    else withSets
+      .withColumn("_updatedAt", when(cond, lit(at)).otherwise(col("_updatedAt")))
+      .withColumn("_updatedBy", when(cond, lit(by)).otherwise(col("_updatedBy")))
+  }
+
+  /** Delete by predicate (reference: remove = drop().iterate()). */
+  def removeWhere(table: DataFrame, cond: Column): DataFrame = table.where(!cond)
+
+  /** Delete the rows a traversal selected: anti-join on the id column. */
+  def removeIds(table: DataFrame, idCol: String, ids: DataFrame): DataFrame =
+    table.alias("__t").join(
+      ids.selectExpr(s"$idCol AS __del_id").distinct().alias("__d"),
+      col(s"__t.$idCol") === col("__d.__del_id"), "left_anti")
+
+  /** Duplicate-vertex resolution (reference: DedupCheck.resolve +
+    * copyEdge, IntegrityCheckOps.scala:403-493): group vertices on the
+    * unique-property set, keep the first per group (min of `orderCol`),
+    * re-point every edge FK from a duplicate to its keeper, drop the
+    * duplicates. Returns (dedupedVertices, mapping dup→keeper). */
+  def mergeDuplicates(
+      vertices: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      orderCol: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol), col(idCol))
+    val ranked = vertices.withColumn("__rn", row_number().over(w))
+    val keepers = ranked.where(col("__rn") === 1).drop("__rn")
+    val dups = ranked.where(col("__rn") > 1)
+    val keeperIds = keepers.select((col(idCol).as("keeper_id") +: keyCols.map(col)): _*)
+    val joinCond = keyCols.map(k => dups(k) <=> keeperIds(k)).reduce(_ && _)
+    val mapping = dups.join(keeperIds, joinCond)
+      .select(dups(idCol).as("dup_id"), col("keeper_id"))
+    (keepers, mapping)
+  }
+
+  /** Re-point an edge endpoint column through a dup→keeper mapping
+    * (reference: copyEdge, IntegrityCheckOps.scala:313-343). */
+  def repointEdges(edges: DataFrame, endpointCol: String, mapping: DataFrame): DataFrame =
+    edges.alias("__e")
+      .join(mapping.alias("__m"), col(s"__e.$endpointCol") === col("__m.dup_id"), "left_outer")
+      .withColumn(endpointCol, coalesce(col("__m.keeper_id"), col(s"__e.$endpointCol")))
+      .drop("dup_id", "keeper_id")
+}

@@ -215,6 +215,41 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
   def constant(v: Any): Traversal =
     Traversal(graph, Element.Value("const"), df.select((lit(v).as("const") +: aliasCols.map(df(_))): _*))
 
+  /** Selected properties as one JSON value per element (reference:
+    * valueMap(keys*), TraversalOps.scala:619-622). */
+  def valueMap(fields: String*): Traversal =
+    Traversal(graph, Element.Value("vm"),
+      df.select((to_json(struct(fields.map(col): _*)).as("vm") +: aliasCols.map(df(_))): _*))
+
+  /** The whole element as JSON (reference: entityMap/entity,
+    * TraversalOps.scala:490-546 — the dynamic any-element projection). */
+  def entity: Traversal =
+    Traversal(graph, Element.Value("entity"),
+      df.select((to_json(struct(elementCols.map(col).toIndexedSeq: _*)).as("entity") +: aliasCols.map(df(_))): _*))
+
+  /** N-ary untyped projection → array of strings (reference: flatProject,
+    * TraversalOps.scala:415-427 — Seq[Any] per element). */
+  def flatProject(cols: Column*): Traversal =
+    Traversal(graph, Element.Value("fp"),
+      df.select((array(cols.map(_.cast("string")): _*).as("fp") +: aliasCols.map(df(_))): _*))
+
+  /** Key/value projection out of a map column (reference:
+    * selectKeys/selectValues, TraversalOps.scala:356-365). */
+  def selectKeys(field: String): Traversal =
+    Traversal(graph, Element.Value("keys"), df.select(map_keys(col(field)).as("keys")))
+  def selectValues(field: String): Traversal =
+    Traversal(graph, Element.Value("values"), df.select(map_values(col(field)).as("values")))
+
+  /** Side-effecting peek at the current plan (reference: sideEffect,
+    * TraversalOps.scala:606-609) — runs eagerly against the current df. */
+  def sideEffect(f: DataFrame => Unit): Traversal = { f(df); this }
+
+  /** Map rows through a typed Scala function (reference: domainMap,
+    * traversal/Traversal.scala:29-32). Leaves the declarative plan — use
+    * only where Column expressions genuinely cannot express the logic. */
+  def domainMap[T: org.apache.spark.sql.Encoder](f: org.apache.spark.sql.Row => T): org.apache.spark.sql.Dataset[T] =
+    df.map(f)
+
   // ---------------------------------------------------------------- aliases
 
   /** Stash the current element under a step label (reference: as,
