@@ -1,12 +1,15 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.query.{Properties, PublicProperty, QueryExecutor}
 import graft.services.Mutations
 import graft.sources.TestData
 import CoreQueries.Q
 
 /** Remaining operator-inventory entries: JSON projections, write-path
-  * rewrites, base64 codec, id rendering. */
+  * rewrites, base64 codec, id rendering, and regression queries for the
+  * round-1 latent bugs (`_id` filter, optional() FK hop, customFilter,
+  * FkEdge dstKey ≠ idCol). */
 object MiscQueries {
 
   val all: Seq[Q] = Seq(
@@ -80,6 +83,62 @@ object MiscQueries {
              |  'loader' AS _createdBy, CAST(1767225600000 AS BIGINT) AS created_ms FROM region
              |UNION ALL SELECT v, n, 'region', 'admin', 1767225600000 FROM
              |  (VALUES (CAST(9001 AS BIGINT), 'NEWLAND'), (CAST(9002 AS BIGINT), 'TERRA')) t(v, n)
-             |ORDER BY r_regionkey""".stripMargin))
+             |ORDER BY r_regionkey""".stripMargin)),
+
+    Q("q44_id_filter_executor",
+      // `_id` filter resolved through the traversal's id column (round-1
+      // latent bug: a hardcoded `_id` column threw on every real table)
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        new QueryExecutor(g, QueryExecutor.defaultNamed(g)).execute(
+          """[{"_name":"all_customer"},
+            |  {"_name":"filter","_query":{"_or":[{"_id":42},{"_id":77}]}},
+            |  {"_name":"sort","_fields":["+c_custkey"]}]""".stripMargin)
+      },
+      Some("SELECT * FROM customer WHERE c_custkey IN (42, 77) ORDER BY c_custkey")),
+
+    Q("q45_optional_fk_hop",
+      // optional() whose sub-traversal's first hop joins on a FOREIGN-KEY
+      // column of the element (round-1 latent bug: the sub-input was pruned
+      // to the id column, so any FK-edge first hop threw)
+      (s, dir) => TestData.graph(s, dir).V("customer")
+        .optional(_.out("cust_nation").values("n_name"))
+        .sortBy(col("c_custkey")).toDF,
+      Some("""SELECT c.*, n.n_name FROM customer c
+             |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q46_custom_filter_property",
+      // public property with a custom filter builder (reference:
+      // PropertyBuilder.scala:95-116), here case-insensitive equality
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val props = Properties(PublicProperty(
+          "segment", col("c_mktsegment"),
+          customFilter = Some((op, v) => op match {
+            case "_is" => lower(col("c_mktsegment")) === lit(v.toString.toLowerCase)
+            case "_ne" => !(lower(col("c_mktsegment")) <=> lit(v.toString.toLowerCase))
+            case other => throw new IllegalArgumentException(s"segment filter: unsupported op $other")
+          }))) ++ Properties.passthrough
+        new QueryExecutor(g, QueryExecutor.defaultNamed(g), Map("customer" -> props)).execute(
+          """[{"_name":"all_customer"},
+            |  {"_name":"filter","_query":{"_is":{"segment":"bUiLdInG"}}},
+            |  {"_name":"sort","_fields":["+c_custkey"]}]""".stripMargin)
+      },
+      Some("SELECT * FROM customer WHERE lower(c_mktsegment) = 'building' ORDER BY c_custkey")),
+
+    Q("q47_fk_edge_dstkey_hop",
+      // FkEdge whose dstKey differs from the destination idCol (by_user:
+      // events.user_id → events.user_id, idCol event_id) — the round-1 edge
+      // path silently joined _dst against the idCol
+      (s, dir) => {
+        val t = TestData.graph(s, dir).V("events")
+          .where(col("event_id") < 20).as("a").outE("by_user").otherV
+        t.project("a_event" -> t.sel("a", "event_id"), "b_event" -> col("event_id"))
+          .sortBy(col("a_event"), col("b_event")).toDF
+      },
+      Some("""SELECT a.event_id AS a_event, b.event_id AS b_event
+             |FROM events a JOIN events b ON b.user_id = a.user_id
+             |WHERE a.event_id < 20 ORDER BY 1, 2""".stripMargin))
   )
 }

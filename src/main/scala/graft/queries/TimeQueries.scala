@@ -11,9 +11,10 @@ import CoreQueries.{Q, Fn}
  * (reference: QueryExecutor.scala:115-170).
  *
  * Buckets are emitted as epoch-millis BIGINT on both engines: fixed-width
- * units (s/m/h/d/w) are epoch-anchored `ts - ts % width` (weeks therefore
- * Thursday-anchored, matching reference Aggregation.scala:409-418); months/
- * years are UTC calendar truncation.
+ * units (s/m/h/d) are epoch-anchored `ts - ts % width`; weeks are
+ * MONDAY-anchored `ts - (ts + 3d) % width`, matching the reference's
+ * roundToWeek +3-day shift (Aggregation.scala:409-414); months/years are
+ * UTC calendar truncation.
  */
 object TimeQueries {
 
@@ -45,7 +46,7 @@ object TimeQueries {
     Q("t03_time_agg_week",
       timeAgg("""{"_agg":"time","_field":"ts","_interval":"1w",
                 |"_select":[{"_agg":"count","_name":"cnt"}]}""".stripMargin),
-      Some("""SELECT (epoch_ms(ts) - epoch_ms(ts) % 604800000) AS bucket_ms, count(*) AS cnt
+      Some("""SELECT (epoch_ms(ts) - (epoch_ms(ts) + 259200000) % 604800000) AS bucket_ms, count(*) AS cnt
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("t04_time_agg_filtered",

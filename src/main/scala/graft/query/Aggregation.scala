@@ -43,11 +43,12 @@ object Agg {
       filter: Option[Column])
       extends Agg
   /** Time-bucketed group-by (reference: TimeAggregation,
-    * Aggregation.scala:401-480): s/m/h/d/w fixed-width epoch buckets —
-    * weeks are epoch-anchored, hence Thursday-aligned (Aggregation.scala:
-    * 409-414,418) — and calendar truncation for months/years (:419-424,
-    * UTC-pinned here). */
-  final case class ByTime(field: String, name: String, intervalMs: Option[Long], calendarUnit: Option[String], subs: Seq[Agg], filter: Option[Column])
+    * Aggregation.scala:401-480): s/m/h/d fixed-width epoch buckets; weeks
+    * are MONDAY-anchored — the reference's roundToWeek shifts by +3 days
+    * before flooring (Aggregation.scala:409-414), encoded here as
+    * `offsetMs` in the interval — and calendar truncation for months/years
+    * (:419-424, UTC-pinned here). `interval` = (widthMs, offsetMs). */
+  final case class ByTime(field: String, name: String, interval: Option[(Long, Long)], calendarUnit: Option[String], subs: Seq[Agg], filter: Option[Column])
       extends Agg
 }
 
@@ -88,7 +89,7 @@ object AggregationParser {
       case "time" =>
         val f = str(j \ "_field")
         val subs = asArray(j \ "_select" match { case JNothing => JArray(Nil); case x => x }).map(fromJValue(_, props))
-        val (ms, cal) = j \ "_interval" match {
+        val (iv, cal) = j \ "_interval" match {
           case JString(intervalRe(n, unit)) => intervalOf(n.toLong, unit)
           case JObject(_) =>
             val n = (j \ "_interval" \ "_interval") match { case JInt(i) => i.toLong; case _ => 1L }
@@ -96,19 +97,22 @@ object AggregationParser {
             intervalOf(n, chronoToLetter(unit))
           case other => throw new IllegalArgumentException(s"bad _interval: $other")
         }
-        Agg.ByTime(f, nameOr(s"time_$f"), ms, cal, subs, filter)
+        Agg.ByTime(f, nameOr(s"time_$f"), iv, cal, subs, filter)
       case other => throw new IllegalArgumentException(s"unknown _agg '$other'")
     }
   }
 
-  /** `(n, unit letter)` → fixed width ms (s/m/h/d/w) or calendar unit (M/y).
-    * Interval grammar per reference Aggregation.scala:36-63. */
-  private def intervalOf(n: Long, unit: String): (Option[Long], Option[String]) = unit match {
-    case "s" => (Some(n * 1000L), None)
-    case "m" => (Some(n * 60000L), None)
-    case "h" => (Some(n * 3600000L), None)
-    case "d" => (Some(n * 86400000L), None)
-    case "w" => (Some(n * 604800000L), None) // epoch weeks: Thursday-anchored
+  /** `(n, unit letter)` → fixed (width ms, anchor offset ms) for s/m/h/d/w
+    * or calendar unit for M/y. Interval grammar per reference
+    * Aggregation.scala:36-63. Weeks carry a +3-day offset so buckets start
+    * on MONDAY, matching the reference's roundToWeek shift
+    * (Aggregation.scala:409-414; epoch day 0 is a Thursday). */
+  private def intervalOf(n: Long, unit: String): (Option[(Long, Long)], Option[String]) = unit match {
+    case "s" => (Some((n * 1000L, 0L)), None)
+    case "m" => (Some((n * 60000L, 0L)), None)
+    case "h" => (Some((n * 3600000L, 0L)), None)
+    case "d" => (Some((n * 86400000L, 0L)), None)
+    case "w" => (Some((n * 604800000L, 3L * 86400000L)), None)
     case "M" =>
       require(n == 1, "calendar month buckets support _interval=1 only")
       (None, Some("month"))
@@ -155,14 +159,15 @@ object AggCompiler {
       val ordered = grouped.orderBy(orderCols: _*)
       val limited = size.fold(ordered)(ordered.limit)
       limited.drop("__ocount")
-    case Agg.ByTime(field, _, ms, cal, subs, f) =>
+    case Agg.ByTime(field, _, iv, cal, subs, f) =>
       val ts = props.column(field)
       val bucketName = s"${field}_bucket"
-      val bucket = (ms, cal) match {
-        case (Some(d), _) =>
-          // epoch-anchored fixed windows: ts - (epochMs mod d). pmod keeps
-          // floor semantics for pre-1970 timestamps too.
-          timestamp_millis(unix_millis(ts) - pmod(unix_millis(ts), lit(d))).as(bucketName)
+      val bucket = (iv, cal) match {
+        case (Some((d, off)), _) =>
+          // anchored fixed windows: ts - ((epochMs + offset) mod d). pmod
+          // keeps floor semantics for pre-1970 timestamps too; offset=3d for
+          // weeks yields the reference's Monday anchor.
+          timestamp_millis(unix_millis(ts) - pmod(unix_millis(ts) + lit(off), lit(d))).as(bucketName)
         case (_, Some(unit)) => date_trunc(unit, ts).as(bucketName)
         case _ => throw new IllegalStateException("time aggregation without interval")
       }

@@ -42,12 +42,12 @@ object FilterParser {
     case "_or" => asArray(v).map(fromJValue(_, props)).reduce(_ || _)
     case "_not" => !fromJValue(v, props)
     case "_any" => lit(true)
-    case "_is" => cmp(v, props)(_ <=> _)
-    case "_ne" => cmp(v, props)((c, l) => !(c <=> l))
-    case "_lt" => cmp(v, props)(_ < _)
-    case "_gt" => cmp(v, props)(_ > _)
-    case "_lte" => cmp(v, props)(_ <= _)
-    case "_gte" => cmp(v, props)(_ >= _)
+    case "_is" => cmp(key, v, props)(_ <=> _)
+    case "_ne" => cmp(key, v, props)((c, l) => !(c <=> l))
+    case "_lt" => cmp(key, v, props)(_ < _)
+    case "_gt" => cmp(key, v, props)(_ > _)
+    case "_lte" => cmp(key, v, props)(_ <= _)
+    case "_gte" => cmp(key, v, props)(_ >= _)
     case "_between" =>
       val (f, from, to) = (str(v \ "_field"), v \ "_from", v \ "_to")
       val c = props.column(f)
@@ -56,27 +56,53 @@ object FilterParser {
       val f = str(v \ "_field")
       val vs = asArray(v \ "_values").map(value)
       props.column(f).isin(vs: _*)
-    case "_startsWith" => strCmp(v, props)((c, s) => c.startsWith(s))
-    case "_endsWith" => strCmp(v, props)((c, s) => c.endsWith(s))
-    case "_like" | "_wildcard" => strCmp(v, props)((c, s) => c.like(s.replace('*', '%')))
+    case "_startsWith" => strCmp(key, v, props)((c, s) => c.startsWith(s))
+    case "_endsWith" => strCmp(key, v, props)((c, s) => c.endsWith(s))
+    case "_like" | "_wildcard" => strCmp(key, v, props)(likePattern)
     case "_contains" => props.column(str(v)).isNotNull
-    case "_id" => col("_id") <=> lit(value(v \ "_id" match { case JNothing => v; case x => x }))
+    case "_id" =>
+      props.idColumn <=> lit(value(v \ "_id" match { case JNothing => v; case x => x }))
     case field if !field.startsWith("_") =>
       // deprecated bare {field: value} equality
-      props.column(field) <=> props.literal(field, value(v))
+      custom(props, field, "_is", value(v))
+        .getOrElse(props.column(field) <=> props.literal(field, value(v)))
     case other => throw new IllegalArgumentException(s"unknown filter operator '$other'")
   }
 
-  private def cmp(v: JValue, props: Properties)(op: (Column, Column) => Column): Column = v match {
-    case JObject(List((f, jv))) if f != "_field" => op(props.column(f), props.literal(f, value(jv)))
-    case _ =>
-      val f = str(v \ "_field")
-      op(props.column(f), props.literal(f, value(v \ "_value")))
+  /** Reference `_like`/`_wildcard` semantics (query/Filter.scala:122-129):
+    * only LEADING/TRAILING '*' are wildcards, interior '*' is literal, and
+    * a pattern with no affix star is plain equality. SQL metacharacters in
+    * the literal portion ('%', '_', '\') are escaped. */
+  private[query] def likePattern(c: Column, pattern: String): Column = {
+    val lead = pattern.startsWith("*")
+    val trail = pattern.length > (if (lead) 1 else 0) && pattern.endsWith("*")
+    if (!lead && !trail) c <=> lit(pattern)
+    else {
+      val core = pattern.substring(if (lead) 1 else 0, pattern.length - (if (trail) 1 else 0))
+      val esc = core.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      c.like((if (lead) "%" else "") + esc + (if (trail) "%" else ""))
+    }
   }
 
-  private def strCmp(v: JValue, props: Properties)(op: (Column, String) => Column): Column = v match {
-    case JObject(List((f, jv))) if f != "_field" => op(props.column(f), str(jv))
-    case _ => op(props.column(str(v \ "_field")), str(v \ "_value"))
+  /** Consult the property's custom filter builder, if declared (reference:
+    * PropertyBuilder.scala:95-116 — a property may replace the default
+    * predicate construction wholesale). */
+  private def custom(props: Properties, field: String, op: String, v: Any): Option[Column] =
+    props(field).customFilter.map(cf => cf(op, v))
+
+  private def cmp(op: String, v: JValue, props: Properties)(std: (Column, Column) => Column): Column = {
+    val (f, jv) = fieldValue(v)
+    custom(props, f, op, value(jv)).getOrElse(std(props.column(f), props.literal(f, value(jv))))
+  }
+
+  private def strCmp(op: String, v: JValue, props: Properties)(std: (Column, String) => Column): Column = {
+    val (f, jv) = fieldValue(v)
+    custom(props, f, op, str(jv)).getOrElse(std(props.column(f), str(jv)))
+  }
+
+  private def fieldValue(v: JValue): (String, JValue) = v match {
+    case JObject(List((f, jv))) if f != "_field" => (f, jv)
+    case _ => (str(v \ "_field"), v \ "_value")
   }
 
   private[query] def asArray(v: JValue): List[JValue] = v match {

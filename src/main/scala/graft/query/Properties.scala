@@ -21,7 +21,20 @@ final case class PublicProperty(
     /** Custom filter builder (reference: PropertyBuilder.scala:95-116). */
     customFilter: Option[(String, Any) => Column] = None)
 
-final case class Properties(props: Map[String, PublicProperty], passthrough: Boolean = true) {
+final case class Properties(
+    props: Map[String, PublicProperty],
+    passthrough: Boolean = true,
+    /** The element's id column, resolved by the executor from the current
+      * traversal (reference: `_id` filters go through the element id,
+      * query/Filter.scala:94-101 — ids are per-model, e.g. `c_custkey`,
+      * never a literal `_id` column). */
+    idName: Option[String] = None) {
+
+  def withId(name: String): Properties = copy(idName = Some(name))
+
+  def idColumn: Column =
+    col(idName.getOrElse(throw new IllegalArgumentException(
+      "_id filter: no id column in scope (not a vertex traversal)")))
 
   def apply(name: String): PublicProperty =
     props.getOrElse(
@@ -46,7 +59,8 @@ final case class Properties(props: Map[String, PublicProperty], passthrough: Boo
     }
   }
 
-  def ++(other: Properties): Properties = Properties(props ++ other.props, passthrough || other.passthrough)
+  def ++(other: Properties): Properties =
+    Properties(props ++ other.props, passthrough || other.passthrough, other.idName.orElse(idName))
 }
 
 object Properties {

@@ -40,8 +40,8 @@ final class QueryExecutor(
     limitedCountThreshold: Long = 1000L) {
 
   private def propsFor(t: Traversal): Properties = t.element match {
-    case Element.Vertex(l, _) => propsByLabel.getOrElse(l, Properties.passthrough)
-    case Element.Edge(l, _) => propsByLabel.getOrElse(l, Properties.passthrough)
+    case Element.Vertex(l, id) => propsByLabel.getOrElse(l, Properties.passthrough).withId(id)
+    case Element.Edge(l, _, _) => propsByLabel.getOrElse(l, Properties.passthrough)
     case _ => Properties.passthrough
   }
 

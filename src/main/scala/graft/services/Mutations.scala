@@ -51,8 +51,12 @@ object Mutations {
       .withColumn("_updatedBy", when(cond, lit(by)).otherwise(col("_updatedBy")))
   }
 
-  /** Delete by predicate (reference: remove = drop().iterate()). */
-  def removeWhere(table: DataFrame, cond: Column): DataFrame = table.where(!cond)
+  /** Delete by predicate (reference: remove = drop().iterate()). Rows where
+    * `cond` evaluates to NULL (predicate over a nullable column) did not
+    * match the delete and must be KEPT — hence the coalesce: a bare
+    * `where(!cond)` would silently drop them (!NULL is NULL). */
+  def removeWhere(table: DataFrame, cond: Column): DataFrame =
+    table.where(!coalesce(cond, lit(false)))
 
   /** Delete the rows a traversal selected: anti-join on the id column. */
   def removeIds(table: DataFrame, idCol: String, ids: DataFrame): DataFrame =

@@ -25,14 +25,22 @@ object StreamAgg {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // The file stream source wants a directory; stage a symlink to the
-    // (read-only) events file in a scratch dir keyed by the source dir.
+    // (read-only) events file in a scratch dir keyed by a strong digest of
+    // the absolute source path (a String.hashCode collision between two
+    // data dirs would silently aggregate the wrong dataset). A stale link
+    // whose target differs is recreated.
+    val target = java.nio.file.Paths.get(path).toAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(target.toString.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     val streamDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(dir.hashCode))
+      System.getProperty("java.io.tmpdir"), "graft_stream_" + digest)
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
+    if (java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target)
+      java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+      java.nio.file.Files.createSymbolicLink(link, target)
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
     val ev =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)

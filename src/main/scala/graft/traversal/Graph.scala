@@ -70,6 +70,16 @@ final class Graph(
       src.df.select(col(src.idCol).as("_src"), col(srcKey).as("_dst"))
   }
 
+  /** The destination-vertex column an edge endpoint column references:
+    * `_src` always holds the source vertex's idCol value; `_dst` holds the
+    * dst idCol for [[EdgeTable]] but the declared `dstKey` for [[FkEdge]]
+    * (which may differ from the dst idCol, e.g. a FK onto a non-key
+    * column). Every edge→vertex join must go through this resolution. */
+  private[traversal] def endpointRef(label: String, dstSide: Boolean): String = edge(label) match {
+    case e: EdgeTable => if (dstSide) vertex(e.dstLabel).idCol else vertex(e.srcLabel).idCol
+    case e: FkEdge => if (dstSide) e.dstKey else vertex(e.srcLabel).idCol
+  }
+
   /** Global union of traversals (reference: Graph.scala:34-42). Schema is
     * unioned by name; labels diverge → untyped elements. */
   def union(ts: Traversal*): Traversal = {
@@ -93,9 +103,11 @@ final class Graph(
 sealed trait Element
 object Element {
   final case class Vertex(label: String, idCol: String) extends Element
-  /** `otherLabel` records which vertex label `otherV` resolves to when the
-    * edge was reached directionally via outE/inE. */
-  final case class Edge(label: String, otherLabel: Option[String] = None) extends Element
+  /** `otherLabel`/`otherRef` record which vertex label `otherV` resolves to
+    * (and which vertex-table column the stored other-endpoint value
+    * references) when the edge was reached directionally via outE/inE. */
+  final case class Edge(label: String, otherLabel: Option[String] = None, otherRef: Option[String] = None)
+      extends Element
   /** A projected scalar/struct value column named `col`. */
   final case class Value(col: String) extends Element
   /** Heterogeneous (post-union across labels). */

@@ -37,7 +37,13 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
 
   // ---------------------------------------------------------------- filters
 
-  /** Typed property predicate (reference: has, TraversalOps.scala:550-563). */
+  /** Typed property predicate (reference: has, TraversalOps.scala:550-563).
+    * Deliberate semantics: DSL `has(field, value)` uses SQL `===` (a NULL
+    * field never matches, mirroring the reference's typed Gremlin `has`
+    * which cannot see missing properties), while the JSON `_is` filter is
+    * null-safe `<=>` (a runtime language comparing possibly-absent public
+    * properties). Both drop NULL rows for non-null literals; they differ
+    * only for an explicit `null` literal. */
   def has(field: String, p: Column => Column): Traversal = copy(df = df.where(p(col(field))))
   def has(field: String, value: Any): Traversal = copy(df = df.where(col(field) === lit(value)))
   /** Property exists / is missing (reference: _contains filter,
@@ -107,14 +113,14 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
   def inE(edgeLabel: String): Traversal = hopEdge(edgeLabel, forward = false)
 
   /** Edge → head vertex (reference: inV, TraversalOps.scala:457-462). */
-  def inV: Traversal = edgeToVertex(_.dstLabel, "_dst")
+  def inV: Traversal = edgeToVertex(_.dstLabel, "_dst", dstSide = true)
   /** Edge → tail vertex (reference: outV). */
-  def outV: Traversal = edgeToVertex(_.srcLabel, "_src")
+  def outV: Traversal = edgeToVertex(_.srcLabel, "_src", dstSide = false)
   /** Edge → the endpoint we did not come from (reference: otherV); requires
     * the edge was reached via outE/inE/bothE which record the origin side. */
   def otherV: Traversal = element match {
-    case Element.Edge(_, Some(otherLabel)) if df.columns.contains(OtherKeyCol) =>
-      joinToVertexFromEdge(graph.vertex(otherLabel), OtherKeyCol)
+    case Element.Edge(_, Some(otherLabel), Some(otherRef)) if df.columns.contains(OtherKeyCol) =>
+      joinToVertexFromEdge(graph.vertex(otherLabel), OtherKeyCol, otherRef)
     case _ => throw new IllegalStateException("otherV requires an edge traversal reached via outE/inE/bothE")
   }
 
@@ -126,8 +132,8 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
     require(sides.nonEmpty, s"edge $edgeLabel does not touch label $vertexLabel")
     sides.reduce { (a, b) =>
       val el = (a.element, b.element) match {
-        case (Element.Edge(l, x), Element.Edge(_, y)) if x == y => Element.Edge(l, x)
-        case (Element.Edge(l, _), _) => Element.Edge(l, None)
+        case (Element.Edge(l, x, rx), Element.Edge(_, y, ry)) if x == y && rx == ry => Element.Edge(l, x, rx)
+        case (Element.Edge(l, _, _), _) => Element.Edge(l, None, None)
         case _ => Element.Mixed
       }
       Traversal(graph, el, a.df.unionByName(b.df, allowMissingColumns = true))
@@ -149,7 +155,8 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
         val (myKey, theirKey) = if (forward) (srcKey, dstKey) else (dstKey, srcKey)
         joinToVertex(dst, myKey, theirKey)
       case _: EdgeTable =>
-        hopEdge(edgeLabel, forward).joinToVertexFromEdge(dst, if (forward) "_dst" else "_src")
+        hopEdge(edgeLabel, forward)
+          .joinToVertexFromEdge(dst, if (forward) "_dst" else "_src", graph.endpointRef(edgeLabel, dstSide = forward))
     }
   }
 
@@ -168,27 +175,40 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
     val fromLabel = if (forward) e.srcLabel else e.dstLabel
     require(vertexLabel == fromLabel, s"cannot hop ${if (forward) "outE" else "inE"} $edgeLabel from $vertexLabel")
     val (nearKey, farKey) = if (forward) ("_src", "_dst") else ("_dst", "_src")
+    // the vertex column the near edge column references: the idCol when we
+    // sit on the edge's source side, the edge's declared dstKey otherwise
+    // (FkEdge dstKey may differ from the destination idCol)
+    val nearRef = graph.endpointRef(edgeLabel, dstSide = !forward)
     val edf = graph.edgeDf(edgeLabel)
-    val left = df.select((aliasCols.map(df(_)) :+ df(idCol).as(HopKeyCol)): _*).alias("__l")
+    val left = df.select((aliasCols.map(df(_)) :+ df(nearRef).as(HopKeyCol)): _*).alias("__l")
     val right = edf.alias("__r")
     val joined = left
       .join(right, col(s"__l.$HopKeyCol") === col(s"__r.$nearKey"))
       .select((col("__r.*") +: (aliasCols.map(c => col(s"__l.$c")) :+ col(s"__r.$farKey").as(OtherKeyCol))): _*)
-    Traversal(graph, Element.Edge(edgeLabel, Some(if (forward) e.dstLabel else e.srcLabel)), joined)
+    Traversal(
+      graph,
+      Element.Edge(
+        edgeLabel,
+        Some(if (forward) e.dstLabel else e.srcLabel),
+        Some(graph.endpointRef(edgeLabel, dstSide = forward))),
+      joined)
   }
 
-  private def edgeToVertex(pick: EdgeRel => String, key: String): Traversal = element match {
-    case Element.Edge(label, _) =>
+  private def edgeToVertex(pick: EdgeRel => String, key: String, dstSide: Boolean): Traversal = element match {
+    case Element.Edge(label, _, _) =>
       val dst = graph.vertex(pick(graph.edge(label)))
-      joinToVertexFromEdge(dst, key)
+      joinToVertexFromEdge(dst, key, graph.endpointRef(label, dstSide))
     case other => throw new IllegalStateException(s"inV/outV requires an edge traversal, found $other")
   }
 
-  private def joinToVertexFromEdge(dst: VertexTable, key: String): Traversal = {
+  /** Join an edge endpoint column onto its vertex table; `theirKey` is the
+    * vertex column the endpoint value references (idCol for EdgeTable ends,
+    * the declared dstKey for FkEdge destination ends). */
+  private def joinToVertexFromEdge(dst: VertexTable, key: String, theirKey: String): Traversal = {
     val left = df.select((aliasCols.map(df(_)) :+ df(key).as(HopKeyCol)): _*).alias("__l")
     val right = dst.df.alias("__r")
     val joined = left
-      .join(right, col(s"__l.$HopKeyCol") === col(s"__r.${dst.idCol}"))
+      .join(right, col(s"__l.$HopKeyCol") === col(s"__r.$theirKey"))
       .select((col("__r.*") +: aliasCols.map(c => col(s"__l.$c"))): _*)
     Traversal(graph, Element.Vertex(dst.label, dst.idCol), joined)
   }
@@ -353,7 +373,10 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
     * TraversalOps.scala:405-406): left join + per-row fallback. */
   def optional(f: Traversal => Traversal): Traversal = {
     val key = idCol
-    val sub = f(copy(df = df.select(col(key))).as(SubKeyAlias))
+    // Carry ALL element columns into the sub-traversal (not just the id):
+    // its first hop may join on a foreign-key column, e.g.
+    // customer.optional(_.out("cust_nation")) joins on c_nationkey.
+    val sub = f(this.as(SubKeyAlias))
     // Sub-traversal columns that collide with the element's own columns
     // (e.g. a self-label hop) come back suffixed `_opt`.
     val subKeyed = sub.df

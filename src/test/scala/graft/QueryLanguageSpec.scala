@@ -77,11 +77,11 @@ class QueryLanguageSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(rows == Seq("a" -> 3L, "b" -> 2L))
     }
-    it("week buckets are epoch-anchored (Thursday 1970-01-01)") {
+    it("week buckets are MONDAY-anchored (reference roundToWeek +3d shift)") {
       val ts = Seq(
-        java.sql.Timestamp.valueOf("1970-01-01 12:00:00"), // Thu → bucket 0
-        java.sql.Timestamp.valueOf("1970-01-07 23:00:00"), // Wed → still bucket 0
-        java.sql.Timestamp.valueOf("1970-01-08 01:00:00")  // Thu → bucket 1
+        java.sql.Timestamp.valueOf("1970-01-01 12:00:00"), // Thu → week of Mon Dec 29 1969
+        java.sql.Timestamp.valueOf("1970-01-04 23:00:00"), // Sun → still Mon Dec 29
+        java.sql.Timestamp.valueOf("1970-01-05 01:00:00")  // Mon → week of Mon Jan 5
       ).toDF("ts")
       val agg = AggregationParser.parse(
         """{"_agg":"time","_field":"ts","_interval":"1w","_select":[{"_agg":"count","_name":"cnt"}]}""",
@@ -89,12 +89,12 @@ class QueryLanguageSpec extends SparkSpec {
       val rows = AggCompiler(ts, agg, Properties.passthrough)
         .select(unix_millis(col("ts_bucket")), col("cnt"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(rows == Seq(0L -> 2L, 604800000L -> 1L))
+      assert(rows == Seq(-259200000L -> 2L, 345600000L -> 1L))
     }
     it("interval grammar parses n-unit strings and ChronoUnit objects") {
       val a = AggregationParser.parse(
         """{"_agg":"time","_field":"ts","_interval":"6h"}""", Properties.passthrough)
-      assert(a.asInstanceOf[Agg.ByTime].intervalMs.contains(6L * 3600000))
+      assert(a.asInstanceOf[Agg.ByTime].interval.contains((6L * 3600000, 0L)))
       val b = AggregationParser.parse(
         """{"_agg":"time","_field":"ts","_interval":{"_interval":1,"_unit":"MONTHS"}}""",
         Properties.passthrough)

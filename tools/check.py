@@ -1,70 +1,70 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: run Verify's parquet
-dumps against the DuckDB oracle SQL and compare values column-name-sorted.
+"""Local replica of the driver's correctness gate: run graft.Verify at a
+given SF dir, then execute each oracle SQL in DuckDB over the same parquet
+tables and compare row counts, sorted-column schemas, and value hashes.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [only_query ...]
 """
-import json, sys, glob, math
-import duckdb
-import pyarrow.parquet as pq
+import sys, json, subprocess, hashlib, glob, os
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)  # full precision
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    return repr(v)
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+args = sys.argv[3:]
+skip_verify = "--skip-verify" in args
+only = [a for a in args if not a.startswith("--")]
 
-def table_key(names, rows):
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    out = []
-    for row in rows:
-        out.append(tuple(norm(row[i]) for i in order))
-    return [names[i] for i in order], out
+if not skip_verify:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    if "[success]" not in r.stdout:
+        print(r.stdout[-4000:]); print(r.stderr[-2000:]); sys.exit(1)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line:
+            print(line)
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    results = {}
-    for name, sql in sorted(oracle.items()):
-        spark_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{spark_dir}/*.parquet")
-        if not files:
-            results[name] = "MISSING_SPARK_RESULT"
-            continue
-        st = pq.read_table(files[0])
-        s_names = st.column_names
-        s_rows = [tuple(r[c] for c in s_names) for r in st.to_pylist()]
-        try:
-            d = con.execute(sql)
-            d_names = [c[0] for c in d.description]
-            d_rows = d.fetchall()
-        except Exception as e:
-            results[name] = f"ORACLE_ERROR: {e}"
-            continue
-        sn, sr = table_key(s_names, s_rows)
-        dn, dr = table_key(d_names, d_rows)
-        if sn != dn:
-            results[name] = f"SCHEMA_MISMATCH spark={sn} duck={dn}"
-        elif len(sr) != len(dr):
-            results[name] = f"ROWCOUNT_MISMATCH spark={len(sr)} duck={len(dr)}"
-        elif sr != dr:
-            diff = next(i for i in range(len(sr)) if sr[i] != dr[i])
-            results[name] = f"VALUE_MISMATCH first at row {diff}: spark={sr[diff]} duck={dr[diff]}"
-        else:
-            results[name] = "OK"
-    n_ok = sum(1 for v in results.values() if v == "OK")
-    for name, r in sorted(results.items()):
-        mark = "PASS" if r == "OK" else "FAIL"
-        print(f"{mark} {name}" + ("" if r == "OK" else f"  -> {r[:400]}"))
-    print(f"\n{n_ok}/{len(results)} queries match")
-    return 0 if n_ok == len(results) else 1
+import duckdb, pyarrow.parquet as pq
 
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+con = duckdb.connect()
+for t in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(t)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    pdir = f"{out}/{name}"
+    if not os.path.isdir(pdir):
+        fails.append(name); print(f"{name}: MISSING spark output"); continue
+    try:
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetchdf()
+        ora_df = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append(name); print(f"{name}: ERROR {e}"); continue
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df
+    s, o = norm(spark_df), norm(ora_df)
+    ok_rows = len(s) == len(o)
+    ok_schema = list(s.columns) == list(o.columns)
+    def h(df):
+        return hashlib.md5(df.round(6).to_csv(index=False).encode()).hexdigest()
+    ok_hash = ok_rows and ok_schema and h(s) == h(o)
+    status = "ok" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+    if status == "FAIL":
+        fails.append(name)
+        print(f"{name}: rows {len(s)}/{len(o)} schema_match={ok_schema} hash={ok_hash}")
+        if not ok_schema:
+            print(f"  spark cols: {list(s.columns)}\n  oracle cols: {list(o.columns)}")
+        elif ok_rows and len(s) > 0:
+            import pandas as pd
+            merged = s.compare(o) if s.shape == o.shape else None
+            if merged is not None and len(merged):
+                print(merged.head(5))
+    else:
+        print(f"{name}: ok ({len(s)} rows)")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} ok; fails: {fails}")
+sys.exit(1 if fails else 0)
