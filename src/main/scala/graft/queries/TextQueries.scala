@@ -8,43 +8,144 @@ import CoreQueries.Q
 
 /**
  * Training-data text pipeline over the `documents` table: exact + near
- * deduplication (MinHash/LSH banding, n-gram Jaccard, SimHash), token
- * counting, language-ID heuristic, quality scoring, fingerprinting.
+ * deduplication (banded MinHash-LSH, n-gram Jaccard verify, SimHash),
+ * token counting, language-ID heuristic, quality scoring, fingerprinting.
  *
- * Scale notes: every op here is a per-row expression or a single
- * groupBy/self-join on a short key — no driver-side loops. The LSH band
- * join is the standard shingle→minhash→band→bucket-join shape: candidate
- * generation is an equi-join on the band key (shuffle on a short string),
- * and only candidates pay the full-Jaccard cost. All hashing is md5-based
- * so the DuckDB oracle can reproduce it bit-for-bit.
+ * Near-dup design (the standard shape that survives 100 TB):
+ *  1. 32-bit base hash per word-3-shingle (md5 prefix — DuckDB-reproducible);
+ *  2. K=128 MinHash permutations via universal hashing
+ *     `(a_i·h + b_i) mod P` with md5-derived deterministic constants
+ *     (a_i < 2^30 keeps every product inside a signed 64-bit);
+ *  3. B=16 bands × R=8 rows; band key = md5 of the band's 8 minhashes —
+ *     candidate generation is one equi-join on (band, key);
+ *  4. EXACT duplicates are removed (keep-first per md5(text)) BEFORE
+ *     banding — otherwise every exact-dup cluster lands in one bucket and
+ *     the band self-join goes quadratic;
+ *  5. hot buckets (> [[TextQueries.BucketCap]] members) are dropped
+ *     entirely — a deterministic cap; at production scale those buckets are
+ *     logged and escalated to a second pass rather than joined;
+ *  6. the bands/shingle-set intermediates are `localCheckpoint`ed so the
+ *     self-join and the verify join read them once instead of recomputing
+ *     the signature subplan per join side.
+ * Every op is a per-row expression or a single groupBy/equi-join on a
+ * short key — no driver-side loops; all hashing md5-based so the DuckDB
+ * oracle reproduces it bit-for-bit.
  */
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     TestData.graph(s, dir).V("documents").df
 
-  /** doc_id + word-3-shingle minhash signature (md5-min over shingles). */
-  private def minhashDF(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  // ------------------------------------------------ MinHash-LSH parameters
+  private val K = 128 // permutations
+  private val B = 16 // bands
+  private val R = 8 // rows per band (B*R = K)
+  private val P = 4294967311L // prime > 2^32
+  private val BucketCap = 20 // max docs per LSH bucket (hot buckets dropped)
+
+  /** Deterministic md5-derived universal-hash constants, identical in the
+    * Spark plan and the generated DuckDB oracle SQL. */
+  private def mdLong(seed: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
+    BigInt(1, d.take(8)).toLong.abs
+  }
+  private val hashParams: IndexedSeq[(Long, Long)] =
+    (0 until K).map(i => (1L + mdLong(s"graft:a:$i") % ((1L << 30) - 1), mdLong(s"graft:b:$i") % P))
+
+  // ------------------------------------------------------- Spark-side plan
+
+  /** Exact-duplicate representatives: keep-first doc per md5(text). */
+  private def repDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    docs(s, dir).withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** doc_id + 32-bit hashes of the word-3-shingles. */
+  private def hashedShingles(source: DataFrame): DataFrame =
+    source
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(
         col("doc_id"),
-        expr("""array_min(transform(sequence(1, size(toks) - 2),
-               |  i -> md5(concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))))""".stripMargin)
-          .as("mh"))
+        expr("""transform(sequence(1, size(toks) - 2),
+               |  i -> CAST(conv(substr(md5(concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 8), 16, 10) AS BIGINT))""".stripMargin)
+          .as("hs"))
 
-  private val shingleSetSql =
-    """SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-      |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS ss
-      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      |WHERE len(toks) >= 3""".stripMargin
+  /** doc_id + one MinHash column per permutation (m0..m127). */
+  private def signatures(source: DataFrame): DataFrame =
+    hashedShingles(source).select(
+      col("doc_id") +: hashParams.zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("hs"), h => (h * lit(a) + lit(b)) % lit(P))).as(s"m$i")
+      }: _*)
 
-  private val sigSql =
-    """SELECT doc_id, list_aggregate(list_transform(generate_series(1, len(toks) - 2),
-      |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))), 'min') AS mh
-      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      |WHERE len(toks) >= 3""".stripMargin
+  /** doc_id exploded to (band, bkey) — B rows per doc; the LSH bucket key. */
+  private def bands(source: DataFrame): DataFrame = {
+    val sig = signatures(source)
+    val bandStructs = (0 until B).map { j =>
+      val ms = (j * R until (j + 1) * R).map(i => col(s"m$i"))
+      struct(lit(j).as("band"), substring(md5(concat_ws(",", ms: _*).cast("binary")), 1, 16).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band, bkey) over exact-dedup
+    * representatives, hot buckets dropped, pairs deduped. The bands DF is
+    * checkpointed — both join sides and the bucket-size filter read the
+    * materialized result instead of recomputing 128 minhashes 3×. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bd = bands(repDocs(s, dir)).localCheckpoint()
+    val ok = bd.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n").between(2, BucketCap))
+      .select("band", "bkey")
+    val member = bd.join(ok, Seq("band", "bkey"))
+    val a = member.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+    val b = member.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("bkey").as("bkey_b"))
+    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  // ------------------------------------------------- DuckDB-side oracle SQL
+
+  /** Exact-dup representatives (keep-first per md5(text)). */
+  private val repsSql =
+    """SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |FROM documents) WHERE rn = 1""".stripMargin
+
+  private def hsSql(source: String) =
+    s"""SELECT doc_id, list_transform(list_transform(generate_series(1, len(toks) - 2),
+       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])),
+       |  s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ($source))
+       |WHERE len(toks) >= 3""".stripMargin
+
+  private def sigSql(source: String): String = {
+    val cols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (CAST($a AS BIGINT)*h + $b) % $P)) AS m$i"
+    }.mkString(",\n  ")
+    s"SELECT doc_id,\n  $cols\nFROM (${hsSql(source)})"
+  }
+
+  private def bandsSql(source: String): String =
+    (0 until B).map { j =>
+      val ms = (j * R until (j + 1) * R).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $j AS band, substr(md5(concat_ws(',', $ms)), 1, 16) AS bkey FROM sig"
+    }.mkString(s"WITH sig AS (${sigSql(source)})\n", "\nUNION ALL ", "")
+
+  private def candidatePairsSql: String =
+    s"""WITH bands AS (${bandsSql(repsSql)}),
+       |ok AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $BucketCap),
+       |member AS (SELECT b.* FROM bands b JOIN ok USING (band, bkey))
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |FROM member a JOIN member b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
+  private def shingleSetSql(source: String) =
+    s"""SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS ss
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ($source))
+       |WHERE len(toks) >= 3""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup_keep_first",
@@ -129,29 +230,23 @@ object TextQueries {
       Some("SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id")),
 
     Q("d08_minhash_signature",
-      (s, dir) => minhashDF(s, dir).orderBy("doc_id"),
-      Some(s"SELECT doc_id, mh FROM ($sigSql) sig ORDER BY doc_id")),
+      // K=128 universal-hash MinHash signature per doc, emitted as a
+      // comma-joined string (stable across engines' array renderings)
+      (s, dir) => signatures(docs(s, dir))
+        .select(col("doc_id"), concat_ws(",", (0 until K).map(i => col(s"m$i")): _*).as("sig"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, concat_ws(',', ${(0 until K).map(i => s"m$i").mkString(", ")}) AS sig
+              |FROM (${sigSql("SELECT * FROM documents")}) ORDER BY doc_id""".stripMargin)),
 
     Q("d09_lsh_band_candidates",
-      (s, dir) => {
-        val sig = minhashDF(s, dir).select(col("doc_id"), substring(md5(concat(lit("band:"), col("mh"))), 1, 4).as("band"))
-        val a = sig.select(col("doc_id").as("a_id"), col("band"))
-        val b = sig.select(col("doc_id").as("b_id"), col("band").as("band_b"))
-        a.join(b, col("band") === col("band_b") && col("a_id") < col("b_id"))
-          .select("a_id", "b_id").orderBy("a_id", "b_id")
-      },
-      Some(s"""WITH sig AS ($sigSql)
-              |SELECT a.doc_id AS a_id, b.doc_id AS b_id
-              |FROM sig a JOIN sig b ON substr(md5(concat('band:', a.mh)), 1, 4) = substr(md5(concat('band:', b.mh)), 1, 4) AND a.doc_id < b.doc_id
-              |ORDER BY 1, 2""".stripMargin)),
+      (s, dir) => candidatePairs(s, dir).orderBy("a_id", "b_id"),
+      Some(s"$candidatePairsSql\nORDER BY 1, 2")),
 
     Q("d10_ngram_jaccard_verify",
+      // exact n-gram Jaccard over the banded candidates only; shingle sets
+      // are checkpointed and joined once per side, intersection computed once
       (s, dir) => {
-        val sig = minhashDF(s, dir).select(col("doc_id"), substring(md5(concat(lit("band:"), col("mh"))), 1, 4).as("band"))
-        val pairs = sig.select(col("doc_id").as("a_id"), col("band"))
-          .join(sig.select(col("doc_id").as("b_id"), col("band").as("band_b")),
-            col("band") === col("band_b") && col("a_id") < col("b_id"))
-          .select("a_id", "b_id")
+        val pairs = candidatePairs(s, dir)
         val sh = docs(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .where(size(col("toks")) >= 3)
@@ -159,22 +254,20 @@ object TextQueries {
             expr("""array_distinct(transform(sequence(1, size(toks) - 2),
                    |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin)
               .as("ss"))
+          .localCheckpoint()
         pairs
           .join(sh.select(col("doc_id").as("a_id"), col("ss").as("ssa")), "a_id")
           .join(sh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")
+          .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))))
           .select(col("a_id"), col("b_id"),
-            (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-              (size(col("ssa")) + size(col("ssb")) - size(array_intersect(col("ssa"), col("ssb")))))
-              .as("jaccard"))
+            (col("inter").cast("double") / (size(col("ssa")) + size(col("ssb")) - col("inter"))).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
-      Some(s"""WITH sig AS ($sigSql), sh AS ($shingleSetSql)
-              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-              |    (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard
-              |FROM sig a JOIN sig b ON substr(md5(concat('band:', a.mh)), 1, 4) = substr(md5(concat('band:', b.mh)), 1, 4) AND a.doc_id < b.doc_id
-              |JOIN sh sa ON sa.doc_id = a.doc_id
-              |JOIN sh sb ON sb.doc_id = b.doc_id
+      Some(s"""WITH cand AS ($candidatePairsSql), sh AS (${shingleSetSql("SELECT * FROM documents")})
+              |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard FROM (
+              |  SELECT c.a_id, c.b_id, len(list_intersect(sa.ss, sb.ss)) AS inter,
+              |         len(sa.ss) AS la, len(sb.ss) AS lb
+              |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id)
               |ORDER BY 1, 2""".stripMargin)),
 
     Q("d11_simhash",
