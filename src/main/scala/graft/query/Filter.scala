@@ -25,48 +25,87 @@ import org.json4s._
  */
 object FilterParser {
 
+  /** Builds the Column for one field-level predicate leaf:
+    * (field, op, raw JSON value) → predicate. The executor swaps in a
+    * traversal-aware builder that compiles leaves on traversal-based
+    * public properties into EXISTS flags (TraversalProps.applyFilter). */
+  type Leaf = (String, String, JValue) => Column
+
   def parse(json: String, props: Properties): Column =
     fromJValue(org.json4s.jackson.JsonMethods.parse(json), props)
 
-  def fromJValue(j: JValue, props: Properties): Column = j match {
-    case JObject(fields) if fields.nonEmpty => parseObject(fields, props)
+  def fromJValue(j: JValue, props: Properties): Column =
+    build(j, props, defaultLeaf(props))
+
+  def build(j: JValue, props: Properties, leaf: Leaf): Column = j match {
+    case JObject(fields) if fields.nonEmpty =>
+      fields.map { case (k, v) => parseOne(k, v, props, leaf) }.reduce(_ && _)
     case JObject(_) => lit(true)
     case other => throw new IllegalArgumentException(s"filter must be a JSON object, got $other")
   }
 
-  private def parseObject(fields: List[JField], props: Properties): Column =
-    fields.map { case (k, v) => parseOne(k, v, props) }.reduce(_ && _)
-
-  private def parseOne(key: String, v: JValue, props: Properties): Column = key match {
-    case "_and" => asArray(v).map(fromJValue(_, props)).reduce(_ && _)
-    case "_or" => asArray(v).map(fromJValue(_, props)).reduce(_ || _)
-    case "_not" => !fromJValue(v, props)
+  private def parseOne(key: String, v: JValue, props: Properties, leaf: Leaf): Column = key match {
+    case "_and" => asArray(v).map(build(_, props, leaf)).reduce(_ && _)
+    case "_or" => asArray(v).map(build(_, props, leaf)).reduce(_ || _)
+    case "_not" => !build(v, props, leaf)
     case "_any" => lit(true)
-    case "_is" => cmp(key, v, props)(_ <=> _)
-    case "_ne" => cmp(key, v, props)((c, l) => !(c <=> l))
-    case "_lt" => cmp(key, v, props)(_ < _)
-    case "_gt" => cmp(key, v, props)(_ > _)
-    case "_lte" => cmp(key, v, props)(_ <= _)
-    case "_gte" => cmp(key, v, props)(_ >= _)
-    case "_between" =>
-      val (f, from, to) = (str(v \ "_field"), v \ "_from", v \ "_to")
-      val c = props.column(f)
-      c >= props.literal(f, value(from)) && c < props.literal(f, value(to))
-    case "_in" =>
-      val f = str(v \ "_field")
-      val vs = asArray(v \ "_values").map(value)
-      props.column(f).isin(vs: _*)
-    case "_startsWith" => strCmp(key, v, props)((c, s) => c.startsWith(s))
-    case "_endsWith" => strCmp(key, v, props)((c, s) => c.endsWith(s))
-    case "_like" | "_wildcard" => strCmp(key, v, props)(likePattern)
-    case "_contains" => props.column(str(v)).isNotNull
+    case "_is" | "_ne" | "_lt" | "_gt" | "_lte" | "_gte" | "_startsWith" | "_endsWith" | "_like" | "_wildcard" =>
+      val (f, jv) = fieldValue(v)
+      leaf(f, key, jv)
+    case "_between" => leaf(str(v \ "_field"), key, v)
+    case "_in" => leaf(str(v \ "_field"), key, v \ "_values")
+    case "_contains" => leaf(str(v), key, JNothing)
     case "_id" =>
       props.idColumn <=> lit(value(v \ "_id" match { case JNothing => v; case x => x }))
     case field if !field.startsWith("_") =>
       // deprecated bare {field: value} equality
-      custom(props, field, "_is", value(v))
-        .getOrElse(props.column(field) <=> props.literal(field, value(v)))
+      leaf(field, "_is", v)
     case other => throw new IllegalArgumentException(s"unknown filter operator '$other'")
+  }
+
+  /** Standard leaf semantics over same-row columns; consults the
+    * property's custom filter builder for scalar/string ops (reference:
+    * PropertyBuilder.scala:95-116). */
+  def defaultLeaf(props: Properties): Leaf = (field, op, jv) => {
+    def c = props.column(field)
+    def litOf = props.literal(field, value(jv))
+    val viaCustom = op match {
+      case "_is" | "_ne" | "_lt" | "_gt" | "_lte" | "_gte" => custom(props, field, op, value(jv))
+      case "_startsWith" | "_endsWith" | "_like" | "_wildcard" => custom(props, field, op, str(jv))
+      case _ => None
+    }
+    viaCustom.getOrElse(op match {
+      case "_is" => c <=> litOf
+      case "_ne" => !(c <=> litOf)
+      case "_lt" => c < litOf
+      case "_gt" => c > litOf
+      case "_lte" => c <= litOf
+      case "_gte" => c >= litOf
+      case "_between" =>
+        c >= props.literal(field, value(jv \ "_from")) && c < props.literal(field, value(jv \ "_to"))
+      case "_in" => c.isin(asArray(jv).map(value): _*)
+      case "_startsWith" => c.startsWith(str(jv))
+      case "_endsWith" => c.endsWith(str(jv))
+      case "_like" | "_wildcard" => likePattern(c, str(jv))
+      case "_contains" => c.isNotNull
+      case other => throw new IllegalArgumentException(s"unknown filter operator '$other'")
+    })
+  }
+
+  /** All property names a filter tree references (for pre-resolution of
+    * traversal-based properties). */
+  def referencedFields(j: JValue): Seq[String] = j match {
+    case JObject(fields) =>
+      fields.flatMap {
+        case ("_and" | "_or", v) => asArray(v).flatMap(referencedFields)
+        case ("_not", v) => referencedFields(v)
+        case ("_any" | "_id", _) => Nil
+        case ("_between" | "_in", v) => List(str(v \ "_field"))
+        case ("_contains", v) => List(str(v))
+        case (op, v) if op.startsWith("_") => List(fieldValue(v)._1)
+        case (field, _) => List(field)
+      }
+    case _ => Nil
   }
 
   /** Reference `_like`/`_wildcard` semantics (query/Filter.scala:122-129):
@@ -89,16 +128,6 @@ object FilterParser {
     * predicate construction wholesale). */
   private def custom(props: Properties, field: String, op: String, v: Any): Option[Column] =
     props(field).customFilter.map(cf => cf(op, v))
-
-  private def cmp(op: String, v: JValue, props: Properties)(std: (Column, Column) => Column): Column = {
-    val (f, jv) = fieldValue(v)
-    custom(props, f, op, value(jv)).getOrElse(std(props.column(f), props.literal(f, value(jv))))
-  }
-
-  private def strCmp(op: String, v: JValue, props: Properties)(std: (Column, String) => Column): Column = {
-    val (f, jv) = fieldValue(v)
-    custom(props, f, op, str(jv)).getOrElse(std(props.column(f), str(jv)))
-  }
 
   private def fieldValue(v: JValue): (String, JValue) = v match {
     case JObject(List((f, jv))) if f != "_field" => (f, jv)

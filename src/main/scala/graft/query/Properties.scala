@@ -19,7 +19,22 @@ final case class PublicProperty(
     column: Column,
     dataType: DataType = NullType,
     /** Custom filter builder (reference: PropertyBuilder.scala:95-116). */
-    customFilter: Option[(String, Any) => Column] = None)
+    customFilter: Option[(String, Any) => Column] = None,
+    /** Traversal-based property (reference: PublicProperty.scala:80-91,
+      * PropertyBuilder.scala:22-56): the value is computed by a
+      * sub-traversal from the element (a linked-entity field like
+      * "case.assignee"). Filtering on it becomes an EXISTS semi-join;
+      * sorting/aggregating joins the resolved value column
+      * (TraversalProps). The sub-traversal must end in a value. */
+    traversal: Option[graft.traversal.Traversal => graft.traversal.Traversal] = None)
+
+object PublicProperty {
+  /** A property whose value is computed by a sub-traversal; `column` is
+    * the post-resolution column name (joined in by TraversalProps). */
+  def fromTraversal(name: String, dataType: DataType = NullType)(
+      sub: graft.traversal.Traversal => graft.traversal.Traversal): PublicProperty =
+    PublicProperty(name, col(name), dataType, None, Some(sub))
+}
 
 final case class Properties(
     props: Map[String, PublicProperty],

@@ -77,13 +77,16 @@ final class QueryExecutor(
           throw new IllegalArgumentException(s"unknown initial query '$name'"))
         QVal.Trav(init(step, graph))
       case (Some(QVal.Trav(t)), "filter") =>
-        val pred = FilterParser.fromJValue(step \ "_query", propsFor(t))
-        QVal.Trav(t.where(pred))
+        // traversal-based properties in the filter become EXISTS flags
+        QVal.Trav(TraversalProps.applyFilter(t, step \ "_query", propsFor(t)))
       case (Some(QVal.Trav(t)), "sort") =>
-        QVal.Trav(t.sortBy(SortParser.fromJValue(step \ "_fields", propsFor(t)): _*))
+        val props = propsFor(t)
+        val resolved = TraversalProps.resolveValueColumns(t, props, TraversalProps.sortFields(step \ "_fields"))
+        QVal.Trav(resolved.sortBy(SortParser.fromJValue(step \ "_fields", props): _*))
       case (Some(QVal.Trav(t)), "aggregation") =>
         val props = propsFor(t)
-        QVal.Result(AggCompiler(t.df, AggregationParser.fromJValue(step, props), props))
+        val resolved = TraversalProps.resolveValueColumns(t, props, TraversalProps.aggFields(step))
+        QVal.Result(AggCompiler(resolved.df, AggregationParser.fromJValue(step, props), props))
       case (Some(QVal.Trav(t)), "count") =>
         QVal.Result(t.count)
       case (Some(QVal.Trav(t)), "limitedCount") =>
