@@ -10,7 +10,8 @@ object SparkEntry {
 
   private def registry: Seq[CoreQueries.Q] =
     CoreQueries.all ++ TimeQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      PipelineQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++ PropertyQueries.all
+      PipelineQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++ PropertyQueries.all ++
+      BranchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.TestData
+import CoreQueries.Q
+
+/**
+ * Branch operators: branch-traversal coalesce (first non-empty branch per
+ * element), multi-way chooseBranch routing, and the declarative `match`
+ * pattern step (reference: TraversalOps.scala:274-287,289-300,367-403).
+ */
+object BranchQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q52_coalesce_branch",
+      // per order: returnflags of heavy lineitems (qty>49) if any, else
+      // linestatuses of qty>45 items, else the constant 'NONE' — branch
+      // priority decided per element, all rows of the winning branch kept
+      (s, dir) => {
+        val t = TestData.graph(s, dir).V("orders").as("o")
+          .coalesceBranch("v", Some("NONE"),
+            _.in("of_order").where(col("l_quantity") > 49).value("l_returnflag"),
+            _.in("of_order").where(col("l_quantity") > 45).value("l_linestatus"))
+        t.project("o_orderkey" -> t.sel("o", "o_orderkey"), "v" -> col("v"))
+          .sortBy(col("o_orderkey"), col("v")).toDF
+      },
+      Some("""WITH b0 AS (SELECT l_orderkey AS k, l_returnflag AS v FROM lineitem WHERE l_quantity > 49),
+             |b1 AS (SELECT l_orderkey AS k, l_linestatus AS v FROM lineitem WHERE l_quantity > 45)
+             |SELECT o_orderkey, v FROM (
+             |  SELECT o_orderkey, v FROM orders JOIN b0 ON k = o_orderkey
+             |  UNION ALL
+             |  SELECT o_orderkey, v FROM orders JOIN b1 ON k = o_orderkey
+             |    WHERE o_orderkey NOT IN (SELECT k FROM b0)
+             |  UNION ALL
+             |  SELECT o_orderkey, 'NONE' FROM orders
+             |    WHERE o_orderkey NOT IN (SELECT k FROM b0 UNION SELECT k FROM b1))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("q53_choose_branch",
+      // route customers by segment: BUILDING → their nation's name,
+      // MACHINERY → their own name, everyone else → a constant
+      (s, dir) => {
+        val t = TestData.graph(s, dir).V("customer").as("c")
+          .chooseBranch(col("c_mktsegment"), "v",
+            Seq(
+              "BUILDING" -> (_.out("cust_nation").value("n_name")),
+              "MACHINERY" -> (_.value("c_name"))),
+            otherwise = Some(_.constant("OTHER")))
+        t.project("c_custkey" -> t.sel("c", "c_custkey"), "v" -> col("v"))
+          .sortBy(col("c_custkey"), col("v")).toDF
+      },
+      Some("""SELECT c_custkey, v FROM (
+             |  SELECT c_custkey, n_name AS v FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |    WHERE c_mktsegment = 'BUILDING'
+             |  UNION ALL
+             |  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'MACHINERY'
+             |  UNION ALL
+             |  SELECT c_custkey, 'OTHER' FROM customer
+             |    WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY'))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("q54_match_pattern",
+      // declarative pattern: customer c -in nation n- supplier s, with a
+      // cycle-closing third pattern (s's nation must BE n) and a
+      // cross-binding predicate — the reference's match + where shape
+      (s, dir) => {
+        val t = TestData.graph(s, dir).V("customer")
+          .where(col("c_acctbal") > 9000)
+          .matchPattern("c",
+            ("c", _.out("cust_nation"), "n"),
+            ("n", _.in("supp_nation"), "s"),
+            ("s", _.out("supp_nation"), "n"))
+        t.where(t.sel("c", "c_acctbal") < t.sel("s", "s_acctbal"))
+          .project("c_custkey" -> t.sel("c", "c_custkey"), "s_suppkey" -> t.sel("s", "s_suppkey"))
+          .sortBy(col("c_custkey"), col("s_suppkey")).toDF
+      },
+      Some("""SELECT c.c_custkey, s.s_suppkey
+             |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN supplier s ON s.s_nationkey = n.n_nationkey
+             |WHERE c.c_acctbal > 9000 AND c.c_acctbal < s.s_acctbal
+             |ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
  * reference's per-traverser path bookkeeping, and Catalyst prunes unused
  * alias fields out of the scan.
  */
-final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
+final case class Traversal(
+    graph: Graph,
+    element: Element,
+    df: DataFrame,
+    /** Element type per step label, so `select(label)` can restore not just
+      * the columns but the TYPE of an aliased position (needed by `match`
+      * patterns that continue hopping from a recalled binding). */
+    aliasTypes: Map[String, Element] = Map.empty) {
 
   import Traversal._
 
@@ -84,7 +91,7 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
   /** Boolean combinators over sub-traversals (reference: or/and/not,
     * TraversalOps.scala:684-691). */
   def or(fs: (Traversal => Traversal)*): Traversal =
-    filter(t => Traversal(graph, t.element, fs.map(f => f(t).df).reduce(_.unionByName(_, allowMissingColumns = true))))
+    filter(t => Traversal(graph, t.element, fs.map(f => f(t).df).reduce(_.unionByName(_, allowMissingColumns = true)), t.aliasTypes))
   def and(fs: (Traversal => Traversal)*): Traversal = fs.foldLeft(this)((t, f) => t.filter(f))
   def not(f: Traversal => Traversal): Traversal = filterNot(f)
 
@@ -104,7 +111,7 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
       if (e.srcLabel == vertexLabel) Some(out(edgeLabel)) else None,
       if (e.dstLabel == vertexLabel) Some(in(edgeLabel)) else None).flatten
     require(sides.nonEmpty, s"edge $edgeLabel does not touch label $vertexLabel")
-    sides.reduce((a, b) => Traversal(graph, a.element, a.df.unionByName(b.df, allowMissingColumns = true)))
+    sides.reduce((a, b) => Traversal(graph, a.element, a.df.unionByName(b.df, allowMissingColumns = true), a.aliasTypes))
   }
 
   /** Hop onto the edge element itself (reference: outE/inE,
@@ -136,7 +143,7 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
         case (Element.Edge(l, _, _), _) => Element.Edge(l, None, None)
         case _ => Element.Mixed
       }
-      Traversal(graph, el, a.df.unionByName(b.df, allowMissingColumns = true))
+      Traversal(graph, el, a.df.unionByName(b.df, allowMissingColumns = true), a.aliasTypes)
     }
   }
 
@@ -167,7 +174,7 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
     val joined = left
       .join(right, col(s"__l.$HopKeyCol") === col(s"__r.$theirKey"))
       .select((col("__r.*") +: aliasCols.map(c => col(s"__l.$c"))): _*)
-    Traversal(graph, Element.Vertex(dst.label, dst.idCol), joined)
+    Traversal(graph, Element.Vertex(dst.label, dst.idCol), joined, aliasTypes)
   }
 
   private def hopEdge(edgeLabel: String, forward: Boolean): Traversal = {
@@ -191,7 +198,8 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
         edgeLabel,
         Some(if (forward) e.dstLabel else e.srcLabel),
         Some(graph.endpointRef(edgeLabel, dstSide = forward))),
-      joined)
+      joined,
+      aliasTypes)
   }
 
   private def edgeToVertex(pick: EdgeRel => String, key: String, dstSide: Boolean): Traversal = element match {
@@ -210,7 +218,7 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
     val joined = left
       .join(right, col(s"__l.$HopKeyCol") === col(s"__r.$theirKey"))
       .select((col("__r.*") +: aliasCols.map(c => col(s"__l.$c"))): _*)
-    Traversal(graph, Element.Vertex(dst.label, dst.idCol), joined)
+    Traversal(graph, Element.Vertex(dst.label, dst.idCol), joined, aliasTypes)
   }
 
   // ------------------------------------------------------------ projections
@@ -218,7 +226,7 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
   /** Project one property (reference: value(_.field),
     * TraversalOps.scala:611-631). */
   def value(field: String): Traversal =
-    Traversal(graph, Element.Value(field), df.select((col(field) +: aliasCols.map(df(_))): _*))
+    Traversal(graph, Element.Value(field), df.select((col(field) +: aliasCols.map(df(_))): _*), aliasTypes)
 
   /** Project several properties, keeping the traversal typed on them. */
   def values(fields: String*): Traversal =
@@ -233,24 +241,24 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
   /** Replace value with a constant (reference: constant,
     * TraversalOps.scala:223-227). */
   def constant(v: Any): Traversal =
-    Traversal(graph, Element.Value("const"), df.select((lit(v).as("const") +: aliasCols.map(df(_))): _*))
+    Traversal(graph, Element.Value("const"), df.select((lit(v).as("const") +: aliasCols.map(df(_))): _*), aliasTypes)
 
   /** Selected properties as one JSON value per element (reference:
     * valueMap(keys*), TraversalOps.scala:619-622). */
   def valueMap(fields: String*): Traversal =
-    Traversal(graph, Element.Value("vm"),
+    Traversal(graph, Element.Value("vm"), aliasTypes = aliasTypes, df =
       df.select((to_json(struct(fields.map(col): _*)).as("vm") +: aliasCols.map(df(_))): _*))
 
   /** The whole element as JSON (reference: entityMap/entity,
     * TraversalOps.scala:490-546 — the dynamic any-element projection). */
   def entity: Traversal =
-    Traversal(graph, Element.Value("entity"),
+    Traversal(graph, Element.Value("entity"), aliasTypes = aliasTypes, df =
       df.select((to_json(struct(elementCols.map(col).toIndexedSeq: _*)).as("entity") +: aliasCols.map(df(_))): _*))
 
   /** N-ary untyped projection → array of strings (reference: flatProject,
     * TraversalOps.scala:415-427 — Seq[Any] per element). */
   def flatProject(cols: Column*): Traversal =
-    Traversal(graph, Element.Value("fp"),
+    Traversal(graph, Element.Value("fp"), aliasTypes = aliasTypes, df =
       df.select((array(cols.map(_.cast("string")): _*).as("fp") +: aliasCols.map(df(_))): _*))
 
   /** Key/value projection out of a map column (reference:
@@ -276,14 +284,17 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
     * TraversalOps.scala:216-219, StepLabel.scala:9-31). */
   def as(name: String): Traversal = {
     val self = struct(elementCols.map(col).toIndexedSeq: _*)
-    copy(df = df.withColumn(s"$AliasPrefix$name", self))
+    copy(df = df.withColumn(s"$AliasPrefix$name", self), aliasTypes = aliasTypes + (name -> element))
   }
 
   /** Recall an aliased element (reference: select(label),
-    * TraversalOps.scala:302-337). */
+    * TraversalOps.scala:302-337) — restores its columns AND element type,
+    * so the traversal can keep hopping from the recalled position. The
+    * alias column itself is KEPT (a step label stays recallable after
+    * select, as in Gremlin — `match` relies on this). */
   def select(name: String): Traversal = {
-    val restored = df.select((col(s"$AliasPrefix$name.*") +: aliasCols.filterNot(_ == s"$AliasPrefix$name").map(df(_))): _*)
-    Traversal(graph, Element.Mixed, restored)
+    val restored = df.select((col(s"$AliasPrefix$name.*") +: aliasCols.map(df(_))): _*)
+    Traversal(graph, aliasTypes.getOrElse(name, Element.Mixed), restored, aliasTypes)
   }
 
   /** Column of a field of an aliased element — for cross-alias predicates
@@ -350,11 +361,11 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
   /** Explode a collection column back to rows (reference: unfold,
     * TraversalOps.scala:347-350). */
   def unfold(field: String): Traversal =
-    Traversal(graph, Element.Value(field), df.select(explode(col(field)).as(field)))
+    Traversal(graph, Element.Value(field), df.select(explode(col(field)).as(field)), aliasTypes)
 
   /** Per-row collection size (reference: localCount, TraversalOps.scala:198). */
   def localCount(field: String): Traversal =
-    Traversal(graph, Element.Value("count"), df.select(size(col(field)).as("count")))
+    Traversal(graph, Element.Value("count"), df.select(size(col(field)).as("count")), aliasTypes)
 
   // ------------------------------------------------------------- branching
 
@@ -362,12 +373,12 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
     * TraversalOps.scala:274-287) — scalar form compiles to when/otherwise,
     * staying inside whole-stage codegen. */
   def chooseValue(pred: Column, onTrue: Column, onFalse: Column, as: String): Traversal =
-    Traversal(graph, Element.Value(as), df.select((when(pred, onTrue).otherwise(onFalse).as(as) +: aliasCols.map(df(_))): _*))
+    Traversal(graph, Element.Value(as), df.select((when(pred, onTrue).otherwise(onFalse).as(as) +: aliasCols.map(df(_))): _*), aliasTypes)
 
   /** First non-null of several columns with constant fallback (reference:
     * coalesce/coalesceIdent, TraversalOps.scala:367-403, scalar case). */
   def coalesceValue(as: String, cols: Column*): Traversal =
-    Traversal(graph, Element.Value(as), df.select((org.apache.spark.sql.functions.coalesce(cols: _*).as(as) +: aliasCols.map(df(_))): _*))
+    Traversal(graph, Element.Value(as), df.select((org.apache.spark.sql.functions.coalesce(cols: _*).as(as) +: aliasCols.map(df(_))): _*), aliasTypes)
 
   /** element → f(element) when non-empty else element (reference: optional,
     * TraversalOps.scala:405-406): left join + per-row fallback. */
@@ -384,7 +395,7 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
         if (df.columns.contains(c)) sub.df(c).as(s"${c}_opt") else sub.df(c)
       }): _*)
     val joined = df.join(subKeyed, df(key) === subKeyed(OptKeyCol), "left_outer")
-    Traversal(graph, Element.Mixed, joined.drop(OptKeyCol))
+    Traversal(graph, Element.Mixed, joined.drop(OptKeyCol), aliasTypes)
   }
 
   /** Union of several branch traversals applied to this element (reference:
@@ -400,7 +411,105 @@ final case class Traversal(graph: Graph, element: Element, df: DataFrame) {
   /** Arithmetic expression on the current value (reference: math(expr),
     * TraversalOps.scala:678-679). */
   def math(expression: String, as: String = "math"): Traversal =
-    Traversal(graph, Element.Value(as), df.select(expr(expression).as(as)))
+    Traversal(graph, Element.Value(as), df.select(expr(expression).as(as)), aliasTypes)
+
+  /** Branch-traversal coalesce (reference: coalesceMulti/coalesceIdent,
+    * TraversalOps.scala:367-403): per element, emit ALL results of the
+    * FIRST branch that is non-empty for it, or `default` if every branch
+    * is empty. Each branch must end in a value; values are unified under
+    * `name`. Relational shape: branch results keyed by element id, the
+    * winning branch index = min over branches with results (one groupBy on
+    * the id), branch rows semi-filtered to their winners — joins on the
+    * element id only, no per-element iteration. */
+  def coalesceBranch(name: String, default: Option[Any], fs: (Traversal => Traversal)*): Traversal = {
+    require(fs.nonEmpty, "coalesceBranch needs at least one branch")
+    val key = idCol
+    val branchDfs = fs.zipWithIndex.map { case (f, i) =>
+      val b = f(this.as(SubKeyAlias))
+      val vcol = b.element match {
+        case Element.Value(c) => c
+        case other => throw new IllegalArgumentException(s"coalesceBranch branch $i must end in a value, found $other")
+      }
+      b.df.select(
+        col(s"$AliasPrefix$SubKeyAlias.$key").as("__cbk"),
+        lit(i).as("__cbi"),
+        col(vcol).as(name))
+    }
+    val unioned = branchDfs.reduce(_.unionByName(_))
+    val winners = unioned.groupBy(col("__cbk")).agg(org.apache.spark.sql.functions.min(col("__cbi")).as("__cbw"))
+    val picked = unioned.alias("__cl")
+      .join(winners.alias("__cw"),
+        col("__cl.__cbk") === col("__cw.__cbk") && col("__cl.__cbi") === col("__cw.__cbw"))
+      .select(col("__cl.__cbk").as("__cbk"), col(s"__cl.$name").as(name))
+    val withDefault = default match {
+      case Some(d) =>
+        val missed = df.alias("__cd")
+          .join(winners.alias("__cw2"), col(s"__cd.$key") === col("__cw2.__cbk"), "left_anti")
+          .select(col(s"__cd.$key").as("__cbk"), lit(d).as(name))
+        picked.unionByName(missed)
+      case None => picked
+    }
+    // re-attach the source element's alias columns via its id
+    val left = df.select((df(key).as("__cbsrc") +: aliasCols.map(df(_))): _*)
+    val joined = left.join(withDefault, col("__cbsrc") === col("__cbk"))
+      .select((col(name) +: aliasCols.map(col(_))): _*)
+    Traversal(graph, Element.Value(name), joined, aliasTypes)
+  }
+
+  /** Multi-way branch routing (reference: chooseBranch + BranchSelector,
+    * TraversalOps.scala:274-287, BranchSelector.scala:6-45): route each
+    * element through the branch whose option value matches `on`, or the
+    * `otherwise` branch. Compiles to a union of branches each applied to
+    * its filtered subset — one scan per branch, predicates pushed down. */
+  def chooseBranch(
+      on: Column,
+      name: String,
+      options: Seq[(Any, Traversal => Traversal)],
+      otherwise: Option[Traversal => Traversal] = None): Traversal = {
+    def run(pred: Column, f: Traversal => Traversal): DataFrame = {
+      val b = f(this.where(pred))
+      val vcol = b.element match {
+        case Element.Value(c) => c
+        case other => throw new IllegalArgumentException(s"chooseBranch branch must end in a value, found $other")
+      }
+      b.df.withColumnRenamed(vcol, name)
+    }
+    val optionDfs = options.map { case (v, f) => run(on <=> lit(v), f) }
+    val otherDf = otherwise.map { f =>
+      run(!org.apache.spark.sql.functions.coalesce(on.isin(options.map(_._1): _*), lit(false)), f)
+    }
+    val unioned = (optionDfs ++ otherDf).reduce(_.unionByName(_, allowMissingColumns = true))
+    Traversal(graph, Element.Value(name), unioned, aliasTypes)
+  }
+
+  /** Declarative pattern match (reference: `match`, TraversalOps.scala:
+    * 289-300, MatchElement.scala:5-41): this traversal seeds the binding
+    * `seedAlias`; each pattern `(from, f, to)` runs `f` from the `from`
+    * binding and either binds the result as `to` (new alias) or closes a
+    * cycle (existing alias: the result must BE that binding — an id
+    * equality filter). Bindings dedup at the end, as the reference's
+    * MatchStep does over its match keys. Catalyst reorders the resulting
+    * join chain freely — the declarative-pattern promise of `match`. */
+  def matchPattern(seedAlias: String, patterns: (String, Traversal => Traversal, String)*): Traversal = {
+    var cur = this.as(seedAlias)
+    var bound = Vector(seedAlias)
+    patterns.foreach { case (from, f, to) =>
+      require(bound.contains(from), s"match pattern references unbound alias '$from'")
+      val stepped = f(cur.select(from))
+      if (!bound.contains(to)) {
+        cur = stepped.as(to)
+        bound :+= to
+      } else {
+        // cycle close: the stepped element must BE the existing `to` binding
+        val closeKey = cur.aliasTypes(to) match {
+          case Element.Vertex(_, id) => id
+          case other => throw new IllegalArgumentException(s"cannot cycle-close on non-vertex binding '$to' ($other)")
+        }
+        cur = stepped.where(col(stepped.idCol) === col(s"$AliasPrefix$to.$closeKey"))
+      }
+    }
+    cur.dedup(bound: _*)
+  }
 
   // -------------------------------------------------------------- terminal
 

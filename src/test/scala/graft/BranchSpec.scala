@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Branch operators on the Modern fixture: coalesceBranch first-non-empty
+  * semantics, chooseBranch routing, match pattern binding + cycle close. */
+class BranchSpec extends SparkSpec {
+
+  private lazy val g = ModernFixture.graph(spark)
+
+  describe("coalesceBranch") {
+    it("emits all rows of the first non-empty branch, default when all empty") {
+      val t = g.V("person").as("p")
+        .coalesceBranch("v", Some(-1.0),
+          _.outE("knows").where(col("weight") >= 1.0).value("weight"),
+          _.outE("created").value("weight"))
+      val rows = t.project("name" -> t.sel("p", "name"), "v" -> col("v"))
+        .toDF.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sorted
+      // marko knows josh at 1.0 → branch 0 wins (created 0.4 suppressed);
+      // josh/peter have no knows>=1 → created weights; others → default
+      assert(rows == Seq(
+        "franck" -> -1.0, "josh" -> 0.4, "josh" -> 1.0, "marc" -> -1.0,
+        "marko" -> 1.0, "peter" -> 0.2, "vadas" -> -1.0))
+    }
+  }
+
+  describe("chooseBranch") {
+    it("routes each element through its matching option or otherwise") {
+      val t = g.V("person")
+        .chooseBranch(col("name"), "v",
+          Seq("marko" -> (_.out("knows").value("name")),
+              "josh" -> (_.out("created").value("name"))),
+          otherwise = Some(_.value("name")))
+      val vs = t.toDF.collect().map(_.getString(0)).toSeq.sorted
+      // marko → {vadas, josh}; josh → {lop, ripple}; rest → own names
+      assert(vs == Seq("franck", "josh", "lop", "marc", "peter", "ripple", "vadas", "vadas"))
+    }
+  }
+
+  describe("matchPattern") {
+    it("binds aliases along patterns and dedups bindings") {
+      val t = g.V("person").matchPattern("p",
+        ("p", _.out("created"), "sw"),
+        ("sw", _.in("created"), "other"))
+      val pairs = t.project(
+        "p" -> t.sel("p", "name"), "other" -> t.sel("other", "name"))
+        .toDF.collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      // co-creation pairs including self-pairs, deduped over bindings
+      assert(pairs.contains("marko" -> "josh"))
+      assert(pairs.contains("josh" -> "peter"))
+      assert(pairs.count(_ == ("josh", "marko")) == 1) // josh→lop & josh→ripple→... dedup
+    }
+    it("cycle-closes on an existing binding") {
+      val t = g.V("person").matchPattern("p",
+        ("p", _.out("created"), "sw"),
+        ("sw", _.in("created"), "other"),
+        ("other", _.out("created"), "sw")) // other must have created sw (always true here)
+      assert(t.toDF.count() > 0)
+    }
+  }
+}
