@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.TestData
+import graft.traversal.ProjectBy
 import CoreQueries.Q
 
 /**
@@ -78,6 +79,35 @@ object BranchQueries {
              |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
              |JOIN supplier s ON s.s_nationkey = n.n_nationkey
              |WHERE c.c_acctbal > 9000 AND c.c_acctbal < s.s_acctbal
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("q55_project_sub_traversal",
+      // the reference's most common project shape: entity columns plus
+      // correlated sub-traversal aggregations (count / first / list)
+      (s, dir) => TestData.graph(s, dir).V("orders")
+        .projectBy(
+          ProjectBy.Col("o_orderkey", col("o_orderkey")),
+          ProjectBy.Col("o_totalprice", col("o_totalprice")),
+          ProjectBy.Sub("item_count", _.in("of_order"), "count"),
+          ProjectBy.Sub("min_ship", _.in("of_order").value("l_shipdate"), "min"),
+          ProjectBy.Sub("flags", _.in("of_order").value("l_returnflag"), "list"))
+        .project(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_totalprice" -> col("o_totalprice"),
+          "item_count" -> col("item_count"),
+          // l_shipdate is TIMESTAMP_NTZ in the testdata; UTC session makes
+          // the cast to TIMESTAMP exact
+          "min_ship_ms" -> unix_millis(col("min_ship").cast("timestamp")),
+          "flags" -> concat_ws(",", col("flags")))
+        .sortBy(col("o_orderkey")).toDF,
+      Some("""SELECT o.o_orderkey, o.o_totalprice,
+             |  coalesce(l.cnt, 0) AS item_count,
+             |  epoch_ms(l.min_ship) AS min_ship_ms,
+             |  coalesce(l.flags, '') AS flags
+             |FROM orders o LEFT JOIN (
+             |  SELECT l_orderkey, count(*) AS cnt, min(l_shipdate) AS min_ship,
+             |         string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS flags
+             |  FROM lineitem GROUP BY 1) l ON l.l_orderkey = o.o_orderkey
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

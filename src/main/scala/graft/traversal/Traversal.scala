@@ -413,6 +413,46 @@ final case class Traversal(
   def math(expression: String, as: String = "math"): Traversal =
     Traversal(graph, Element.Value(as), df.select(expr(expression).as(as)), aliasTypes)
 
+  /** N-ary projection with sub-traversal `by`s (reference:
+    * `project(_.by..by(f))`, ProjectionBuilder.scala:14-80): each
+    * [[ProjectBy.Sub]] entry is a correlated sub-traversal aggregated per
+    * element — the reference's most common shape is entity + sub-traversal
+    * count (e.g. case + taskCount). Compiles to one groupBy(id) + left
+    * join per sub entry; `count` of an empty sub-traversal is 0 and `list`
+    * is sorted, both matching the reference's drained-iterator semantics
+    * deterministically. */
+  def projectBy(bys: ProjectBy*): Traversal = {
+    val key = idCol
+    var acc = df
+    bys.collect { case s: ProjectBy.Sub => s }.foreach { s =>
+      val sub = s.f(this.as(SubKeyAlias))
+      val keyCol = col(s"$AliasPrefix$SubKeyAlias.$key").as("__pk")
+      def vcol: Column = sub.element match {
+        case Element.Value(c) => col(c)
+        case other => throw new IllegalArgumentException(s"projectBy '${s.name}' (${s.agg}) needs a value sub-traversal, found $other")
+      }
+      val agged = s.agg match {
+        case "count" => org.apache.spark.sql.functions.count(lit(1))
+        case "first" | "min" => org.apache.spark.sql.functions.min(vcol)
+        case "max" => org.apache.spark.sql.functions.max(vcol)
+        case "sum" => org.apache.spark.sql.functions.sum(vcol)
+        case "list" => sort_array(collect_list(vcol))
+        case other => throw new IllegalArgumentException(s"unknown projectBy aggregation '$other'")
+      }
+      val grouped = sub.df.groupBy(keyCol).agg(agged.as(s.name))
+      acc = acc.alias("__pl")
+        .join(grouped.alias("__pr"), col(s"__pl.$key") === col("__pr.__pk"), "left_outer")
+        .select(col("__pl.*"), col(s"__pr.${s.name}"))
+    }
+    val outCols = bys.map {
+      case ProjectBy.Col(n, c) => c.as(n)
+      case s: ProjectBy.Sub if s.agg == "count" =>
+        org.apache.spark.sql.functions.coalesce(col(s.name), lit(0L)).as(s.name)
+      case s: ProjectBy.Sub => col(s.name)
+    }
+    Traversal(graph, Element.Mixed, acc.select(outCols: _*), aliasTypes)
+  }
+
   /** Branch-traversal coalesce (reference: coalesceMulti/coalesceIdent,
     * TraversalOps.scala:367-403): per element, emit ALL results of the
     * FIRST branch that is non-empty for it, or `default` if every branch
@@ -516,6 +556,16 @@ final case class Traversal(
   def toDF: DataFrame = df.select(elementCols.map(col).toIndexedSeq: _*)
   /** Materialization barrier (reference: barrier, TraversalOps.scala:606). */
   def barrier(): Traversal = copy(df = df.localCheckpoint())
+}
+
+/** One `by` of a [[Traversal.projectBy]] projection: a plain column or a
+  * correlated sub-traversal aggregated per element
+  * (reference: ProjectionBuilder.scala:14-80). */
+sealed trait ProjectBy { def name: String }
+object ProjectBy {
+  final case class Col(name: String, c: Column) extends ProjectBy
+  /** agg ∈ count | first (= deterministic min) | min | max | sum | list. */
+  final case class Sub(name: String, f: Traversal => Traversal, agg: String = "first") extends ProjectBy
 }
 
 object Traversal {

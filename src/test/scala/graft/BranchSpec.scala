@@ -37,6 +37,19 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  describe("projectBy") {
+    it("projects entity columns plus correlated sub-traversal aggregations") {
+      import graft.traversal.ProjectBy
+      val rows = g.V("person").projectBy(
+        ProjectBy.Col("name", col("name")),
+        ProjectBy.Sub("created_count", _.out("created"), "count"),
+        ProjectBy.Sub("max_weight", _.outE("created").value("weight"), "max"))
+        .toDF.collect().map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+      assert(rows("josh") == ((2L, Some(1.0))))
+      assert(rows("vadas") == ((0L, None))) // empty sub-traversal: count 0, value null
+    }
+  }
+
   describe("matchPattern") {
     it("binds aliases along patterns and dedups bindings") {
       val t = g.V("person").matchPattern("p",
