@@ -44,4 +44,40 @@ object GraphAnalytics {
       .map { case (vid: VertexId, rank: Double) => (vid, rank) }
       .toDF("vid", "rank")
   }
+
+  /** PageRank as a declarative DataFrame fixed-iteration loop with exact
+    * DECIMAL rank arithmetic: `rank_v = 0.15 + 0.85 · Σ rank_u / outDeg(u)`
+    * (GraphX staticPageRank's convention — no dangling-mass
+    * redistribution, initial rank 1.0). Decimal accumulation makes the
+    * result independent of partitioning AND bit-reproducible by the DuckDB
+    * oracle — double summation order would not be. Each iteration is two
+    * equi-joins + one groupBy on the vertex id; with the edge table hash-
+    * partitioned on src (as a production deployment would bucket it), the
+    * join is co-located and only the contribution sum shuffles. Prefer the
+    * GraphX variant for high iteration counts (Pregel avoids re-planning
+    * per step); this shape wins when iterations are few and fixed, and its
+    * plans stay inside Catalyst/AQE. */
+  def pageRankDecimal(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 10)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val verts = e.select(col("src").as("vid")).union(e.select(col("dst").as("vid"))).distinct()
+    val outDeg = e.groupBy(col("src").as("osrc")).agg(count(lit(1)).as("odeg"))
+    var ranks = verts.select(col("vid"), lit(1).cast(dec).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("vid"))
+        .join(outDeg, e("src") === col("osrc"))
+        .select(e("dst").as("cvid"), (col("rank") / col("odeg")).cast(dec).as("c"))
+      val sums = contribs.groupBy(col("cvid")).agg(sum(col("c")).as("insum"))
+      ranks = verts
+        .join(sums, verts("vid") === sums("cvid"), "left_outer")
+        .select(
+          verts("vid"),
+          (lit(BigDecimal("0.15")).cast(dec) +
+            (lit(BigDecimal("0.85")).cast(DecimalType(3, 2)) * coalesce(col("insum"), lit(0).cast(dec))).cast(dec))
+            .cast(dec).as("rank"))
+    }
+    ranks.select(col("vid"), col("rank").cast("double").as("rank"))
+  }
 }

@@ -38,15 +38,34 @@ object AnalyticsQueries {
              |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
              |ORDER BY vid""".stripMargin)),
 
-    // no SQL oracle (iterative fixed-point); driver records rows-only check
     Q("g02_pagerank",
+      // 5 fixed iterations over supplier→nation, decimal-exact ranks: the
+      // DuckDB oracle unrolls the same iteration (all contributors have
+      // out-degree 1, so no decimal-division rounding is involved and the
+      // two engines agree bit-for-bit)
       (s, dir) => {
         val g = TestData.graph(s, dir)
         val edges = g.V("supplier").df
           .select((col("s_suppkey") + 100).as("src"), col("s_nationkey").cast("long").as("dst"))
-        GraphAnalytics.pageRank(s, edges, iters = 5).orderBy("vid")
+        GraphAnalytics.pageRankDecimal(s, edges, iters = 5).orderBy("vid")
       },
-      None),
+      Some {
+        val step = (k: Int) =>
+          s"""r$k AS (
+             |  SELECT v.vid, CAST(CAST(0.15 AS DECIMAL(28,10)) +
+             |    CAST(CAST(0.85 AS DECIMAL(3,2)) * COALESCE(s.insum, CAST(0 AS DECIMAL(28,10))) AS DECIMAL(28,10))
+             |    AS DECIMAL(28,10)) AS rank
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.dst AS vid, SUM(CAST(r.rank / d.odeg AS DECIMAL(28,10))) AS insum
+             |    FROM edges e JOIN r${k - 1} r ON r.vid = e.src JOIN odeg d ON d.src = e.src
+             |    GROUP BY 1) s ON s.vid = v.vid)""".stripMargin
+        s"""WITH edges AS (SELECT CAST(s_suppkey + 100 AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) AS dst FROM supplier),
+           |verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges)),
+           |odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+           |r0 AS (SELECT vid, CAST(1 AS DECIMAL(28,10)) AS rank FROM verts),
+           |${(1 to 5).map(step).mkString(",\n")}
+           |SELECT vid, CAST(rank AS DOUBLE) AS rank FROM r5 ORDER BY vid""".stripMargin
+      }),
 
     Q("g03_merge_duplicates_repoint",
       (s, dir) => {
