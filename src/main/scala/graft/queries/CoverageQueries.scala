@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.TestData
+import CoreQueries.Q
+
+/**
+ * Oracle coverage for operators that were implemented but previously
+ * spec-only: JSON read path, flatProject/constant, or/and/not
+ * combinators, metadata-only count, outV, dedup(labels), graph.empty,
+ * selectKeys/selectValues.
+ */
+object CoverageQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q60_json_read_path",
+      // JsValue round-trip (reference Mapping.scala:54,60): store as JSON
+      // string, read back via from_json / get_json_object, filter on an
+      // extracted field
+      (s, dir) => TestData.graph(s, dir).V("customer")
+        .project("vm" -> to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment"))))
+        .project(
+          "name" -> get_json_object(col("vm"), "$.c_name"),
+          "key" -> from_json(col("vm"), org.apache.spark.sql.types.StructType.fromDDL("c_custkey BIGINT"))
+            .getField("c_custkey"),
+          "seg" -> get_json_object(col("vm"), "$.c_mktsegment"))
+        .where(col("seg") === "BUILDING")
+        .sortBy(col("key")).toDF,
+      Some("""SELECT json_extract_string(vm, '$.c_name') AS name,
+             |  CAST(json_extract(vm, '$.c_custkey') AS BIGINT) AS key,
+             |  json_extract_string(vm, '$.c_mktsegment') AS seg
+             |FROM (SELECT CAST(to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,
+             |  c_mktsegment := c_mktsegment)) AS VARCHAR) AS vm FROM customer)
+             |WHERE json_extract_string(vm, '$.c_mktsegment') = 'BUILDING'
+             |ORDER BY key""".stripMargin)),
+
+    Q("q61_flat_project_constant",
+      // flatProject → Seq[Any]-per-element (stringified) + constant step,
+      // unioned across two labels
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val a = g.V("nation").flatProject(col("n_name"), col("n_regionkey"))
+          .project("s" -> concat_ws(",", col("fp")))
+        val b = g.V("region").constant("CONST").project("s" -> col("const"))
+        g.union(a, b).sortBy(col("s")).toDF
+      },
+      Some("""SELECT s FROM (
+             |  SELECT n_name || ',' || CAST(n_regionkey AS VARCHAR) AS s FROM nation
+             |  UNION ALL SELECT 'CONST' FROM region)
+             |ORDER BY 1""".stripMargin)),
+
+    Q("q62_or_and_not_combinators",
+      // or()/not() over sub-traversals (reference TraversalOps.scala:684-691)
+      (s, dir) => TestData.graph(s, dir).V("customer")
+        .or(
+          _.where(col("c_acctbal") > 9000),
+          _.in("placed_by").where(col("o_totalprice") > 400000))
+        .not(_.where(col("c_mktsegment") === "MACHINERY"))
+        .sortBy(col("c_custkey")).toDF,
+      Some("""SELECT c.* FROM customer c
+             |WHERE (c.c_acctbal > 9000 OR EXISTS (
+             |         SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000))
+             |  AND c.c_mktsegment IS DISTINCT FROM 'MACHINERY'
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q63_metadata_count",
+      // count served from parquet footers, zero row reads (reference
+      // indexCountQuery, janus/JanusDatabase.scala:263-269)
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Seq(TestData.metadataCount(s, s"$dir/lineitem.parquet")).toDF("count")
+      },
+      Some("SELECT count(*) AS count FROM lineitem")),
+
+    Q("q64_outV_dedup",
+      // edge → tail vertex (outV) with explicit dedup
+      (s, dir) => TestData.graph(s, dir).V("customer")
+        .has("c_mktsegment", "BUILDING")
+        .inE("placed_by").outV.dedup()
+        .sortBy(col("o_orderkey")).toDF,
+      Some("""SELECT DISTINCT o.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING' ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q65_dedup_labels_empty_union",
+      // dedup over a step label (one row per aliased element) + the empty
+      // traversal unioned in (graph.empty contributes nothing)
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val t = g.V("customer").as("c").in("placed_by").dedup("c")
+        val withC = t.project("c_custkey" -> t.sel("c", "c_custkey"))
+        g.union(withC, g.empty("customer").project("c_custkey" -> col("c_custkey")))
+          .sortBy(col("c_custkey")).toDF
+      },
+      Some("""SELECT DISTINCT c.c_custkey FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q66_map_keys_values",
+      // selectKeys/selectValues over a map column
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val m = g.V("nation")
+          .project("m" -> map(lit("name"), col("n_name"), lit("rk"), col("n_regionkey").cast("string")))
+        val ks = m.selectKeys("m").project("s" -> concat_ws(",", col("keys")))
+        val vs = m.selectValues("m").project("s" -> concat_ws(",", col("values")))
+        g.union(ks, vs).sortBy(col("s")).toDF
+      },
+      Some("""SELECT s FROM (
+             |  SELECT array_to_string(map_keys(MAP {'name': n_name, 'rk': CAST(n_regionkey AS VARCHAR)}), ',') AS s FROM nation
+             |  UNION ALL
+             |  SELECT array_to_string(map_values(MAP {'name': n_name, 'rk': CAST(n_regionkey AS VARCHAR)}), ',') FROM nation)
+             |ORDER BY 1""".stripMargin))
+  )
+}

@@ -127,6 +127,21 @@ final class QueryExecutor(
     continuations = continuations + (name -> f)
     this
   }
+
+  /** Streamed result delivery (reference: QueryExecutor.scala:39-45,
+    * traversal/IteratorOutput.scala:7-15 — a query drained as a chunked
+    * source with an `X-Total` header): rows as a driver-side iterator
+    * (one partition in memory at a time, never a full collect) plus the
+    * limitedCount total, `-threshold` when saturated, exactly the
+    * reference's pagination contract. */
+  def executeStream(json: String): QueryExecutor.IteratorOutput = {
+    import scala.jdk.CollectionConverters._
+    val df = execute(json)
+    val t = limitedCountThreshold
+    val capped = df.limit(t.toInt).count()
+    val total = if (capped >= t) -t else capped
+    QueryExecutor.IteratorOutput(df.toLocalIterator().asScala, total)
+  }
 }
 
 object QueryExecutor {
@@ -135,4 +150,6 @@ object QueryExecutor {
     graph.vertices.keys.map { label =>
       s"all_$label" -> ((_: JValue, g: Graph) => g.V(label))
     }.toMap
+
+  final case class IteratorOutput(rows: Iterator[org.apache.spark.sql.Row], total: Long)
 }

@@ -49,6 +49,31 @@ object TestData {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Metadata-only count from parquet footers — the analog of the
+    * reference's index-served count (`indexCountQuery`,
+    * janus/JanusDatabase.scala:263-269), which satisfies a bare count
+    * without scanning data. Footer reads are distributed over the file
+    * list, so at 100 TB this is one tiny task per file, zero row reads. */
+  def metadataCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p)))
+      .map(_.getPath.toString)
+      .filter(n => n.endsWith(".parquet") || !n.contains("."))
+    spark.sparkContext
+      .parallelize(files.toIndexedSeq, math.max(1, math.min(files.length, 32)))
+      .map { f =>
+        val hconf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), hconf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }
+      .sum().toLong
+  }
+
   private val graphCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Graph]
 
   /** Cached per (session, dir): avoids re-reading parquet footers for every

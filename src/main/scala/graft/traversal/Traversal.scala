@@ -62,6 +62,10 @@ final case class Traversal(
   /** Arbitrary predicate on this element (reference: where(P)/is(P),
     * TraversalOps.scala:576-578,681-682). */
   def where(pred: Column): Traversal = copy(df = df.where(pred))
+  /** eq/neq "" on an id-typed string field (reference: isEmptyId/
+    * nonEmptyId, TraversalOps.scala:562-563, TraversalMacro.scala:112-123). */
+  def isEmptyId(field: String): Traversal = copy(df = df.where(col(field) <=> lit("")))
+  def nonEmptyId(field: String): Traversal = copy(df = df.where(!(col(field) <=> lit(""))))
   def is(p: Column => Column): Traversal = element match {
     case Element.Value(c) => copy(df = df.where(p(col(c))))
     case _ => throw new IllegalStateException("is() requires a value traversal")
@@ -551,6 +555,31 @@ final case class Traversal(
     cur.dedup(bound: _*)
   }
 
+  // -------------------------------------------- sack / global side-effects
+
+  /** Per-traverser accumulator (reference: sack, TraversalOps.scala:
+    * 668-676): a value carried alongside the element through hops —
+    * relationally, an alias-prefixed column (so joins preserve it like
+    * step labels). `withSack` seeds it, `mapSack` folds a visited value
+    * into it, `sackValue` projects it out. */
+  def withSack(init: Column): Traversal = copy(df = df.withColumn(SackCol, init))
+  def mapSack(f: Column => Column): Traversal = copy(df = df.withColumn(SackCol, f(col(SackCol))))
+  def sackValue(name: String = "sack"): Traversal =
+    Traversal(graph, Element.Value(name),
+      df.select((col(SackCol).as(name) +: aliasCols.filterNot(_ == SackCol).map(df(_))): _*), aliasTypes)
+
+  /** Stash ALL current values of a column into a named collection
+    * available to later steps (reference: aggregateGlobal,
+    * TraversalOps.scala:653-654): a broadcast single-row cross join, the
+    * relational barrier + side-effect collection. The array is sorted for
+    * determinism; read it back with [[aggregated]]. */
+  def aggregateGlobal(label: String, value: Column): Traversal = {
+    val agged = df.agg(sort_array(collect_list(value)).as(s"$AliasPrefix$label"))
+    copy(df = df.crossJoin(broadcast(agged)))
+  }
+  /** The collection stashed by [[aggregateGlobal]]. */
+  def aggregated(label: String): Column = col(s"$AliasPrefix$label")
+
   // -------------------------------------------------------------- terminal
 
   def toDF: DataFrame = df.select(elementCols.map(col).toIndexedSeq: _*)
@@ -574,4 +603,6 @@ object Traversal {
   val OtherKeyCol = "__otherv"
   val OptKeyCol = "__optkey"
   val SubKeyAlias = "__subkey"
+  /** Alias-prefixed so hops carry the sack like any step label. */
+  val SackCol = s"${AliasPrefix}_sack"
 }

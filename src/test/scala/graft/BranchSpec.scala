@@ -50,6 +50,45 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  describe("sack") {
+    it("carries an accumulator through hops and folds visited values") {
+      val t = g.V("person", "marko").withSack(lit(0.0))
+        .outE("knows").mapSack(_ + col("weight")).inV
+        .outE("created").mapSack(_ + col("weight"))
+        .sackValue("total")
+      // marko -knows(0.5)-> vadas (no created); -knows(1.0)-> josh -created(1.0/0.4)->
+      val totals = t.toDF.collect().map(_.getDouble(0)).sorted.toSeq
+      assert(totals == Seq(1.4, 2.0))
+    }
+  }
+
+  describe("aggregateGlobal") {
+    it("stashes all values into a named collection visible to later steps") {
+      val t = g.V("person").aggregateGlobal("ages", col("age"))
+      val withAgg = t.where(col("age") === array_max(t.aggregated("ages")))
+      assert(withAgg.toDF.collect().map(_.getAs[String]("name")).toSeq == Seq("peter"))
+    }
+  }
+
+  describe("isEmptyId / nonEmptyId") {
+    it("matches eq/neq empty string on an id field") {
+      assert(g.V("person").isEmptyId("name").toDF.count() == 0)
+      assert(g.V("person").nonEmptyId("name").toDF.count() == 6)
+    }
+  }
+
+  describe("executeStream") {
+    it("delivers a row iterator plus the limitedCount total") {
+      import graft.query.QueryExecutor
+      val ex = new QueryExecutor(g, QueryExecutor.defaultNamed(g), limitedCountThreshold = 4L)
+      val out = ex.executeStream("""[{"_name":"all_person"}]""")
+      assert(out.total == -4L) // 6 people saturate the threshold of 4
+      assert(out.rows.size == 6)
+      val small = ex.executeStream("""[{"_name":"all_software"}]""")
+      assert(small.total == 2L)
+    }
+  }
+
   describe("matchPattern") {
     it("binds aliases along patterns and dedups bindings") {
       val t = g.V("person").matchPattern("p",
