@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection utility: prints the formatted physical plan of selected
+  * registry queries (all of them with no names given). Usage:
+  * `runMain graft.Explain <sfDir> [queryName ...]` */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries
+      .filter { case (n, _) => names.isEmpty || names.contains(n) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        println(s"\n=== $name ===")
+        try println(fn(spark, sfDir).queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
+      }
+    spark.stop()
+  }
+}

@@ -47,4 +47,31 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** One sampled frame of a binary payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_len: Long, frame_md5: String)
+
+  /** Frame sampling over (id, blob) rows — the video/audio frame-extract
+    * plumbing: each payload fans out to `n` evenly-spaced byte slices
+    * ("frames"; a real codec would decode at sampled timestamps), one
+    * output row per frame. Embarrassingly parallel, rows fan out inside
+    * the partition — no shuffle, no driver involvement. */
+  def sampleFrames(spark: SparkSession, withBlob: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    withBlob.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, bytes) =>
+          (0 until n).map { i =>
+            val start = (i.toLong * bytes.length / n).toInt
+            val end = ((i + 1).toLong * bytes.length / n).toInt
+            val slice = java.util.Arrays.copyOfRange(bytes, start, end)
+            md.reset()
+            Frame(id, i, (end - start).toLong, md.digest(slice).map(b => f"$b%02x").mkString)
+          }
+        }
+      }
+      .toDF()
+  }
 }

@@ -95,6 +95,33 @@ object CoverageQueries {
       Some("""SELECT DISTINCT c.c_custkey FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
              |ORDER BY c_custkey""".stripMargin)),
 
+    Q("q67_select_tuple",
+      // multi-label tuple select: both aliased positions projected side by
+      // side with label-prefixed fields
+      (s, dir) => TestData.graph(s, dir).V("supplier").as("s")
+        .out("supp_nation").as("n")
+        .selectTuple("s", "n")
+        .sortBy(col("s_s_suppkey")).toDF,
+      Some("""SELECT s.s_suppkey AS s_s_suppkey, s.s_name AS s_s_name,
+             |  s.s_nationkey AS s_s_nationkey, s.s_acctbal AS s_s_acctbal,
+             |  n.n_nationkey AS n_n_nationkey, n.n_name AS n_n_name, n.n_regionkey AS n_n_regionkey
+             |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |ORDER BY s_s_suppkey""".stripMargin)),
+
+    Q("q68_retype_hop",
+      // v[E] re-type: an untyped projection re-typed back to its vertex
+      // model, after which hops work again
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val t = g.V("customer")
+        t.project(t.elementCols.toIndexedSeq.map(c => c -> col(c)): _*) // → Mixed
+          .retype("customer")
+          .out("cust_nation")
+          .sortBy(col("n_nationkey")).toDF
+      },
+      Some("""SELECT n.* FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |ORDER BY n_nationkey""".stripMargin)),
+
     Q("q66_map_keys_values",
       // selectKeys/selectValues over a map column
       (s, dir) => {

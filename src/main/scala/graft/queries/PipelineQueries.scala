@@ -23,10 +23,38 @@ object PipelineQueries {
              |  md5(text) AS content_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("m02_frame_sample",
+      // video/audio frame-sampling plumbing: each payload fans out to 4
+      // evenly-spaced byte slices; text is ASCII so the oracle reproduces
+      // the slicing with substr
+      (s, dir) => {
+        val docs = TestData.graph(s, dir).V("documents").df
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        Multimodal.sampleFrames(s, docs, 4).orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             |  CAST((i+1)*length(text)//4 - i*length(text)//4 AS BIGINT) AS frame_len,
+             |  md5(substr(text, CAST(i*length(text)//4 + 1 AS BIGINT),
+             |      CAST((i+1)*length(text)//4 - i*length(text)//4 AS BIGINT))) AS frame_md5
+             |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     Q("s01_stream_daily_buckets",
       (s, dir) => StreamAgg.dailyBuckets(s, dir),
       Some("""SELECT (epoch_ms(ts) - epoch_ms(ts) % 86400000) AS bucket_ms, count(*) AS cnt,
              |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS val_sum
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("s02_stream_hourly_watermark",
+      // append-mode watermark semantics, batch-replayed deterministically:
+      // emitted windows are exactly those closed by the final watermark
+      // (max event time − 2 h)
+      (s, dir) => StreamAgg.hourlyWatermarked(s, dir),
+      Some("""WITH b AS (
+             |  SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS bucket_ms, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |wm AS (SELECT max(epoch_ms(ts)) - 7200000 AS w FROM events)
+             |SELECT bucket_ms, cnt FROM b, wm WHERE bucket_ms + 3600000 <= w
+             |ORDER BY bucket_ms""".stripMargin))
   )
 }

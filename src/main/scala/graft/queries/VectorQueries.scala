@@ -94,6 +94,11 @@ object VectorQueries {
     s"""CAST(list_sum(list_transform(list_zip($x, $y),
        |  z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)""".stripMargin
 
+  /** Spark-side decimal-exact dot over two named array columns. */
+  private def dotExprOf(x: String, y: String): String =
+    s"""CAST(aggregate(zip_with($x, $y, (a, b) -> CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(20,12))),
+       |  CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin
+
   /** Exact dot(embedding, qvec) accumulated in decimal, emitted as double.
     * Element scale 12 is preserved through every step (the re-cast in the
     * merge lambda only bounds precision, never scale), so the sum is exact
@@ -173,6 +178,32 @@ object VectorQueries {
               |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
               |  FROM scored) t
               |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    Q("d12_embedding_cosine_neardup",
+      // embedding-cosine near-duplicate detection: candidate pairs share an
+      // SRP bucket code (equi self-join on the stored code — the shuffle
+      // key at scale), exact cosine computed once per pair, thresholded
+      (s, dir) => {
+        val coded = codedVectors(s, dir)
+        val a = coded.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"))
+        val b = coded.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"))
+        a.join(b, col("code") === col("code_b") && col("a_id") < col("b_id"))
+          .withColumn("dot", expr(dotExprOf("ea", "eb")))
+          .withColumn("na", sqrt(expr(dotExprOf("ea", "ea"))))
+          .withColumn("nb", sqrt(expr(dotExprOf("eb", "eb"))))
+          .select(col("a_id"), col("b_id"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
+          .where(col("cosine") >= 0.25)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH codes AS ($codesSql),
+              |pairs AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    ${dotSqlOf("a.embedding", "b.embedding")} AS dot,
+              |    sqrt(${dotSqlOf("a.embedding", "a.embedding")}) AS na,
+              |    sqrt(${dotSqlOf("b.embedding", "b.embedding")}) AS nb
+              |  FROM codes a JOIN codes b ON a.code = b.code AND a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, dot / (na * nb) AS cosine FROM pairs
+              |WHERE dot / (na * nb) >= 0.25 ORDER BY 1, 2""".stripMargin)),
 
     Q("e04_vector_norms",
       (s, dir) => emb(s, dir)

@@ -71,4 +71,50 @@ object StreamAgg {
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("bucket"), col("cnt"))
+
+  /** End-to-end watermark semantics over the events file, APPEND mode —
+    * the scalable unbounded-stream shape run as a deterministic batch
+    * replay: the input is staged as two files processed as separate
+    * micro-batches (maxFilesPerTrigger=1) so the watermark genuinely
+    * advances mid-stream, and only windows closed by the final watermark
+    * (max event time − 2 h) are emitted. State is bounded by the
+    * watermark — exactly what a live Kafka deployment of this plan does. */
+  def hourlyWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val raw0 = spark.read.parquet(path)
+    val ev0 =
+      if (raw0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw0
+    // deterministic two-way split at the midpoint of the time range
+    val Array(lo, hi) = ev0.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    val target = java.nio.file.Paths.get(path).toAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(("wm:" + target).getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val stageDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_" + digest)
+    if (!java.nio.file.Files.exists(stageDir.resolve("_done"))) {
+      ev0.where(unix_micros(col("ts")) <= mid).coalesce(1)
+        .write.mode("overwrite").parquet(stageDir.resolve("p1").toString)
+      ev0.where(unix_micros(col("ts")) > mid).coalesce(1)
+        .write.mode("overwrite").parquet(stageDir.resolve("p2").toString)
+      java.nio.file.Files.createFile(stageDir.resolve("_done"))
+    }
+    val schema = spark.read.parquet(stageDir.resolve("p1").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString + "/p*")
+    val agg = hourlyAppend(spark, stream)
+      .select(unix_millis(col("bucket")).as("bucket_ms"), col("cnt"))
+    val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("bucket_ms")
+  }
 }

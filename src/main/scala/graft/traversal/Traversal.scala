@@ -306,6 +306,27 @@ final case class Traversal(
     * services/IntegrityCheckOps.scala:277-278). */
   def sel(name: String, field: String): Column = col(s"$AliasPrefix$name.$field")
 
+  /** Multi-label tuple select (reference: select((l1, l2, ...)),
+    * TraversalOps.scala:305-325, Selectors.scala:65-96): project several
+    * aliased positions side by side, fields prefixed `<label>_`. */
+  def selectTuple(names: String*): Traversal = {
+    val cols = names.flatMap { n =>
+      val structCol = s"$AliasPrefix$n"
+      df.select(s"$structCol.*").columns.toIndexedSeq.map(f => col(s"$structCol.$f").as(s"${n}_$f"))
+    }
+    Traversal(graph, Element.Mixed, df.select(cols: _*), aliasTypes)
+  }
+
+  /** Re-type an untyped/mixed traversal to a vertex model (reference:
+    * v[E], TraversalOps.scala:471-477) — validates the frame carries the
+    * model's columns, the relational analog of the reference's cast. */
+  def retype(label: String): Traversal = {
+    val vt = graph.vertex(label)
+    val missing = vt.df.columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"cannot re-type to '$label': missing columns ${missing.mkString(", ")}")
+    copy(element = Element.Vertex(label, vt.idCol))
+  }
+
   // ------------------------------------------------- dedup / sort / paging
 
   /** Distinct elements (reference: dedup, TraversalOps.scala:650-651) —
