@@ -71,19 +71,27 @@ object TextQueries {
                |  i -> CAST(conv(substr(md5(concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 8), 16, 10) AS BIGINT))""".stripMargin)
           .as("hs"))
 
-  /** doc_id + one MinHash column per permutation (m0..m127). */
-  private def signatures(source: DataFrame): DataFrame =
-    hashedShingles(source).select(
-      col("doc_id") +: hashParams.zipWithIndex.map { case ((a, b), i) =>
-        array_min(transform(col("hs"), h => (h * lit(a) + lit(b)) % lit(P))).as(s"m$i")
-      }: _*)
+  /** doc_id + the K-permutation MinHash signature as one array column,
+    * computed by the native [[graft.functions.MinHashSignature]]
+    * expression — one traversal of the shingle hashes for all K
+    * permutations inside whole-stage codegen, instead of K
+    * transform+array_min passes with K intermediate arrays per row. */
+  private def signatures(source: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val sigCol = GraftBridge.column(
+      graft.functions.MinHashSignature(GraftBridge.expression(col("hs")), hashParams.map(_._1), hashParams.map(_._2), P))
+    hashedShingles(source).select(col("doc_id"), sigCol.as("sig"))
+  }
 
-  /** doc_id exploded to (band, bkey) — B rows per doc; the LSH bucket key. */
+  /** doc_id exploded to (band, bkey) — B rows per doc; the LSH bucket key.
+    * The signature is checkpointed first so the B band-key expressions
+    * read the materialized array instead of inlining B signature
+    * computations (CollapseProject would otherwise duplicate the work). */
   private def bands(source: DataFrame): DataFrame = {
-    val sig = signatures(source)
+    val sig = signatures(source).localCheckpoint()
     val bandStructs = (0 until B).map { j =>
-      val ms = (j * R until (j + 1) * R).map(i => col(s"m$i"))
-      struct(lit(j).as("band"), substring(md5(concat_ws(",", ms: _*).cast("binary")), 1, 16).as("bkey"))
+      val bandSlice = concat_ws(",", slice(col("sig"), j * R + 1, R).cast("array<string>"))
+      struct(lit(j).as("band"), substring(md5(bandSlice.cast("binary")), 1, 16).as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -233,7 +241,7 @@ object TextQueries {
       // K=128 universal-hash MinHash signature per doc, emitted as a
       // comma-joined string (stable across engines' array renderings)
       (s, dir) => signatures(docs(s, dir))
-        .select(col("doc_id"), concat_ws(",", (0 until K).map(i => col(s"m$i")): _*).as("sig"))
+        .select(col("doc_id"), concat_ws(",", col("sig").cast("array<string>")).as("sig"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, concat_ws(',', ${(0 until K).map(i => s"m$i").mkString(", ")}) AS sig
               |FROM (${sigSql("SELECT * FROM documents")}) ORDER BY doc_id""".stripMargin)),

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression converters
+  * (Spark 4 wraps Column around ColumnNode; custom Catalyst expressions
+  * need these two hops). Lives in the org.apache.spark.sql package for
+  * access — the standard shim pattern for Spark extensions. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
