@@ -12,11 +12,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen and the parquet footer cache so the first
+    // measured query doesn't absorb several seconds of session start-up.
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      graft.sources.TestData.graph(spark, sfDir).V("region").df.count()
+    } catch { case _: Throwable => () }
     // A failed query must NOT read as a (fast) timing — it goes into
-    // "errors" and is excluded from "queries"/total.
+    // "errors" and is excluded from "queries"/total. Stable name order.
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

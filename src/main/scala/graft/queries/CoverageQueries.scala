@@ -122,6 +122,15 @@ object CoverageQueries {
       Some("""SELECT n.* FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
              |ORDER BY n_nationkey""".stripMargin)),
 
+    Q("q69_salted_group_count",
+      // two-phase salted aggregation over a 3-value key (maximal skew):
+      // identical result to a direct groupBy, hot-key reduce work spread
+      // over 16 salt partitions
+      (s, dir) => graft.operators.Skew.saltedGroupCount(
+        TestData.graph(s, dir).V("lineitem").df, col("l_returnflag"), 16)
+        .orderBy("key"),
+      Some("SELECT l_returnflag AS key, count(*) AS count FROM lineitem GROUP BY 1 ORDER BY 1")),
+
     Q("q66_map_keys_values",
       // selectKeys/selectValues over a map column
       (s, dir) => {

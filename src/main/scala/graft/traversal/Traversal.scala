@@ -232,6 +232,23 @@ final case class Traversal(
   def value(field: String): Traversal =
     Traversal(graph, Element.Value(field), df.select((col(field) +: aliasCols.map(df(_))): _*), aliasTypes)
 
+  /** Per-row error-tolerance mode — SURVEY §4's "decide explicitly"
+    * decision, decided: the engine is FAIL-FAST by default (ANSI mode,
+    * Spark's native semantics); permissive iteration is opt-in per
+    * conversion via this method, which converts with try_cast and DROPS
+    * rows whose non-null value fails to convert — mirroring the
+    * reference's swallow-and-skip iterator (TraversalOps.scala:56-87)
+    * without making silent data loss the default. */
+  def tryValue(field: String, dataType: String): Traversal = {
+    val casted = expr(s"try_cast($field AS $dataType)")
+    val failed = col(field).isNotNull && casted.isNull
+    Traversal(
+      graph,
+      Element.Value(field),
+      df.where(!failed).select((expr(s"try_cast($field AS $dataType)").as(field) +: aliasCols.map(df(_))): _*),
+      aliasTypes)
+  }
+
   /** Project several properties, keeping the traversal typed on them. */
   def values(fields: String*): Traversal =
     copy(df = df.select((fields.map(col) ++ aliasCols.map(df(_))): _*))

@@ -70,6 +70,17 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  describe("tryValue (opt-in permissive conversion)") {
+    it("drops rows whose non-null value fails to convert, keeps nulls") {
+      import spark.implicits._
+      val df = Seq(("1", 1L), ("oops", 2L), (null, 3L), ("42", 4L)).toDF("v", "id")
+      val g2 = ModernFixture.graph(spark)
+      val t = graft.traversal.Traversal(g2, graft.traversal.Element.Mixed, df)
+      val out = t.tryValue("v", "BIGINT").df.select("v").collect().map(r => Option(r.get(0))).toSeq
+      assert(out.toSet == Set(Some(1L), Some(42L), None)) // "oops" row dropped, null kept
+    }
+  }
+
   describe("isEmptyId / nonEmptyId") {
     it("matches eq/neq empty string on an id field") {
       assert(g.V("person").isEmptyId("name").toDF.count() == 0)
