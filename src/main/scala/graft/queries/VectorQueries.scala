@@ -75,11 +75,16 @@ object VectorQueries {
   private val codeExpr: String =
     (0 until NBits).map(j => s"CAST(CASE WHEN (${sgnExpr(j)}) THEN ${1 << j} ELSE 0 END AS BIGINT)").mkString(" + ")
 
-  /** The stored "index": every vector with its SRP bucket code,
-    * materialized once (a production table keeps this precomputed and
-    * partitioned/bucketed BY the code, so a probe is partition pruning). */
+  /** The stored "index": every vector with its SRP bucket code and L2
+    * norm, materialized once (a production table keeps this precomputed
+    * and partitioned/bucketed BY the code, so a probe is partition
+    * pruning; the stored norm means cosine scoring costs one dot per
+    * pair, not three). */
   private def codedVectors(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).select(col("vec_id"), col("embedding"), expr(codeExpr).as("code")).localCheckpoint()
+    emb(s, dir).select(
+      col("vec_id"), col("embedding"), expr(codeExpr).as("code"),
+      sqrt(expr(dotExprOf("embedding", "embedding"))).as("norm"))
+      .localCheckpoint()
 
   /** DuckDB: same quantizer. */
   private def sgnSql(j: Int): String =
@@ -88,7 +93,8 @@ object VectorQueries {
   private val codeSql: String =
     (0 until NBits).map(j => s"CAST(CASE WHEN (${sgnSql(j)}) THEN ${1 << j} ELSE 0 END AS BIGINT)").mkString(" + ")
   private val codesSql: String =
-    s"SELECT vec_id, embedding, $codeSql AS code FROM embeddings"
+    s"""SELECT vec_id, embedding, $codeSql AS code,
+       |sqrt(${dotSqlOf("embedding", "embedding")}) AS norm FROM embeddings""".stripMargin
 
   private def dotSqlOf(x: String, y: String): String =
     s"""CAST(list_sum(list_transform(list_zip($x, $y),
@@ -185,12 +191,10 @@ object VectorQueries {
       // key at scale), exact cosine computed once per pair, thresholded
       (s, dir) => {
         val coded = codedVectors(s, dir)
-        val a = coded.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"))
-        val b = coded.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"))
+        val a = coded.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"), col("norm").as("na"))
+        val b = coded.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"), col("norm").as("nb"))
         a.join(b, col("code") === col("code_b") && col("a_id") < col("b_id"))
           .withColumn("dot", expr(dotExprOf("ea", "eb")))
-          .withColumn("na", sqrt(expr(dotExprOf("ea", "ea"))))
-          .withColumn("nb", sqrt(expr(dotExprOf("eb", "eb"))))
           .select(col("a_id"), col("b_id"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
           .where(col("cosine") >= 0.25)
           .orderBy("a_id", "b_id")
@@ -199,8 +203,7 @@ object VectorQueries {
               |pairs AS (
               |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               |    ${dotSqlOf("a.embedding", "b.embedding")} AS dot,
-              |    sqrt(${dotSqlOf("a.embedding", "a.embedding")}) AS na,
-              |    sqrt(${dotSqlOf("b.embedding", "b.embedding")}) AS nb
+              |    a.norm AS na, b.norm AS nb
               |  FROM codes a JOIN codes b ON a.code = b.code AND a.vec_id < b.vec_id)
               |SELECT a_id, b_id, dot / (na * nb) AS cosine FROM pairs
               |WHERE dot / (na * nb) >= 0.25 ORDER BY 1, 2""".stripMargin)),
