@@ -11,7 +11,7 @@ object SparkEntry {
   private def registry: Seq[CoreQueries.Q] =
     CoreQueries.all ++ TimeQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++ PropertyQueries.all ++
-      BranchQueries.all ++ IntegrityQueries.all ++ CoverageQueries.all
+      BranchQueries.all ++ IntegrityQueries.all ++ CoverageQueries.all ++ AnalyticalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

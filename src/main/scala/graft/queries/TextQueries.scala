@@ -37,20 +37,15 @@ object TextQueries {
     TestData.graph(s, dir).V("documents").df
 
   // ------------------------------------------------ MinHash-LSH parameters
-  private val K = 128 // permutations
+  // Universal-hash constants shared with the SQL function surface
+  // (graft.functions.MinHashDefaults) — identical in the Spark plan and
+  // the generated DuckDB oracle SQL.
+  private val K = graft.functions.MinHashDefaults.K // permutations
   private val B = 16 // bands
   private val R = 8 // rows per band (B*R = K)
-  private val P = 4294967311L // prime > 2^32
+  private val P = graft.functions.MinHashDefaults.P // prime > 2^32
   private val BucketCap = 20 // max docs per LSH bucket (hot buckets dropped)
-
-  /** Deterministic md5-derived universal-hash constants, identical in the
-    * Spark plan and the generated DuckDB oracle SQL. */
-  private def mdLong(seed: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
-    BigInt(1, d.take(8)).toLong.abs
-  }
-  private val hashParams: IndexedSeq[(Long, Long)] =
-    (0 until K).map(i => (1L + mdLong(s"graft:a:$i") % ((1L << 30) - 1), mdLong(s"graft:b:$i") % P))
+  private val hashParams: IndexedSeq[(Long, Long)] = graft.functions.MinHashDefaults.params
 
   // ------------------------------------------------------- Spark-side plan
 

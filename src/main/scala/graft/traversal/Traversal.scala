@@ -590,7 +590,19 @@ final case class Traversal(
         cur = stepped.where(col(stepped.idCol) === col(s"$AliasPrefix$to.$closeKey"))
       }
     }
-    cur.dedup(bound: _*)
+    // binding dedup on vertex IDS, not full structs: identity of a vertex
+    // binding is its id column, so the distinct hashes narrow keys — at
+    // scale this is the difference between shuffling ids and shuffling
+    // every bound entity's full row
+    val keys = bound.map { n =>
+      cur.aliasTypes.get(n) match {
+        case Some(Element.Vertex(_, id)) => col(s"$AliasPrefix$n.$id")
+        case _ => col(s"$AliasPrefix$n")
+      }
+    }
+    val keyNames = bound.map(n => s"__mk_$n")
+    val withKeys = keys.zip(keyNames).foldLeft(cur.df) { case (d, (c, n)) => d.withColumn(n, c) }
+    cur.copy(df = withKeys.dropDuplicates(keyNames).drop(keyNames: _*))
   }
 
   // -------------------------------------------- sack / global side-effects

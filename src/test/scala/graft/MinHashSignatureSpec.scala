@@ -40,4 +40,14 @@ class MinHashSignatureSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  it("is callable from SQL once registered (SparkSessionExtensions surface)") {
+    graft.functions.GraftExtensions.register(spark)
+    val out = spark.sql("SELECT minhash_signature(array(CAST(17 AS BIGINT), 4294967295)) AS sig")
+      .collect().head.getSeq[Long](0)
+    assert(out.length == graft.functions.MinHashDefaults.K)
+    val (a0, b0) = graft.functions.MinHashDefaults.params.head
+    val p = graft.functions.MinHashDefaults.P
+    assert(out.head == math.min((a0 * 17L + b0) % p, (a0 * 4294967295L + b0) % p))
+  }
 }
