@@ -131,6 +131,19 @@ object CoverageQueries {
         .orderBy("key"),
       Some("SELECT l_returnflag AS key, count(*) AS count FROM lineitem GROUP BY 1 ORDER BY 1")),
 
+    Q("q72_edge_table_hop",
+      // hop over a REAL edge table (supplies: supplier→part, two equi-
+      // joins vertex→edge→vertex) — the TPC-H graph otherwise only has
+      // single-join FK edges
+      (s, dir) => TestData.graph(s, dir).V("part")
+        .where(col("p_size") > 45)
+        .in("supplies").dedup()
+        .sortBy(col("s_suppkey")).toDF,
+      Some("""SELECT DISTINCT s.* FROM supplier s
+             |JOIN (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) e ON e.l_suppkey = s.s_suppkey
+             |JOIN part p ON p.p_partkey = e.l_partkey
+             |WHERE p.p_size > 45 ORDER BY s_suppkey""".stripMargin)),
+
     Q("q66_map_keys_values",
       // selectKeys/selectValues over a map column
       (s, dir) => {

@@ -274,23 +274,26 @@ object TextQueries {
               |ORDER BY 1, 2""".stripMargin)),
 
     Q("d11_simhash",
+      // 48-bit SimHash (16 bits saturates with collisions at any real
+      // corpus size) via the native one-pass expression — no token/bit
+      // row explosion, no shuffle for the signature itself; the oracle
+      // replicates the counter arithmetic with the explode shape
       (s, dir) => {
-        val toks = docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        val h = toks.select(col("doc_id"),
-          expr("CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS INT)").as("h16"))
-        val bits = h.select(col("doc_id"), col("h16"), explode(expr("sequence(0, 15)")).as("bit"))
-        val signs = bits.groupBy(col("doc_id"), col("bit"))
-          .agg(sum(expr("CASE WHEN shiftright(h16, bit) % 2 = 1 THEN 1 ELSE -1 END")).as("s"))
-        signs.groupBy(col("doc_id"))
-          .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1, bit) ELSE 0 END")).cast("bigint").as("simhash"))
+        import org.apache.spark.sql.GraftBridge
+        val hs = docs(s, dir).select(
+          col("doc_id"),
+          expr("transform(split(text, ' '), t -> CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT))").as("hs"))
+        hs.select(
+          col("doc_id"),
+          GraftBridge.column(graft.functions.SimHash(GraftBridge.expression(col("hs")), 48)).as("simhash"))
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-             |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS INTEGER) AS h16 FROM tok),
-             |b AS (SELECT doc_id, bit, SUM(CASE WHEN (h16 >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS s
-             |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits
+             |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h48 FROM tok),
+             |b AS (SELECT doc_id, bit, SUM(CASE WHEN (h48 >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS s
+             |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS bit) bits
              |      GROUP BY 1, 2)
-             |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+             |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

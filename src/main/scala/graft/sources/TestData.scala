@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.traversal.{FkEdge, Graph, VertexTable}
+import graft.traversal.{EdgeTable, FkEdge, Graph, VertexTable}
 
 /**
  * Catalog for the driver-generated TPC-H-ish star schema (TESTDATA.md,
@@ -96,6 +96,17 @@ object TestData {
         else df0
       name -> VertexTable(name, df, id)
     }.toMap
-    new Graph(spark, vs, fkEdges.map(e => e.label -> (e: graft.traversal.EdgeRel)).toMap)
+    // one REAL edge table (distinct supplier→part supply relationships
+    // derived from lineitem) so the two-join EdgeTable hop path is
+    // exercised by the TPC-H graph too, not only the Modern fixture
+    val supplies = EdgeTable("supplies", "supplier", "part",
+      vs("lineitem").df.select(
+        org.apache.spark.sql.functions.col("l_suppkey").as("_src"),
+        org.apache.spark.sql.functions.col("l_partkey").as("_dst")).distinct())
+    new Graph(
+      spark,
+      vs,
+      fkEdges.map(e => e.label -> (e: graft.traversal.EdgeRel)).toMap +
+        (supplies.label -> (supplies: graft.traversal.EdgeRel)))
   }
 }
