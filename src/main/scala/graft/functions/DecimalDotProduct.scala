@@ -1,0 +1,51 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/**
+ * Decimal-exact dot product of two float vectors, emitted as double:
+ * per element `round(x·y, 12 frac digits, HALF_UP)` summed exactly —
+ * byte-for-byte the same result as the declarative
+ * `aggregate(zip_with(...))` decimal pattern used by the oracle (Spark's
+ * double→DECIMAL(20,12) cast is BigDecimal.valueOf + HALF_UP, reproduced
+ * here), and therefore order-independent and partitioning-independent.
+ *
+ * Why native: Spark's higher-order functions (`transform`, `zip_with`,
+ * `aggregate`) have no codegen — each lambda application is interpreted
+ * with per-element Decimal allocations. This expression does one pass in
+ * compiled code; codegen calls [[compute]] directly so the surrounding
+ * operator stays inside whole-stage codegen.
+ */
+case class DecimalDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "decimal_dot"
+
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val prod = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc = acc.add(JBigDecimal.valueOf(prod).setScale(12, RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    compute(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotExpr", this, classOf[DecimalDotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $ref.compute($x, $y);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DecimalDotProduct =
+    copy(left = newLeft, right = newRight)
+}

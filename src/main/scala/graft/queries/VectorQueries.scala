@@ -83,7 +83,7 @@ object VectorQueries {
   private def codedVectors(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(
       col("vec_id"), col("embedding"), expr(codeExpr).as("code"),
-      sqrt(expr(dotExprOf("embedding", "embedding"))).as("norm"))
+      sqrt(dotNative("embedding", "embedding")).as("norm"))
       .localCheckpoint()
 
   /** DuckDB: same quantizer. */
@@ -99,6 +99,14 @@ object VectorQueries {
   private def dotSqlOf(x: String, y: String): String =
     s"""CAST(list_sum(list_transform(list_zip($x, $y),
        |  z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)""".stripMargin
+
+  /** Native decimal-exact dot (same result as the declarative pattern,
+    * one compiled pass — Spark higher-order lambdas are interpreted). */
+  private def dotNative(x: String, y: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.DecimalDotProduct(
+      GraftBridge.expression(col(x)), GraftBridge.expression(col(y))))
+  }
 
   /** Spark-side decimal-exact dot over two named array columns. */
   private def dotExprOf(x: String, y: String): String =
@@ -124,7 +132,7 @@ object VectorQueries {
         val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
         e.where(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
-          .select(col("vec_id"), expr(dotExpr).as("score"))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
           .orderBy(col("score").desc, col("vec_id").asc)
           .limit(10)
       },
@@ -142,7 +150,7 @@ object VectorQueries {
           .select(col("code").as("qcode"), col("embedding").as("qvec"))
         coded.where(col("vec_id") =!= 0)
           .join(broadcast(q), expr(s"bit_count(code ^ qcode) <= $ProbeRadius"))
-          .select(col("vec_id"), expr(dotExpr).as("score"))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
           .orderBy(col("score").desc, col("vec_id").asc)
           .limit(5)
       },
@@ -166,7 +174,7 @@ object VectorQueries {
           .select(col("q_id"), col("qvec"), explode(expr(s"array($probeList)")).as("pcode"))
         val scored = coded
           .join(broadcast(probes), col("code") === col("pcode") && col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("n_id"), expr(dotExpr).as("score"))
+          .select(col("q_id"), col("vec_id").as("n_id"), dotNative("embedding", "qvec").as("score"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
         scored.withColumn("rank", row_number().over(w).cast("bigint"))
           .where(col("rank") <= 3)
@@ -194,7 +202,7 @@ object VectorQueries {
         val a = coded.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"), col("norm").as("na"))
         val b = coded.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"), col("norm").as("nb"))
         a.join(b, col("code") === col("code_b") && col("a_id") < col("b_id"))
-          .withColumn("dot", expr(dotExprOf("ea", "eb")))
+          .withColumn("dot", dotNative("ea", "eb"))
           .select(col("a_id"), col("b_id"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
           .where(col("cosine") >= 0.25)
           .orderBy("a_id", "b_id")
