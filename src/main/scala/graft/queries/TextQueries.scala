@@ -273,6 +273,33 @@ object TextQueries {
               |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id)
               |ORDER BY 1, 2""".stripMargin)),
 
+    Q("d13_bpe_tokens",
+      // BPE-ish regex tokenization (letter runs | digit runs | single
+      // punctuation) alongside the whitespace count of d03
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          expr("""CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT)""")
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("d14_rolling_hash_fingerprint",
+      // polynomial rolling hash over the character stream (base 31, prime
+      // modulus) — the order-sensitive fingerprint of the prompt's text
+      // toolbox; identical fold on both engines
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          expr("""aggregate(filter(split(text, ''), c -> c != ''),
+                 |  CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
+            .as("rhash"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, list_reduce(
+             |    list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(list_filter(string_split_regex(text, ''), c -> c != ''), c -> ascii(c))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("d11_simhash",
       // 48-bit SimHash (16 bits saturates with collisions at any real
       // corpus size) via the native one-pass expression — no token/bit
