@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.TestData
 import CoreQueries.Q
@@ -130,6 +131,57 @@ object CoverageQueries {
         TestData.graph(s, dir).V("lineitem").df, col("l_returnflag"), 16)
         .orderBy("key"),
       Some("SELECT l_returnflag AS key, count(*) AS count FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    Q("q73_distinct_sketch",
+      // distinct-count sketch for 100 TB profiling: the HLL estimate is
+      // engine-specific, so the oracle contract is exact count + the
+      // sketch landing within 5 % (deterministic for fixed rsd and data)
+      (s, dir) => TestData.graph(s, dir).V("events").df
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx"))
+        .select(
+          col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") / col("exact_users") <= 0.05).as("sketch_ok")),
+      Some("""SELECT count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok FROM events""")),
+
+    Q("q74_sessionize",
+      // event sessionization: a >30-minute gap per user starts a new
+      // session (lag + running sum over the user partition) — the classic
+      // pipeline op the reference lacks; one shuffle on user_id
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        TestData.graph(s, dir).V("events").df
+          .withColumn("gap",
+            when(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)) > 1800000L, 1L)
+              .otherwise(lit(0L)))
+          .withColumn("session_idx", sum(col("gap")).over(byUser))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"), unix_millis(min(col("ts"))).as("start_ms"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS gap
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+             |  FROM g)
+             |SELECT user_id, session_idx, count(*) AS n_events, min(epoch_ms(ts)) AS start_ms
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q75_stratified_hash_sample",
+      // deterministic 10 % hash sampling (md5 of the row key mod 100) —
+      // reproducible training-data subsetting, counted per stratum
+      (s, dir) => TestData.graph(s, dir).V("lineitem").df
+        .where(expr("CAST(conv(substr(md5(CAST(_rowid AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 10"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("sampled"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS sampled FROM lineitem
+             |WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("q72_edge_table_hop",
       // hop over a REAL edge table (supplies: supplier→part, two equi-

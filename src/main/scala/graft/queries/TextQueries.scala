@@ -300,6 +300,19 @@ object TextQueries {
              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("d15_length_percentiles",
+      // exact interpolated percentiles of document length — the corpus
+      // profiling step before quality-filter thresholds are chosen; both
+      // engines use the same linear-interpolation definition
+      (s, dir) => docs(s, dir)
+        .agg(expr("percentile(n_chars, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(
+          col("ps").getItem(0).as("p50"),
+          col("ps").getItem(1).as("p90"),
+          col("ps").getItem(2).as("p99")),
+      Some("""SELECT ps[1] AS p50, ps[2] AS p90, ps[3] AS p99
+             |FROM (SELECT quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS ps FROM documents)""".stripMargin)),
+
     Q("d11_simhash",
       // 48-bit SimHash (16 bits saturates with collisions at any real
       // corpus size) via the native one-pass expression — no token/bit
