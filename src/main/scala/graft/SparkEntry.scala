@@ -13,9 +13,12 @@ object SparkEntry {
       PipelineQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++ PropertyQueries.all ++
       BranchQueries.all ++ IntegrityQueries.all ++ CoverageQueries.all ++ AnalyticalQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the TPC-H Q5-shaped revenue query expressed as a declarative `match`
+    * pattern with a cycle-closing binding. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.queries("q29_group_agg")(spark, "/root/testdata/sf0.001")
+    AnalyticalQueries.all.find(_.name == "q71_local_supplier_volume").get
+      .fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

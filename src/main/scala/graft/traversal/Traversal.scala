@@ -299,6 +299,13 @@ final case class Traversal(
   def domainMap[T: org.apache.spark.sql.Encoder](f: org.apache.spark.sql.Row => T): org.apache.spark.sql.Dataset[T] =
     df.map(f)
 
+  /** Pre-conversion row map (reference: graphMap, traversal/Traversal.
+    * scala:29-32). The reference distinguishes pre/post-conversion because
+    * its rows pass through a Converter stack; here rows ARE the storage
+    * representation, so both collapse to the same typed map. */
+  def graphMap[T: org.apache.spark.sql.Encoder](f: org.apache.spark.sql.Row => T): org.apache.spark.sql.Dataset[T] =
+    domainMap(f)
+
   // ---------------------------------------------------------------- aliases
 
   /** Stash the current element under a step label (reference: as,
@@ -629,6 +636,20 @@ final case class Traversal(
   }
   /** The collection stashed by [[aggregateGlobal]]. */
   def aggregated(label: String): Column = col(s"$AliasPrefix$label")
+
+  /** Reference `aggregateLocal` (TraversalOps.scala:653-654) stashes the
+    * traverser's CURRENT collection; our traversers are rows, so local
+    * and global collection coincide — kept as an explicit name so call
+    * sites translate one-to-one. */
+  def aggregateLocal(label: String, value: Column): Traversal = aggregateGlobal(label, value)
+
+  /** Keyset-paged incremental scan (reference: models/Database.scala:
+    * 258-319 — `_createdAt`-ordered pages with id exclusion so background
+    * jobs progress under concurrent writes). Spark scans are restartable,
+    * so this exists as an iteration utility only: the page after
+    * `afterId` in id order. */
+  def keysetPage(afterId: Any, pageSize: Int): Traversal =
+    copy(df = df.where(col(idCol) > lit(afterId)).orderBy(col(idCol)).limit(pageSize))
 
   // -------------------------------------------------------------- terminal
 

@@ -81,6 +81,14 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  describe("keysetPage") {
+    it("returns the id-ordered page after a cursor") {
+      val page = g.V("person").keysetPage("josh", 2)
+        .toDF.collect().map(_.getAs[String]("name")).toSeq
+      assert(page == Seq("marc", "marko"))
+    }
+  }
+
   describe("isEmptyId / nonEmptyId") {
     it("matches eq/neq empty string on an id field") {
       assert(g.V("person").isEmptyId("name").toDF.count() == 0)
