@@ -108,19 +108,6 @@ object VectorQueries {
       GraftBridge.expression(col(x)), GraftBridge.expression(col(y))))
   }
 
-  /** Spark-side decimal-exact dot over two named array columns. */
-  private def dotExprOf(x: String, y: String): String =
-    s"""CAST(aggregate(zip_with($x, $y, (a, b) -> CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(20,12))),
-       |  CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin
-
-  /** Exact dot(embedding, qvec) accumulated in decimal, emitted as double.
-    * Element scale 12 is preserved through every step (the re-cast in the
-    * merge lambda only bounds precision, never scale), so the sum is exact
-    * and order-independent — bit-equal to DuckDB's decimal list_sum. */
-  private val dotExpr =
-    """CAST(aggregate(zip_with(embedding, qvec, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))),
-      |  CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin
-
   private val dotSql =
     """CAST(list_sum(list_transform(list_zip(a.embedding, q.qvec),
       |  x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)""".stripMargin

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.services.Integrity
+
+/** Repair-strategy semantics on small fixtures (the reference proves the
+  * same behaviors in IntegrityCheckTest's 13 named cases). */
+class IntegritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  describe("setSingleLink") {
+    it("heals null/mismatched FKs only where exactly one link exists") {
+      val entities = Seq((1L, Some(10L)), (2L, None), (3L, Some(99L)), (4L, None), (5L, Some(50L)))
+        .toDF("id", "fk").select(col("id"), col("fk").cast("long"))
+      val links = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (4L, 41L)).toDF("src", "dst")
+      val out = Integrity.setSingleLink(entities, "id", "fk", links)
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(out(1L).contains(10L)) // agreed already
+      assert(out(2L).contains(20L)) // null healed
+      assert(out(3L).contains(30L)) // mismatch healed
+      assert(out(4L).isEmpty)       // TWO links → untouched (multi case)
+      assert(out(5L).contains(50L)) // no link → untouched (orphan case)
+    }
+  }
+
+  describe("orphan strategies") {
+    it("setOnOrphans rewrites only unlinked entities; removeOrphans drops them") {
+      val entities = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      val links = Seq(Tuple1(1L), Tuple1(3L)).toDF("src")
+      val set = Integrity.setOnOrphans(entities, "id", links, Map("tag" -> lit("X")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(set == Map(1L -> "a", 2L -> "X", 3L -> "c"))
+      val kept = Integrity.removeOrphans(entities, "id", links)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 3L))
+    }
+  }
+
+  describe("splitDuplicateLinks") {
+    it("keeps first per group and returns the removed complement") {
+      val links = Seq((1L, 2L, 1), (1L, 2L, 2), (1L, 3L, 1)).toDF("s", "d", "ord")
+      val (keptDf, removedDf) = Integrity.splitDuplicateLinks(links, Seq("s", "d"), "ord")
+      assert(keptDf.count() == 2 && removedDf.count() == 1)
+      assert(removedDf.collect().head.getInt(2) == 2)
+    }
+  }
+}
