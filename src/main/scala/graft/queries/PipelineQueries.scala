@@ -45,6 +45,11 @@ object PipelineQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS val_sum
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("s03_stream_dedup",
+      // streaming exact dedup via dropDuplicates state, first-sight append
+      (s, dir) => StreamAgg.streamDistinctPairs(s, dir),
+      Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2")),
+
     Q("s02_stream_hourly_watermark",
       // append-mode watermark semantics, batch-replayed deterministically:
       // emitted windows are exactly those closed by the final watermark

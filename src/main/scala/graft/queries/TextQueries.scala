@@ -313,6 +313,38 @@ object TextQueries {
       Some("""SELECT ps[1] AS p50, ps[2] AS p90, ps[3] AS p99
              |FROM (SELECT quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS ps FROM documents)""".stripMargin)),
 
+    Q("d16_curation_pipeline",
+      // end-to-end training-data curation in ONE plan: exact-dedup
+      // keep-first → language gate → quality gate → surviving doc ids.
+      // Each stage is the oracled primitive (d01/d05/d06) composed
+      // declaratively, so Catalyst fuses the per-row gates into the scan
+      // and only the dedup window shuffles
+      (s, dir) => {
+        val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+        def cnt(sub: String) = s"((length(text) - length(replace(text, '$sub', ''))) div ${sub.length})"
+        docs(s, dir)
+          .withColumn("__h", md5(col("text").cast("binary")))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .withColumn("__n_tokens", size(split(col("text"), " ")).cast("bigint"))
+          .where(
+            expr(s"${cnt("the")} >= ${cnt("der")} AND ${cnt("the")} >= ${cnt("le")} AND ${cnt("the")} >= ${cnt("el")}") &&
+              col("n_chars").between(100, 500) && col("__n_tokens") >= 20)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, text, n_chars,
+             |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         (length(text) - length(replace(text, 'the', ''))) // 3 AS s_en,
+             |         (length(text) - length(replace(text, 'der', ''))) // 3 AS s_de,
+             |         (length(text) - length(replace(text, 'le', ''))) // 2 AS s_fr,
+             |         (length(text) - length(replace(text, 'el', ''))) // 2 AS s_es
+             |  FROM documents) t
+             |WHERE rn = 1 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+             |  AND n_chars BETWEEN 100 AND 500 AND n_tokens >= 20
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("d11_simhash",
       // 48-bit SimHash (16 bits saturates with collisions at any real
       // corpus size) via the native one-pass expression — no token/bit

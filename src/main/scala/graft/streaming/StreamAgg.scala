@@ -18,9 +18,9 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object StreamAgg {
 
-  /** Daily count+sum buckets over a parquet events stream, processed with
-    * Trigger.AvailableNow into an in-memory table (batch-equivalent run). */
-  def dailyBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** The events file staged as a streaming source (a scratch symlink dir —
+    * the file stream source wants a directory), with `ts` normalized. */
+  private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -42,11 +42,15 @@ object StreamAgg {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, target)
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    val ev =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val agg = ev
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Daily count+sum buckets over a parquet events stream, processed with
+    * Trigger.AvailableNow into an in-memory table (batch-equivalent run). */
+  def dailyBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val agg = stagedEventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(
         count(lit(1)).as("cnt"),
@@ -61,6 +65,27 @@ object StreamAgg {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy("bucket_ms")
+  }
+
+  /** Streaming exact deduplication: the distinct (user_id, event_type)
+    * pairs seen on the stream via dropDuplicates state, emitted on first
+    * sight (append mode). Only the KEY columns are emitted, so the output
+    * set is deterministic regardless of which physical row wins inside a
+    * batch. A production deployment bounds the state with
+    * `dropDuplicatesWithinWatermark`; unbounded state is fine for this
+    * finite replay. */
+  def streamDistinctPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = stagedEventsStream(spark, dir)
+    val distinctPairs = ev.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = distinctPairs.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "event_type")
   }
 
   /** Watermarked append-mode variant (the unbounded-stream shape): 1-hour
