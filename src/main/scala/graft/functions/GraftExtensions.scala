@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object MinHashDefaults {
   val K = 128
   val P = 4294967311L
-  private def mdLong(seed: String): Long = {
+  /** md5-derived deterministic seed value — the single source for every
+    * hash constant in the engine (MinHash a/b pairs, SRP hyperplanes). */
+  def mdLong(seed: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
     BigInt(1, d.take(8)).toLong.abs
   }

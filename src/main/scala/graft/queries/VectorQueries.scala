@@ -45,23 +45,12 @@ object VectorQueries {
   private val ProbeRadius = 2
 
   /** All probe codes of a query code: XOR masks for Hamming distance 0..
-    * ProbeRadius — generated once at plan-build time. */
-  private val probeMasks: Seq[Long] = {
-    val bits = 0 until NBits
-    val h0 = Seq(0L)
-    val h1 = bits.map(i => 1L << i)
-    val h2 = for (i <- bits; j <- bits if i < j) yield (1L << i) | (1L << j)
-    (ProbeRadius match {
-      case 0 => h0
-      case 1 => h0 ++ h1
-      case _ => h0 ++ h1 ++ h2
-    })
-  }
+    * ProbeRadius — exhaustively enumerated by popcount, so any radius
+    * stays consistent with e02's bit_count filter. */
+  private val probeMasks: Seq[Long] =
+    (0L until (1L << NBits)).filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
 
-  private def mdLong(seed: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
-    BigInt(1, d.take(8)).toLong.abs
-  }
+  private def mdLong(seed: String): Long = graft.functions.MinHashDefaults.mdLong(seed)
   /** Integer hyperplane components in [-8, 8], md5-derived so the plan and
     * the DuckDB oracle embed the same literals. */
   private val planes: IndexedSeq[IndexedSeq[Long]] =

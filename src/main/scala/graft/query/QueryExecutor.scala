@@ -136,7 +136,9 @@ final class QueryExecutor(
     * reference's pagination contract. */
   def executeStream(json: String): QueryExecutor.IteratorOutput = {
     import scala.jdk.CollectionConverters._
-    val df = execute(json)
+    // materialize once — the limited count and the iterator would
+    // otherwise each re-run the whole plan
+    val df = execute(json).localCheckpoint()
     val t = limitedCountThreshold
     val capped = df.limit(t.toInt).count()
     val total = if (capped >= t) -t else capped

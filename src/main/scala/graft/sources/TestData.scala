@@ -56,16 +56,22 @@ object TestData {
     * list, so at 100 TB this is one tiny task per file, zero row reads. */
   def metadataCount(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    // data files only: skip markers/hidden files (_SUCCESS, .crc, …) by
+    // NAME, never by judging the full path
     val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p)))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
       .map(_.getPath.toString)
-      .filter(n => n.endsWith(".parquet") || !n.contains("."))
+    // ship the session's Hadoop config (FS credentials etc.) to the tasks
+    val confProps = conf.asScala.map(e => e.getKey -> e.getValue).toSeq
     spark.sparkContext
       .parallelize(files.toIndexedSeq, math.max(1, math.min(files.length, 32)))
       .map { f =>
-        val hconf = new org.apache.hadoop.conf.Configuration()
+        val hconf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => hconf.set(k, v) }
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(f), hconf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)

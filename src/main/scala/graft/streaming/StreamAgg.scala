@@ -116,9 +116,13 @@ object StreamAgg {
     val Array(lo, hi) = ev0.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
+    // stage-dir key includes the source file's size and mtime so a
+    // regenerated input at the same path invalidates the cached split
     val target = java.nio.file.Paths.get(path).toAbsolutePath
+    val attrs = java.nio.file.Files.readAttributes(target, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val stamp = s"wm:$target:${attrs.size}:${attrs.lastModifiedTime.toMillis}"
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(("wm:" + target).getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      .digest(stamp.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     val stageDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_" + digest)
     if (!java.nio.file.Files.exists(stageDir.resolve("_done"))) {
       ev0.where(unix_micros(col("ts")) <= mid).coalesce(1)

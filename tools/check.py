@@ -51,7 +51,9 @@ for name, sql in sorted(oracle.items()):
     ok_rows = len(s) == len(o)
     ok_schema = list(s.columns) == list(o.columns)
     def h(df):
-        return hashlib.md5(df.round(6).to_csv(index=False).encode()).hexdigest()
+        # full-precision repr: a sub-1e-6 Spark/DuckDB divergence must FAIL
+        # (the decimal-accumulation discipline exists to catch exactly that)
+        return hashlib.md5(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
     ok_hash = ok_rows and ok_schema and h(s) == h(o)
     status = "ok" if (ok_rows and ok_schema and ok_hash) else "FAIL"
     if status == "FAIL":
