@@ -23,6 +23,23 @@ object PipelineQueries {
              |  md5(text) AS content_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("m03_blob_chunk_roundtrip",
+      // chunked blob storage round-trip: split payloads into 64-byte
+      // chunks, reassemble from the chunk table, prove the md5 matches the
+      // original content computed independently by the oracle
+      (s, dir) => {
+        val blobs = TestData.graph(s, dir).V("documents").df
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        val chunks = Multimodal.chunkBlobs(blobs, 64)
+        Multimodal.reassembleBlobs(chunks)
+          .join(chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks")), "doc_id")
+          .select(col("doc_id"), col("n_chunks"), md5(col("blob")).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_chunks,
+             |  md5(text) AS content_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("m02_frame_sample",
       // video/audio frame-sampling plumbing: each payload fans out to 4
       // evenly-spaced byte slices; text is ASCII so the oracle reproduces
