@@ -11,7 +11,8 @@ object SparkEntry {
   private def registry: Seq[CoreQueries.Q] =
     CoreQueries.all ++ TimeQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++ PropertyQueries.all ++
-      BranchQueries.all ++ IntegrityQueries.all ++ CoverageQueries.all ++ AnalyticalQueries.all
+      BranchQueries.all ++ IntegrityQueries.all ++ CoverageQueries.all ++ AnalyticalQueries.all ++
+      JoinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the TPC-H Q5-shaped revenue query expressed as a declarative `match`

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.TestData
+import CoreQueries.Q
+
+/**
+ * Join shapes Spark lacks as primitives, composed scale-first:
+ *
+ *  - AS-OF join (latest earlier event): NOT a range join — union the two
+ *    tagged streams and take a running `last(..., ignoreNulls)` over one
+ *    window per key. ONE shuffle on the key, no pair blowup, state
+ *    bounded by the window frame. This is the shape a 100 TB
+ *    trades/quotes as-of runs.
+ *  - RANGE join (pairs within Δt): bucket the time axis at the range
+ *    width; probe side explodes to its bucket ± 1, equi-join on
+ *    (key, bucket), exact filter after — candidate pairs are bounded per
+ *    bucket instead of the quadratic per-key theta join.
+ *
+ * Plus rollup and pivot — standard warehouse surface the engine exposes
+ * directly from Spark.
+ */
+object JoinQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q76_asof_join",
+      // each purchase joined to the user's latest view at-or-before it
+      (s, dir) => {
+        val ev = TestData.graph(s, dir).V("events").df
+          .where(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "view", col("event_id")).as("vid"),
+            (col("event_type") === "purchase").as("isp"))
+        // views sort before purchases at equal ts, so "at-or-before"
+        // includes the tie; last() picks max ts then max event_id
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("isp").cast("int"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_view_id", last(col("vid"), ignoreNulls = true).over(w))
+          .where(col("isp"))
+          .select(col("event_id").as("purchase_id"), col("last_view_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id,
+             |  (SELECT v.event_id FROM events v
+             |   WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+             |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_id
+             |FROM events p WHERE p.event_type = 'purchase'
+             |ORDER BY purchase_id""".stripMargin)),
+
+    Q("q77_range_join_bucketed",
+      // same-user event pairs within 1 hour: bucketed band join, probe
+      // explodes to bucket-1..bucket+1, exact filter after the equi-join
+      (s, dir) => {
+        val base = TestData.graph(s, dir).V("events").df
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        val probe = base.select(
+          col("user_id"), col("event_id").as("a_id"), col("ms").as("a_ms"),
+          explode(expr(
+            "array(ms div 3600000 - 1, ms div 3600000, ms div 3600000 + 1)")).as("bucket"))
+        val build = base.select(
+          col("user_id").as("u2"), col("event_id").as("b_id"), col("ms").as("b_ms"),
+          expr("ms div 3600000").as("bucket_b"))
+        probe.join(build,
+          col("user_id") === col("u2") && col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+          .where(abs(col("b_ms") - col("a_ms")) <= 3600000L)
+          .select("a_id", "b_id").orderBy("a_id", "b_id")
+      },
+      Some("""SELECT a.event_id AS a_id, b.event_id AS b_id
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND abs(epoch_ms(b.ts) - epoch_ms(a.ts)) <= 3600000
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("q78_rollup",
+      (s, dir) => TestData.graph(s, dir).V("lineitem").df
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)),
+
+    Q("q79_pivot",
+      (s, dir) => TestData.graph(s, dir).V("lineitem").df
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  count(*) FILTER (l_linestatus = 'F') AS F,
+             |  count(*) FILTER (l_linestatus = 'O') AS O
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
