@@ -45,6 +45,35 @@ object GraphAnalytics {
       .toDF("vid", "rank")
   }
 
+  /** Per-vertex triangle count (undirected; edges canonicalized src<dst
+    * and deduped as GraphX requires). */
+  def triangleCount(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val canonical = edges
+      .selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")
+      .where(col("src") =!= col("dst")).distinct()
+    val g = XGraph.fromEdges(toEdgeRDD(canonical), 0.0)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    g.triangleCount().vertices
+      .map { case (vid: VertexId, n: Int) => (vid, n.toLong) }
+      .toDF("vid", "triangles")
+  }
+
+  /** Hop distance to the nearest landmark via GraphX ShortestPaths (BFS
+    * over the undirected rendering of the edge set). */
+  def nearestLandmark(spark: SparkSession, edges: DataFrame, landmarks: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    // ShortestPaths propagates along incoming edges; add both directions
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val g = XGraph.fromEdges(toEdgeRDD(undirected), 0.0)
+    org.apache.spark.graphx.lib.ShortestPaths.run(g, landmarks).vertices
+      .map { case (vid: VertexId, dists) =>
+        (vid, if (dists.isEmpty) -1L else dists.values.min.toLong)
+      }
+      .toDF("vid", "dist")
+  }
+
   /** PageRank as a declarative DataFrame fixed-iteration loop with exact
     * DECIMAL rank arithmetic: `rank_v = 0.15 + 0.85 · Σ rank_u / outDeg(u)`
     * (GraphX staticPageRank's convention — no dangling-mass

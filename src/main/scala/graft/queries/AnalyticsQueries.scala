@@ -67,6 +67,52 @@ object AnalyticsQueries {
            |SELECT vid, CAST(rank AS DOUBLE) AS rank FROM r5 ORDER BY vid""".stripMargin
       }),
 
+    Q("g04_triangle_count",
+      // per-nation triangle count over the co-region graph (nations
+      // connected when they share a region) — a K5 per region, so each
+      // nation sits in C(4,2)=6 triangles; the oracle counts connected
+      // neighbor pairs relationally
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val n = g.V("nation").df
+        val edges = n.alias("a").join(n.alias("b"),
+          col("a.n_regionkey") === col("b.n_regionkey") &&
+            col("a.n_nationkey") < col("b.n_nationkey"))
+          .select(col("a.n_nationkey").cast("long").as("src"), col("b.n_nationkey").cast("long").as("dst"))
+        GraphAnalytics.triangleCount(s, edges).orderBy("vid")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+             |  FROM nation a JOIN nation b
+             |    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+             |nbr AS (SELECT src AS v, dst AS n FROM e UNION ALL SELECT dst, src FROM e),
+             |tri AS (
+             |  SELECT n1.v AS vid, count(*) AS t
+             |  FROM nbr n1 JOIN nbr n2 ON n1.v = n2.v AND n1.n < n2.n
+             |  JOIN e ON e.src = n1.n AND e.dst = n2.n
+             |  GROUP BY 1)
+             |SELECT v.vid AS vid, CAST(coalesce(t.t, 0) AS BIGINT) AS triangles
+             |FROM (SELECT DISTINCT src AS vid FROM e UNION SELECT dst FROM e) v
+             |LEFT JOIN tri t ON t.vid = v.vid
+             |ORDER BY v.vid""".stripMargin)),
+
+    Q("g05_shortest_paths",
+      // BFS distance to the nearest region landmark over the
+      // region–nation–customer tree: regions 0, nations 1, customers 2
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val nr = g.V("nation").df
+          .select((col("n_nationkey") + 100).as("src"), col("n_regionkey").cast("long").as("dst"))
+        val cn = g.V("customer").df
+          .select((col("c_custkey") + 1000).as("src"), (col("c_nationkey") + 100).as("dst"))
+        GraphAnalytics.nearestLandmark(s, nr.unionByName(cn), (0L until 5L)).orderBy("vid")
+      },
+      Some("""SELECT vid, dist FROM (
+             |  SELECT CAST(r_regionkey AS BIGINT) AS vid, CAST(0 AS BIGINT) AS dist FROM region
+             |  UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT), 1 FROM nation
+             |  UNION ALL SELECT CAST(1000 + c_custkey AS BIGINT), 2 FROM customer)
+             |ORDER BY vid""".stripMargin)),
+
     Q("g03_merge_duplicates_repoint",
       (s, dir) => {
         val g = TestData.graph(s, dir)
