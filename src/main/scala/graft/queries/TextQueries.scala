@@ -55,16 +55,18 @@ object TextQueries {
     docs(s, dir).withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** doc_id + 32-bit hashes of the word-3-shingles. */
-  private def hashedShingles(source: DataFrame): DataFrame =
+  /** doc_id + 32-bit hashes of the word-3-shingles, via the native
+    * [[graft.functions.ShingleHashes]] expression (one compiled pass;
+    * bit-identical to the conv/substr/md5 SQL form the oracle uses). */
+  private def hashedShingles(source: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     source
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(
         col("doc_id"),
-        expr("""transform(sequence(1, size(toks) - 2),
-               |  i -> CAST(conv(substr(md5(concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 8), 16, 10) AS BIGINT))""".stripMargin)
-          .as("hs"))
+        GraftBridge.column(graft.functions.ShingleHashes(GraftBridge.expression(col("toks")))).as("hs"))
+  }
 
   /** doc_id + the K-permutation MinHash signature as one array column,
     * computed by the native [[graft.functions.MinHashSignature]]
