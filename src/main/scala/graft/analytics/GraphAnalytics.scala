@@ -45,15 +45,12 @@ object GraphAnalytics {
       .toDF("vid", "rank")
   }
 
-  /** Per-vertex triangle count (undirected; edges canonicalized src<dst
-    * and deduped as GraphX requires). */
+  /** Per-vertex triangle count (undirected). GraphX's triangleCount()
+    * removes self-edges and canonicalizes internally — no Catalyst-side
+    * pre-pass, which would just add a redundant shuffle of the edge set. */
   def triangleCount(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val canonical = edges
-      .selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")
-      .where(col("src") =!= col("dst")).distinct()
-    val g = XGraph.fromEdges(toEdgeRDD(canonical), 0.0)
-      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val g = XGraph.fromEdges(toEdgeRDD(edges), 0.0)
     g.triangleCount().vertices
       .map { case (vid: VertexId, n: Int) => (vid, n.toLong) }
       .toDF("vid", "triangles")

@@ -24,20 +24,28 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
   def compute(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
     val k = math.max(0, n - 2)
-    val out = new Array[Long](k)
+    val out = new Array[Long](math.max(0, k))
+    var written = 0
     var i = 0
     while (i < k) {
-      md.reset()
-      md.update(tokens.getUTF8String(i).getBytes)
-      md.update(' '.toByte)
-      md.update(tokens.getUTF8String(i + 1).getBytes)
-      md.update(' '.toByte)
-      md.update(tokens.getUTF8String(i + 2).getBytes)
-      val d = md.digest()
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      // windows touching a null token are SKIPPED — the declarative form
+      // yielded a NULL element there, which array_min-based MinHash
+      // ignored; skipping keeps the downstream semantics without nullable
+      // output elements
+      if (!tokens.isNullAt(i) && !tokens.isNullAt(i + 1) && !tokens.isNullAt(i + 2)) {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        md.update(' '.toByte)
+        md.update(tokens.getUTF8String(i + 1).getBytes)
+        md.update(' '.toByte)
+        md.update(tokens.getUTF8String(i + 2).getBytes)
+        val d = md.digest()
+        out(written) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        written += 1
+      }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (written == out.length) out else java.util.Arrays.copyOf(out, written))
   }
 
   override protected def nullSafeEval(input: Any): Any =

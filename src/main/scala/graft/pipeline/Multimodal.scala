@@ -52,24 +52,30 @@ object Multimodal {
     * models/Database.scala:322-394 — blobs stored as fixed-size chunk
     * vertices): split each payload into `chunkSize`-byte pieces as
     * (id, chunk_idx, chunk) rows — the table a store would persist — all
-    * inside one per-row expression, no shuffle. */
+    * inside one per-row expression, no shuffle. An EMPTY payload stores
+    * one empty chunk (so it round-trips instead of vanishing); NULL
+    * payloads are filtered — a content store has nothing to persist for
+    * them, and silently dropping them mid-explode would be worse. */
   def chunkBlobs(withBlob: DataFrame, chunkSize: Int): DataFrame =
     withBlob.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .where(col("blob").isNotNull)
       .select(
         col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, CAST(ceil(length(blob) / $chunkSize.0) AS INT) - 1, 1)," +
+          s"transform(sequence(0, greatest(CAST(ceil(length(blob) / $chunkSize.0) AS INT), 1) - 1, 1)," +
             s" i -> substring(blob, i * $chunkSize + 1, $chunkSize))")))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
 
   /** Reassemble chunked blobs: order-preserving binary concat per id
-    * (the read side of the chunk chain). */
+    * (the read side of the chunk chain), with the chunk count carried
+    * from the same aggregation. */
   def reassembleBlobs(chunks: DataFrame): DataFrame =
     chunks.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))).as("cs"))
       .select(
         col("doc_id"),
+        size(col("cs")).cast("long").as("n_chunks"),
         expr("aggregate(cs, CAST('' AS BINARY), (acc, c) -> concat(acc, c.chunk))").as("blob"))
 
   /** One sampled frame of a binary payload. */

@@ -83,10 +83,14 @@ object JoinQueries {
              |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)),
 
     Q("q79_pivot",
+      // empty pivot cells coalesce to 0, matching count FILTER semantics
+      // (Spark's pivot yields NULL for a combination with no rows)
       (s, dir) => TestData.graph(s, dir).V("lineitem").df
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("F"), coalesce(col("O"), lit(0L)).as("O"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  count(*) FILTER (l_linestatus = 'F') AS F,

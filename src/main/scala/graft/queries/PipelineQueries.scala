@@ -30,13 +30,11 @@ object PipelineQueries {
       (s, dir) => {
         val blobs = TestData.graph(s, dir).V("documents").df
           .select(col("doc_id"), col("text").cast("binary").as("blob"))
-        val chunks = Multimodal.chunkBlobs(blobs, 64)
-        Multimodal.reassembleBlobs(chunks)
-          .join(chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks")), "doc_id")
+        Multimodal.reassembleBlobs(Multimodal.chunkBlobs(blobs, 64))
           .select(col("doc_id"), col("n_chunks"), md5(col("blob")).as("content_md5"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_chunks,
+      Some("""SELECT doc_id, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) AS n_chunks,
              |  md5(text) AS content_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -18,4 +18,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L)._1 == 0L && out(2L)._2 == -1L)
     assert(out(3L)._2 == 'Z'.toLong)
   }
+
+  it("blob chunking round-trips empty payloads and filters null ones") {
+    val df = Seq(
+      (1L, Some("0123456789abcdef0123")), // 20 bytes → 3 chunks of 8
+      (2L, Some("")),                     // empty → 1 empty chunk
+      (3L, None)                          // null → filtered (nothing to store)
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val out = Multimodal.reassembleBlobs(Multimodal.chunkBlobs(df, 8))
+      .select(col("doc_id"), col("n_chunks"), col("blob").cast("string"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((3L, "0123456789abcdef0123")))
+    assert(out(2L) == ((1L, "")))
+    assert(!out.contains(3L))
+  }
+
+  it("ShingleHashes skips windows containing null tokens") {
+    import org.apache.spark.sql.GraftBridge
+    val df = Seq(Tuple1(Seq(Some("a"), None, Some("b"), Some("c"), Some("d")))).toDF("toks")
+    val out = df.select(
+      GraftBridge.column(graft.functions.ShingleHashes(GraftBridge.expression(col("toks")))).as("hs"))
+      .collect().head.getSeq[Long](0)
+    assert(out.length == 1) // only (b, c, d) — windows touching the null skipped
+  }
 }
