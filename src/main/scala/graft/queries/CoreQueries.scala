@@ -51,7 +51,9 @@ object CoreQueries {
 
     Q("q03_edge_scan",
       (s, dir) => G(s, dir).E("of_order").sortBy(col("_src")).toDF,
-      Some("SELECT l_orderkey * 8 + l_linenumber AS _src, l_orderkey AS _dst FROM lineitem ORDER BY 1")),
+      Some("""SELECT concat_ws('-', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  CAST(l_quantity AS BIGINT), l_linestatus) AS _src, l_orderkey AS _dst
+             |FROM lineitem ORDER BY 1, 2""".stripMargin)),
 
     // --------------------------------------------------------- filter grammar
     Q("q04_filter_grammar_bool",

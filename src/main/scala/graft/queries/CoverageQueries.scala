@@ -135,14 +135,15 @@ object CoverageQueries {
     Q("q73_distinct_sketch",
       // distinct-count sketch for 100 TB profiling: the HLL estimate is
       // engine-specific, so the oracle contract is exact count + the
-      // sketch landing within 5 % (deterministic for fixed rsd and data)
+      // sketch landing within 3× its configured rsd (a ~3-sigma bound;
+      // deterministic for fixed rsd and data)
       (s, dir) => TestData.graph(s, dir).V("events").df
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.05).as("approx"))
         .select(
           col("exact_users"),
-          (abs(col("approx") - col("exact_users")).cast("double") / col("exact_users") <= 0.05).as("sketch_ok")),
+          (abs(col("approx") - col("exact_users")).cast("double") / col("exact_users") <= 0.15).as("sketch_ok")),
       Some("""SELECT count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok FROM events""")),
 
     Q("q74_sessionize",
@@ -175,12 +176,13 @@ object CoverageQueries {
       // deterministic 10 % hash sampling (md5 of the row key mod 100) —
       // reproducible training-data subsetting, counted per stratum
       (s, dir) => TestData.graph(s, dir).V("lineitem").df
-        .where(expr("CAST(conv(substr(md5(CAST(_rowid AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 10"))
+        .where(expr("CAST(conv(substr(md5(_rowid), 1, 8), 16, 10) AS BIGINT) % 100 < 10"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("sampled"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, count(*) AS sampled FROM lineitem
-             |WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+             |WHERE CAST(concat('0x', substr(md5(concat_ws('-', l_orderkey, l_linenumber, l_partkey,
+             |  l_suppkey, CAST(l_quantity AS BIGINT), l_linestatus)), 1, 8)) AS BIGINT) % 100 < 10
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("q72_edge_table_hop",

@@ -25,9 +25,13 @@ object TestData {
     "supplier" -> "s_suppkey",
     "part" -> "p_partkey",
     "orders" -> "o_orderkey",
-    // lineitem's natural key is composite (l_orderkey, l_linenumber);
-    // a derived surrogate `_rowid` (added in graph()) keeps every
-    // row-identity op (dedup/filter/outE) a single-column equi-join.
+    // lineitem has NO unique natural key in this synthetic data — the
+    // generator plants duplicate (l_orderkey, l_linenumber) rows for the
+    // dedup demos (~24% of rows share the pair) — so the surrogate
+    // `_rowid` (added in graph()) concatenates enough integer/string
+    // columns to be unique AND render identically in Spark and DuckDB,
+    // keeping every row-identity op (dedup/filter/match) a single-column
+    // equi-join.
     "lineitem" -> "_rowid",
     "events" -> "event_id",
     "documents" -> "doc_id",
@@ -96,7 +100,9 @@ object TestData {
       val df0 = table(spark, dir, name)
       // TPC-H linenumber ∈ [1,7], so orderkey*8+linenumber is injective.
       val df =
-        if (name == "lineitem") df0.withColumn("_rowid", expr("l_orderkey * 8 + l_linenumber"))
+        if (name == "lineitem")
+          df0.withColumn("_rowid", expr(
+            "concat_ws('-', l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(l_quantity AS BIGINT), l_linestatus)"))
         else if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           df0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         else df0
