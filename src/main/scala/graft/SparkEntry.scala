@@ -15,10 +15,10 @@ object SparkEntry {
       JoinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the TPC-H Q5-shaped revenue query expressed as a declarative `match`
-    * pattern with a cycle-closing binding. */
+    * the TPC-H Q3-shaped shipping-priority revenue top-10 through the
+    * traversal DSL (customer segment → straddling orders → lineitems). */
   def entry(spark: SparkSession): DataFrame =
-    AnalyticalQueries.all.find(_.name == "q71_local_supplier_volume").get
+    AnalyticalQueries.all.find(_.name == "q70_shipping_priority").get
       .fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
