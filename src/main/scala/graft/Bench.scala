@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line as the very last output.
+  *
+  * The driver captures only the tail of the sbt output (~2000 chars), so the
+  * line must stay well under that budget: it reports the total over ALL
+  * queries plus per-query seconds for a fixed headline subset (the expensive
+  * / representative operators), with timings rounded to milliseconds. The
+  * complete per-query map is written to bench_full.json in the working
+  * directory for local inspection.
+  */
 object Bench {
+
+  /** Fixed headline subset — stable keys round-over-round so BENCH_r{N}
+    * files are comparable. One representative per operator family plus
+    * every historically expensive query. */
+  private val headline: Seq[String] = Seq(
+    "q01_scan_filter_sort_page", "q07_hop_out", "q09_two_hop_groupcount",
+    "q36_dedup_keep_first", "q46_custom_filter_property", "q48_traversal_prop_filter",
+    "q52_coalesce_branch", "q54_match_pattern", "q60_json_read_path",
+    "q62_or_and_not_combinators", "q70_shipping_priority", "q71_local_supplier_volume",
+    "q74_sessionize", "q76_asof_join", "q77_range_join_bucketed",
+    "d01_exact_dedup_keep_first", "d08_minhash_signature", "d09_lsh_band_candidates",
+    "d10_ngram_jaccard_verify", "d12_embedding_cosine_neardup", "d16_curation_pipeline",
+    "e01_knn_bruteforce", "e03_knn_bucketed_join", "g01_connected_components",
+    "g04_triangle_count", "m03_blob_chunk_roundtrip", "s02_stream_hourly_watermark",
+    "t05_executor_pipeline")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,17 +55,28 @@ object Bench {
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
       }
     }
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = timings.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
+    def ms(v: Double) = f"$v%.3f"
+    def jmap(m: scala.collection.Map[String, String]) =
+      m.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val full = jmap(timings.map { case (k, v) => k -> ms(v) })
+    // Full per-query detail → file (too long for the driver's tail capture).
+    val fw = new java.io.PrintWriter("bench_full.json")
+    try fw.println(s"""{"total":${ms(total)},"queries":$full,"errors":${jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })},"sf":"${esc(sfDir)}"}""")
+    finally fw.close()
+    val head = timings.filter { case (k, _) => headline.contains(k) }
+    val qs = jmap(head.map { case (k, v) => k -> ms(v) })
+    val es = jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -2,10 +2,11 @@ package graft.functions
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Decimal-exact dot product of two float vectors, emitted as double:
@@ -22,6 +23,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
  * operator stays inside whole-stage codegen.
  */
 case class DecimalDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  // getFloat on the ArrayData would silently read garbage from any other
+  // element type — reject non-float arrays at analysis time instead.
+  // (checkInputDataTypes rather than ExpectsInputTypes: AbstractDataType is
+  // private[sql] in Spark 4, so the inputTypes signature can't be written
+  // outside the spark package.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType).find { case ArrayType(FloatType, _) => false; case _ => true } match {
+      case Some(t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> inputs, got ${t.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "decimal_dot"

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -24,6 +25,14 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: 
     extends UnaryExpression {
 
   require(as.length == bs.length && as.nonEmpty, "need one (a, b) pair per permutation")
+
+  // getLong on the ArrayData would silently read garbage from e.g. an
+  // array<int> child — reject non-long arrays at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> input, got ${t.catalogString}")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"

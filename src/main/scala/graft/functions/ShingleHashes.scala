@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /**
  * 32-bit hashes of the word-3-shingles of a token array: for each window
@@ -16,12 +17,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  */
 case class ShingleHashes(child: Expression) extends UnaryExpression {
 
+  // getUTF8String on the ArrayData would silently read garbage from any
+  // other element type — reject non-string arrays at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${t.catalogString}")
+  }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // One digest per THREAD, not per expression instance: the same instance
+  // can be evaluated concurrently (driver-side eval, plan reuse), and
+  // MessageDigest is stateful — a shared copy would corrupt hashes silently.
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   def compute(tokens: ArrayData): ArrayData = {
+    val md = this.md.get()
     val n = tokens.numElements()
     val k = math.max(0, n - 2)
     val out = new Array[Long](math.max(0, k))

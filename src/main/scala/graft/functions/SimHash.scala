@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /**
  * Native SimHash over an array of token hashes: for each of `nbits` bit
@@ -20,6 +21,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class SimHash(child: Expression, nbits: Int) extends UnaryExpression {
 
   require(nbits > 0 && nbits <= 63, "nbits must be in [1, 63] for a signed-long signature")
+
+  // getLong on the ArrayData would silently read garbage from e.g. an
+  // array<int> child — reject non-long arrays at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> input, got ${t.catalogString}")
+  }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"

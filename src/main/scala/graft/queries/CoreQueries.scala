@@ -52,7 +52,7 @@ object CoreQueries {
     Q("q03_edge_scan",
       (s, dir) => G(s, dir).E("of_order").sortBy(col("_src")).toDF,
       Some("""SELECT concat_ws('-', l_orderkey, l_linenumber, l_partkey, l_suppkey,
-             |  CAST(l_quantity AS BIGINT), l_linestatus) AS _src, l_orderkey AS _dst
+             |  CAST(floor(l_quantity) AS BIGINT), l_linestatus) AS _src, l_orderkey AS _dst
              |FROM lineitem ORDER BY 1, 2""".stripMargin)),
 
     // --------------------------------------------------------- filter grammar

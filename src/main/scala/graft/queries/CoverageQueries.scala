@@ -182,7 +182,7 @@ object CoverageQueries {
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, count(*) AS sampled FROM lineitem
              |WHERE CAST(concat('0x', substr(md5(concat_ws('-', l_orderkey, l_linenumber, l_partkey,
-             |  l_suppkey, CAST(l_quantity AS BIGINT), l_linestatus)), 1, 8)) AS BIGINT) % 100 < 10
+             |  l_suppkey, CAST(floor(l_quantity) AS BIGINT), l_linestatus)), 1, 8)) AS BIGINT) % 100 < 10
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("q72_edge_table_hop",

@@ -102,7 +102,10 @@ object TestData {
       val df =
         if (name == "lineitem")
           df0.withColumn("_rowid", expr(
-            "concat_ws('-', l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(l_quantity AS BIGINT), l_linestatus)"))
+            // floor() before the BIGINT cast: Spark truncates double→BIGINT
+            // while DuckDB rounds, so the bare cast would diverge on any
+            // non-integral quantity. floor is identical in both engines.
+            "concat_ws('-', l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(floor(l_quantity) AS BIGINT), l_linestatus)"))
         else if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           df0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         else df0

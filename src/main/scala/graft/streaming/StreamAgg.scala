@@ -129,6 +129,21 @@ object StreamAgg {
         .write.mode("overwrite").parquet(stageDir.resolve("p1").toString)
       ev0.where(unix_micros(col("ts")) > mid).coalesce(1)
         .write.mode("overwrite").parquet(stageDir.resolve("p2").toString)
+      // FileStreamSource orders files by modification time — pin p1's files
+      // strictly before p2's instead of relying on write order, which a
+      // coarse-mtime filesystem could tie (ties would replay p2 first and
+      // drop the early windows as late data).
+      def pinMtime(sub: String, millis: Long): Unit = {
+        val d = stageDir.resolve(sub)
+        val st = java.nio.file.Files.list(d)
+        try st.forEach(f =>
+          java.nio.file.Files.setLastModifiedTime(
+            f, java.nio.file.attribute.FileTime.fromMillis(millis)))
+        finally st.close()
+      }
+      val t0 = System.currentTimeMillis()
+      pinMtime("p1", t0 - 120000)
+      pinMtime("p2", t0 - 60000)
       java.nio.file.Files.createFile(stageDir.resolve("_done"))
     }
     val schema = spark.read.parquet(stageDir.resolve("p1").toString).schema

@@ -506,43 +506,43 @@ final case class Traversal(
     * TraversalOps.scala:367-403): per element, emit ALL results of the
     * FIRST branch that is non-empty for it, or `default` if every branch
     * is empty. Each branch must end in a value; values are unified under
-    * `name`. Relational shape: branch results keyed by element id, the
-    * winning branch index = min over branches with results (one groupBy on
-    * the id), branch rows semi-filtered to their winners — joins on the
-    * element id only, no per-element iteration. */
+    * `name`.
+    *
+    * Relational shape: union the branch results (keyed by element id,
+    * tagged with the branch index) with the default as a LOWEST-priority
+    * synthetic branch, then keep rows whose index equals
+    * `min(index) over (partition by id)` — ONE shuffle on the element id,
+    * no self-joins and no subplan recomputation (the previous
+    * groupBy+join+anti-join shape evaluated the branch union three times).
+    * Alias columns ride along through the union, so nothing is re-joined. */
   def coalesceBranch(name: String, default: Option[Any], fs: (Traversal => Traversal)*): Traversal = {
     require(fs.nonEmpty, "coalesceBranch needs at least one branch")
     val key = idCol
+    val carried = aliasCols
     val branchDfs = fs.zipWithIndex.map { case (f, i) =>
       val b = f(this.as(SubKeyAlias))
       val vcol = b.element match {
         case Element.Value(c) => c
         case other => throw new IllegalArgumentException(s"coalesceBranch branch $i must end in a value, found $other")
       }
-      b.df.select(
+      b.df.select((Seq(
         col(s"$AliasPrefix$SubKeyAlias.$key").as("__cbk"),
         lit(i).as("__cbi"),
-        col(vcol).as(name))
+        col(vcol).as(name)) ++ carried.map(b.df(_))): _*)
     }
-    val unioned = branchDfs.reduce(_.unionByName(_))
-    val winners = unioned.groupBy(col("__cbk")).agg(org.apache.spark.sql.functions.min(col("__cbi")).as("__cbw"))
-    val picked = unioned.alias("__cl")
-      .join(winners.alias("__cw"),
-        col("__cl.__cbk") === col("__cw.__cbk") && col("__cl.__cbi") === col("__cw.__cbw"))
-      .select(col("__cl.__cbk").as("__cbk"), col(s"__cl.$name").as(name))
-    val withDefault = default match {
-      case Some(d) =>
-        val missed = df.alias("__cd")
-          .join(winners.alias("__cw2"), col(s"__cd.$key") === col("__cw2.__cbk"), "left_anti")
-          .select(col(s"__cd.$key").as("__cbk"), lit(d).as(name))
-        picked.unionByName(missed)
-      case None => picked
+    val defaultDf = default.map { d =>
+      df.select((Seq(
+        df(key).as("__cbk"),
+        lit(fs.length).as("__cbi"),
+        lit(d).as(name)) ++ carried.map(df(_))): _*)
     }
-    // re-attach the source element's alias columns via its id
-    val left = df.select((df(key).as("__cbsrc") +: aliasCols.map(df(_))): _*)
-    val joined = left.join(withDefault, col("__cbsrc") === col("__cbk"))
-      .select((col(name) +: aliasCols.map(col(_))): _*)
-    Traversal(graph, Element.Value(name), joined, aliasTypes)
+    val unioned = (branchDfs ++ defaultDf).reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cbk"))
+    val picked = unioned
+      .withColumn("__cbw", org.apache.spark.sql.functions.min(col("__cbi")).over(w))
+      .where(col("__cbi") === col("__cbw"))
+      .select((col(name) +: carried.map(col(_))): _*)
+    Traversal(graph, Element.Value(name), picked, aliasTypes)
   }
 
   /** Multi-way branch routing (reference: chooseBranch + BranchSelector,
