@@ -65,6 +65,15 @@ object PipelineQueries {
       (s, dir) => StreamAgg.streamDistinctPairs(s, dir),
       Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2")),
 
+    Q("s04_stream_windowed_dedup",
+      // bounded-state streaming dedup: the dedup key includes the 1-day
+      // event-time window, so watermarking evicts old windows — the
+      // unbounded-stream shape, vs s03's grow-forever key state
+      (s, dir) => StreamAgg.streamWindowedDistinct(s, dir),
+      Some("""SELECT DISTINCT user_id, event_type,
+             |  (epoch_ms(ts) - epoch_ms(ts) % 86400000) AS day_ms
+             |FROM events ORDER BY 1, 2, 3""".stripMargin)),
+
     Q("s02_stream_hourly_watermark",
       // append-mode watermark semantics, batch-replayed deterministically:
       // emitted windows are exactly those closed by the final watermark

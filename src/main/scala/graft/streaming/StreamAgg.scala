@@ -18,6 +18,19 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object StreamAgg {
 
+  /** Run a synchronous streaming query with a reduced state-partition
+    * count: each shuffle partition becomes a state-store directory with
+    * per-batch commit files, so 32 partitions of near-empty state are
+    * pure filesystem overhead for these bounded replays. The session
+    * conf is restored afterwards (batch queries keep their own setting);
+    * a live deployment sizes this to its key cardinality instead. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** The events file staged as a streaming source (a scratch symlink dir —
     * the file stream source wants a directory), with `ts` normalized. */
   private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -58,12 +71,14 @@ object StreamAgg {
           .cast("double").as("val_sum"))
       .select(unix_millis(col("w.start")).as("bucket_ms"), col("cnt"), col("val_sum"))
     val name = "stream_daily_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("bucket_ms")
   }
 
@@ -79,13 +94,41 @@ object StreamAgg {
     val distinctPairs = ev.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = distinctPairs.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = distinctPairs.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "event_type")
+  }
+
+  /** Streaming dedup with BOUNDED state: distinct (user_id, event_type,
+    * day-window) under a 1-day watermark. Unlike [[streamDistinctPairs]]
+    * (whose state grows with the number of distinct keys forever), the
+    * dedup key includes the event-time window, so state for windows older
+    * than the watermark is evicted — the shape that survives an unbounded
+    * stream. Only key columns are emitted (first-sight append), so the
+    * output SET equals `SELECT DISTINCT user_id, event_type, day`. */
+  def streamWindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = stagedEventsStream(spark, dir)
+    val dd = ev
+      .withWatermark("ts", "1 day")
+      .withColumn("w", window(col("ts"), "1 day"))
+      .dropDuplicates("user_id", "event_type", "w")
+      .select(col("user_id"), col("event_type"), unix_millis(col("w.start")).as("day_ms"))
+    val name = "stream_wdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val q = dd.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("user_id", "event_type", "day_ms")
   }
 
   /** Watermarked append-mode variant (the unbounded-stream shape): 1-hour
@@ -153,12 +196,14 @@ object StreamAgg {
     val agg = hourlyAppend(spark, stream)
       .select(unix_millis(col("bucket")).as("bucket_ms"), col("cnt"))
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("bucket_ms")
   }
 }
