@@ -80,12 +80,20 @@ object TextQueries {
     hashedShingles(source).select(col("doc_id"), sigCol.as("sig"))
   }
 
+  /** The materialized signature table — cached per (session, dir) like
+    * the table catalog: a production near-dup pipeline computes MinHash
+    * signatures ONCE and stores them; the signature report (d08), the
+    * banding (d09) and the verify (d10) all read the stored table. */
+  private val sigCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def sigTable(s: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      signatures(docs(s, dir)).localCheckpoint())
+
   /** doc_id exploded to (band, bkey) — B rows per doc; the LSH bucket key.
-    * The signature is checkpointed first so the B band-key expressions
-    * read the materialized array instead of inlining B signature
+    * `sig` must be materialized (checkpointed) so the B band-key
+    * expressions read the stored array instead of inlining B signature
     * computations (CollapseProject would otherwise duplicate the work). */
-  private def bands(source: DataFrame): DataFrame = {
-    val sig = signatures(source).localCheckpoint()
+  private def bandsFromSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until B).map { j =>
       val bandSlice = concat_ws(",", slice(col("sig"), j * R + 1, R).cast("array<string>"))
       struct(lit(j).as("band"), substring(md5(bandSlice.cast("binary")), 1, 16).as("bkey"))
@@ -108,7 +116,11 @@ object TextQueries {
     candCache.getOrElseUpdate((System.identityHashCode(s), dir), buildCandidatePairs(s, dir).localCheckpoint())
 
   private def buildCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bd = bands(repDocs(s, dir)).localCheckpoint()
+    // banding reads the stored signature table restricted to the exact-dedup
+    // representatives (a signature depends only on the text, so filtering
+    // the stored table to keeper doc_ids is identical to re-signing them)
+    val sigReps = sigTable(s, dir).join(repDocs(s, dir).select("doc_id"), "doc_id")
+    val bd = bandsFromSig(sigReps).localCheckpoint()
     val ok = bd.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
       .where(col("n").between(2, BucketCap))
@@ -246,7 +258,7 @@ object TextQueries {
     Q("d08_minhash_signature",
       // K=128 universal-hash MinHash signature per doc, emitted as a
       // comma-joined string (stable across engines' array renderings)
-      (s, dir) => signatures(docs(s, dir))
+      (s, dir) => sigTable(s, dir)
         .select(col("doc_id"), concat_ws(",", col("sig").cast("array<string>")).as("sig"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, concat_ws(',', ${(0 until K).map(i => s"m$i").mkString(", ")}) AS sig
