@@ -74,6 +74,13 @@ object PipelineQueries {
              |  (epoch_ms(ts) - epoch_ms(ts) % 86400000) AS day_ms
              |FROM events ORDER BY 1, 2, 3""".stripMargin)),
 
+    Q("s05_stream_static_join",
+      // streaming enrichment: stream side joined to a broadcast batch
+      // dimension, stateless append — the standard enrich-then-land shape
+      (s, dir) => StreamAgg.streamStaticJoin(s, dir),
+      Some("""SELECT event_id, c_mktsegment FROM events JOIN customer
+             |  ON user_id = c_custkey ORDER BY event_id""".stripMargin)),
+
     Q("s02_stream_hourly_watermark",
       // append-mode watermark semantics, batch-replayed deterministically:
       // emitted windows are exactly those closed by the final watermark

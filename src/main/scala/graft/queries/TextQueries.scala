@@ -368,6 +368,64 @@ object TextQueries {
              |  AND n_chars BETWEEN 100 AND 500 AND n_tokens >= 20
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("d17_normalized_dedup",
+      // normalization-aware dedup: lowercase, strip punctuation, collapse
+      // whitespace, THEN fingerprint the leading 64 normalized chars —
+      // catches trivially-mutated copies (case/punctuation edits) that
+      // byte-exact dedup (d01) misses. Same single-shuffle groupBy shape
+      // as d02.
+      (s, dir) => {
+        val norm = lower(regexp_replace(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " "))
+        docs(s, dir)
+          .select(col("doc_id"), md5(substring(norm, 1, 64).cast("binary")).as("fp"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+          .where(col("cnt") > 1)
+          .orderBy("fp")
+      },
+      Some("""SELECT fp, cnt, keeper FROM (
+             |  SELECT md5(substr(lower(regexp_replace(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'),
+             |           ' +', ' ', 'g')), 1, 64)) AS fp,
+             |         count(*) AS cnt, min(doc_id) AS keeper
+             |  FROM documents GROUP BY 1) t
+             |WHERE cnt > 1 ORDER BY fp""".stripMargin)),
+
+    Q("d18_decontamination",
+      // benchmark decontamination: corpus documents sharing ANY word-3-
+      // shingle with the benchmark set (here: doc_id < 5) are flagged with
+      // their overlap count. Relational shape: distinct (doc, shingle-hash)
+      // pairs equi-joined on the hash — the benchmark side is tiny at any
+      // real scale, so it broadcasts and the corpus side never shuffles.
+      (s, dir) => {
+        val ex = hashedShingles(docs(s, dir))
+          .select(col("doc_id"), explode(col("hs")).as("h")).distinct()
+        val bench = ex.where(col("doc_id") < 5).select(col("h"), col("doc_id").as("bench_id"))
+        ex.where(col("doc_id") >= 5)
+          .join(broadcast(bench), "h")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("bench_id")).as("n_bench"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hs AS (${hsSql("SELECT * FROM documents")}),
+              |ex AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM hs),
+              |bench AS (SELECT h, doc_id AS bench_id FROM ex WHERE doc_id < 5)
+              |SELECT c.doc_id, count(DISTINCT b.bench_id) AS n_bench
+              |FROM ex c JOIN bench b USING (h)
+              |WHERE c.doc_id >= 5
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("d19_repetition_score",
+      // intra-document repetition: 1 − distinct/total word-3-shingles —
+      // the boilerplate/looping-text quality signal; pure per-row array
+      // arithmetic, no shuffle
+      (s, dir) => hashedShingles(docs(s, dir))
+        .select(col("doc_id"),
+          (lit(1.0) - size(array_distinct(col("hs"))).cast("double") / size(col("hs"))).as("rep"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(hs)) AS DOUBLE) / len(hs) AS rep
+              |FROM (${hsSql("SELECT * FROM documents")}) ORDER BY doc_id""".stripMargin)),
+
     Q("d11_simhash",
       // 48-bit SimHash (16 bits saturates with collisions at any real
       // corpus size) via the native one-pass expression — no token/bit

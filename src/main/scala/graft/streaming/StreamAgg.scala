@@ -131,6 +131,27 @@ object StreamAgg {
     spark.table(name).orderBy("user_id", "event_type", "day_ms")
   }
 
+  /** Stream-static join: events stream enriched against the (batch)
+    * customer dimension — the standard streaming-enrichment shape. The
+    * static side is broadcast, so each micro-batch is a map-side join
+    * with NO state and no shuffle; at scale the dimension is re-read per
+    * batch, picking up slowly-changing updates for free. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = stagedEventsStream(spark, dir)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+    val name = "stream_sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_id")
+  }
+
   /** Watermarked append-mode variant (the unbounded-stream shape): 1-hour
     * tumbling windows, 2-hour watermark. Used by the streaming spec. */
   def hourlyAppend(spark: SparkSession, events: DataFrame): DataFrame =
