@@ -397,8 +397,10 @@ object TextQueries {
       // pairs equi-joined on the hash — the benchmark side is tiny at any
       // real scale, so it broadcasts and the corpus side never shuffles.
       (s, dir) => {
+        // per-doc array_distinct BEFORE exploding: (doc_id, h) pairs are
+        // then already unique, so no global distinct shuffle is needed
         val ex = hashedShingles(docs(s, dir))
-          .select(col("doc_id"), explode(col("hs")).as("h")).distinct()
+          .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
         val bench = ex.where(col("doc_id") < 5).select(col("h"), col("doc_id").as("bench_id"))
         ex.where(col("doc_id") >= 5)
           .join(broadcast(bench), "h")

@@ -226,12 +226,18 @@ object VectorQueries {
           .orderBy(expr("md5(cast(vec_id AS STRING))"), col("vec_id"))
           .limit(KCent)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
+        // assignment scores are computed map-side against the broadcast
+        // centroids, then the argmax window runs over NARROW (vec_id, cid,
+        // cos) rows — shuffling K copies of the full embedding would be an
+        // 8× data blowup at scale; embeddings are re-fetched by id only
+        // for vectors inside the probed buckets (a small fraction)
         val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
         val assign = coded.crossJoin(broadcast(cents))
-          .withColumn("cos", dotNative("embedding", "cvec") / col("cnorm"))
+          .select(col("vec_id"), col("cid"),
+            (dotNative("embedding", "cvec") / col("cnorm")).as("cos"))
           .withColumn("rn", row_number().over(wAssign))
           .where(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("embedding"))
+          .select(col("vec_id"), col("cid"))
         val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
         val qprobe = cents.crossJoin(broadcast(q))
           .withColumn("qcos", dotNative("cvec", "qvec") / col("cnorm"))
@@ -240,6 +246,7 @@ object VectorQueries {
           .select(col("cid"))
         assign.join(broadcast(qprobe), "cid")
           .where(col("vec_id") =!= 0)
+          .join(coded.select(col("vec_id"), col("embedding")), "vec_id")
           .crossJoin(broadcast(q))
           .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
           .orderBy(col("score").desc, col("vec_id").asc)
