@@ -49,10 +49,16 @@ object TextQueries {
 
   // ------------------------------------------------------- Spark-side plan
 
-  /** Exact-duplicate representatives: keep-first doc per md5(text). */
-  private def repDocs(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-    docs(s, dir).withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  /** Exact-duplicate representative IDS: keep-first doc_id per md5(text).
+    * Narrow on purpose — the keep-first window shuffles only
+    * (doc_id, 16-byte hash), never the document text; consumers join the
+    * ids back to whatever payload they need. */
+  private def repDocIds(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("__h"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select("doc_id")
   }
 
   /** doc_id + 32-bit hashes of the word-3-shingles, via the native
@@ -119,7 +125,7 @@ object TextQueries {
     // banding reads the stored signature table restricted to the exact-dedup
     // representatives (a signature depends only on the text, so filtering
     // the stored table to keeper doc_ids is identical to re-signing them)
-    val sigReps = sigTable(s, dir).join(repDocs(s, dir).select("doc_id"), "doc_id")
+    val sigReps = sigTable(s, dir).join(repDocIds(s, dir), "doc_id")
     val bd = bandsFromSig(sigReps).localCheckpoint()
     val ok = bd.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
