@@ -28,8 +28,11 @@ object MinHashDefaults {
  * 128-permutation parameterization.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashFunction)
+    // metadata-only count rewrite (opt-in via its conf flag)
+    ext.injectOptimizerRule(session => graft.plans.MetadataCountRule(session))
+  }
 }
 
 object GraftExtensions {
