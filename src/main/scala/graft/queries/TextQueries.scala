@@ -138,6 +138,30 @@ object TextQueries {
       .select("a_id", "b_id").distinct()
   }
 
+  /** Jaccard-verified candidate pairs — cached like [[candidatePairs]]:
+    * the verification scores are the final near-dup index artifact that
+    * both the verify report (d10) and the removal pipeline (d20) read. */
+  private val verCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    verCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val pairs = candidatePairs(s, dir)
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          expr("""array_distinct(transform(sequence(1, size(toks) - 2),
+                 |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin)
+            .as("ss"))
+        .localCheckpoint()
+      pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("ss").as("ssa")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")
+        .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))))
+        .select(col("a_id"), col("b_id"),
+          (col("inter").cast("double") / (size(col("ssa")) + size(col("ssb")) - col("inter"))).as("jaccard"))
+        .localCheckpoint()
+    })
+
   // ------------------------------------------------- DuckDB-side oracle SQL
 
   /** Exact-dup representatives (keep-first per md5(text)). */
@@ -172,6 +196,14 @@ object TextQueries {
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |FROM member a JOIN member b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Verified-pair scores (the d10 result) as a reusable SQL block. */
+  private def jacSql: String =
+    s"""WITH cand AS ($candidatePairsSql), sh AS (${shingleSetSql("SELECT * FROM documents")})
+       |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard FROM (
+       |  SELECT c.a_id, c.b_id, len(list_intersect(sa.ss, sb.ss)) AS inter,
+       |         len(sa.ss) AS la, len(sb.ss) AS lb
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id)""".stripMargin
 
   private def shingleSetSql(source: String) =
     s"""SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -277,30 +309,34 @@ object TextQueries {
     Q("d10_ngram_jaccard_verify",
       // exact n-gram Jaccard over the banded candidates only; shingle sets
       // are checkpointed and joined once per side, intersection computed once
+      (s, dir) => verifiedPairs(s, dir).orderBy("a_id", "b_id"),
+      Some(s"$jacSql\nORDER BY 1, 2")),
+
+    Q("d20_neardup_removal_pipeline",
+      // the full near-dup removal pipeline composed from the stored
+      // artifacts: exact-dedup keepers, minus documents whose verified
+      // Jaccard against an earlier keeper is ≥ 0.8 (the MinHash→LSH→
+      // verify chain), reported as per-language corpus stats. Every stage
+      // reads a cached index table; the only new work is one anti-join
+      // and one groupBy.
       (s, dir) => {
-        val pairs = candidatePairs(s, dir)
-        val sh = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 3)
-          .select(col("doc_id"),
-            expr("""array_distinct(transform(sequence(1, size(toks) - 2),
-                   |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin)
-              .as("ss"))
-          .localCheckpoint()
-        pairs
-          .join(sh.select(col("doc_id").as("a_id"), col("ss").as("ssa")), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")
-          .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))))
-          .select(col("a_id"), col("b_id"),
-            (col("inter").cast("double") / (size(col("ssa")) + size(col("ssb")) - col("inter"))).as("jaccard"))
-          .orderBy("a_id", "b_id")
+        val dropIds = verifiedPairs(s, dir)
+          .where(col("jaccard") >= 0.8)
+          .select(col("b_id").as("doc_id")).distinct()
+        docs(s, dir)
+          .join(repDocIds(s, dir), Seq("doc_id"), "left_semi")
+          .join(dropIds, Seq("doc_id"), "left_anti")
+          .select(col("lang"), size(split(col("text"), " ")).cast("bigint").as("toks"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+          .orderBy("lang")
       },
-      Some(s"""WITH cand AS ($candidatePairsSql), sh AS (${shingleSetSql("SELECT * FROM documents")})
-              |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard FROM (
-              |  SELECT c.a_id, c.b_id, len(list_intersect(sa.ss, sb.ss)) AS inter,
-              |         len(sa.ss) AS la, len(sb.ss) AS lb
-              |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id)
-              |ORDER BY 1, 2""".stripMargin)),
+      Some(s"""WITH reps AS ($repsSql), jac AS ($jacSql),
+              |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jaccard >= 0.8)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+              |FROM reps WHERE doc_id NOT IN (SELECT b_id FROM dropped)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("d13_bpe_tokens",
       // BPE-ish regex tokenization (letter runs | digit runs | single
