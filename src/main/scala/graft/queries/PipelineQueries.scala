@@ -81,6 +81,15 @@ object PipelineQueries {
       Some("""SELECT event_id, c_mktsegment FROM events JOIN customer
              |  ON user_id = c_custkey ORDER BY event_id""".stripMargin)),
 
+    Q("s06_stream_interval_join",
+      // stream-stream time-interval self-join with watermark-bounded state
+      (s, dir) => StreamAgg.streamIntervalSelfJoin(s, dir),
+      Some("""SELECT e1.event_id AS a_id, e2.event_id AS b_id
+             |FROM events e1 JOIN events e2
+             |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+             | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+             |ORDER BY 1, 2""".stripMargin)),
+
     Q("s02_stream_hourly_watermark",
       // append-mode watermark semantics, batch-replayed deterministically:
       // emitted windows are exactly those closed by the final watermark

@@ -470,6 +470,35 @@ object TextQueries {
               |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(hs)) AS DOUBLE) / len(hs) AS rep
               |FROM (${hsSql("SELECT * FROM documents")}) ORDER BY doc_id""".stripMargin)),
 
+    Q("d21_token_packing",
+      // token-budget shard packing: documents are packed greedily into
+      // ~4000-token training shards per language via a cumulative-sum
+      // window — shard id = (running total before this doc) div budget.
+      // Partitioning by language keeps the ordered window parallel (one
+      // sorted partition per language, no global sort) — the shape a
+      // sharded training-data writer uses at corpus scale.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("bigint").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("shard", expr("(cum - toks) div 4000"))
+          .groupBy(col("lang"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+          .orderBy("lang", "shard")
+      },
+      Some("""SELECT lang, shard, count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens FROM (
+             |  SELECT lang, toks, (cum - toks) // 4000 AS shard FROM (
+             |    SELECT lang, toks,
+             |      CAST(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+             |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |    FROM (SELECT lang, doc_id,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |          FROM documents) t1) t2) t3
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("d11_simhash",
       // 48-bit SimHash (16 bits saturates with collisions at any real
       // corpus size) via the native one-pass expression — no token/bit

@@ -152,6 +152,33 @@ object StreamAgg {
     spark.table(name).orderBy("event_id")
   }
 
+  /** Stream-stream time-interval self-join: pairs of events by the same
+    * user within 5 minutes of each other. Both sides carry a watermark
+    * and the join condition bounds event time, so each side's state is
+    * evicted once the other side's watermark passes — the bounded-state
+    * stream-stream join shape. Replayed here as one batch, making the
+    * output the complete deterministic pair set. */
+  def streamIntervalSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e1 = stagedEventsStream(spark, dir).withWatermark("ts", "1 hour")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val e2 = stagedEventsStream(spark, dir).withWatermark("ts", "1 hour")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val joined = e1.join(e2,
+      col("a_user") === col("b_user") && col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") && col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a_id"), col("b_id"))
+    val name = "stream_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("a_id", "b_id")
+  }
+
   /** Watermarked append-mode variant (the unbounded-stream shape): 1-hour
     * tumbling windows, 2-hour watermark. Used by the streaming spec. */
   def hourlyAppend(spark: SparkSession, events: DataFrame): DataFrame =
