@@ -29,7 +29,7 @@ object MinHashDefaults {
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.minhashFunction)
+    GraftExtensions.functions.foreach(ext.injectFunction)
     // metadata-only count rewrite (opt-in via its conf flag)
     ext.injectOptimizerRule(session => graft.plans.MetadataCountRule(session))
   }
@@ -40,13 +40,31 @@ object GraftExtensions {
     require(args.length == 1, "minhash_signature(hashes: array<bigint>) takes one argument")
     MinHashSignature(args.head, MinHashDefaults.params.map(_._1), MinHashDefaults.params.map(_._2), MinHashDefaults.P)
   }
+  private val simhashBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "simhash(hashes: array<bigint>) takes one argument")
+    SimHash(args.head, 48)
+  }
+  private val shingleBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "shingle_hashes(tokens: array<string>) takes one argument")
+    ShingleHashes(args.head)
+  }
+  private val dotBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "decimal_dot(x: array<float>, y: array<float>) takes two arguments")
+    DecimalDotProduct(args.head, args(1))
+  }
 
-  val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("minhash_signature"),
-    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-    minhashBuilder)
+  private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("minhash_signature", classOf[MinHashSignature], minhashBuilder),
+    ("simhash", classOf[SimHash], simhashBuilder),
+    ("shingle_hashes", classOf[ShingleHashes], shingleBuilder),
+    ("decimal_dot", classOf[DecimalDotProduct], dotBuilder))
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, cls, b) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), b)
+    }
 
   /** Register the function set on an already-running session. */
   def register(spark: SparkSession): Unit =
-    GraftBridge.registerFunction(spark, "minhash_signature", minhashBuilder)
+    builders.foreach { case (name, _, b) => GraftBridge.registerFunction(spark, name, b) }
 }
