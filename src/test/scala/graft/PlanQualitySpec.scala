@@ -37,6 +37,34 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), plan)
     }
 
+    it("prunes partitions when a table is partitioned by its filter column") {
+      // the SURVEY §4 claim "label filter = partition pruning for free",
+      // demonstrated: documents written partitioned by lang, filtered scan
+      // reads only the matching partition directories
+      val dir = java.nio.file.Files.createTempDirectory("graft_partpr").toString
+      graft.sources.TestData.graph(spark, sfDir).V("documents").df
+        .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
+      val filtered = spark.read.parquet(s"$dir/docs").where(col("lang") === "en")
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+      assert(filtered.count() > 0)
+    }
+
+    it("reads a CSV-backed vertex table through the same traversal surface") {
+      // the catalog is storage-agnostic: any DataFrame-producing source
+      // slots in as a VertexTable (parquet is just the default)
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      graft.sources.TestData.graph(spark, sfDir).V("nation").df
+        .write.option("header", "true").mode("overwrite").csv(s"$dir/nation")
+      val csvDf = spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$dir/nation")
+      val g = new graft.traversal.Graph(
+        spark,
+        Map("nation" -> graft.traversal.VertexTable("nation", csvDf, "n_nationkey")),
+        Map.empty)
+      assert(g.V("nation").has("n_regionkey", 0).toDF.count() === 5)
+    }
+
     it("keeps per-row pipeline expressions inside whole-stage codegen") {
       val df = graft.sources.TestData.graph(spark, sfDir)
         .V("documents").df
