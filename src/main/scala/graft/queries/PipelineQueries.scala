@@ -90,6 +90,14 @@ object PipelineQueries {
              | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
              |ORDER BY 1, 2""".stripMargin)),
 
+    Q("s07_stream_foreachbatch_upsert",
+      // streaming write path: per-batch MERGE of key aggregates into a
+      // versioned state table via foreachBatch (the insert/upsert sink)
+      (s, dir) => StreamAgg.foreachBatchUpsert(s, dir,
+        java.nio.file.Files.createTempDirectory("graft_upsert").toString),
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("s02_stream_hourly_watermark",
       // append-mode watermark semantics, batch-replayed deterministically:
       // emitted windows are exactly those closed by the final watermark

@@ -131,6 +131,48 @@ object StreamAgg {
     spark.table(name).orderBy("user_id", "event_type", "day_ms")
   }
 
+  /** Streaming upsert via foreachBatch (SURVEY §2.1 — the streaming
+    * analog of the insert path): each micro-batch's per-key aggregates
+    * are MERGED into a versioned state table (read version N, union,
+    * re-aggregate, write version N+1). Versioned directories instead of
+    * in-place overwrite: a parquet table cannot be atomically overwritten
+    * while being read, and versions double as the commit log — the same
+    * shape a lakehouse MERGE INTO performs transactionally. Returns the
+    * final state version as a DataFrame. */
+  def foreachBatchUpsert(spark: SparkSession, dir: String, stateRoot: String): DataFrame = {
+    val ev = stagedEventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    def versionPath(v: Long) = s"$stateRoot/v$v"
+    var version = 0L
+    // seed: empty state (version 0)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_type STRING, cnt BIGINT"))
+      .write.mode("overwrite").parquet(versionPath(0))
+    val name = "stream_upsert_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val q = ev.writeStream
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val incoming = batch.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"))
+          val merged = spark.read.parquet(versionPath(version))
+            .unionByName(incoming)
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(sum(col("cnt")).cast("bigint").as("cnt"))
+          merged.write.mode("overwrite").parquet(versionPath(version + 1))
+          version += 1
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(versionPath(version)).orderBy("user_id", "event_type")
+  }
+
   /** Stream-static join: events stream enriched against the (batch)
     * customer dimension — the standard streaming-enrichment shape. The
     * static side is broadcast, so each micro-batch is a map-side join
