@@ -63,7 +63,9 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    def ms(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which can
+    // emit comma decimal separators and corrupt the JSON line
+    def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: scala.collection.Map[String, String]) =
       m.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val total = timings.values.sum

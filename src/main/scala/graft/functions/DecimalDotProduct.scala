@@ -38,17 +38,24 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "decimal_dot"
+  // a null ELEMENT in either array nulls the whole dot (see compute)
+  override def nullable: Boolean = true
 
-  def compute(x: ArrayData, y: ArrayData): Double = {
+  /** Boxed result: null when any paired element slot is null — matching
+    * the declarative `aggregate(zip_with(...))` form, where a null
+    * product nulls the running decimal sum (getFloat on a null slot
+    * would silently read garbage instead). */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = math.min(x.numElements(), y.numElements())
     var acc = JBigDecimal.ZERO
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val prod = x.getFloat(i).toDouble * y.getFloat(i).toDouble
       acc = acc.add(JBigDecimal.valueOf(prod).setScale(12, RoundingMode.HALF_UP))
       i += 1
     }
-    acc.doubleValue()
+    Double.box(acc.doubleValue())
   }
 
   override protected def nullSafeEval(x: Any, y: Any): Any =
@@ -56,7 +63,13 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dotExpr", this, classOf[DecimalDotProduct].getName)
-    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $ref.compute($x, $y);")
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Double $tmp = $ref.compute($x, $y);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DecimalDotProduct =

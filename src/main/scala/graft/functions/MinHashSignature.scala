@@ -47,12 +47,17 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: 
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = (aArr(j) * h + bArr(j)) % p
-        if (v < out(j)) out(j) = v
-        j += 1
+      // null elements are IGNORED — the semantics of the declarative
+      // transform+array_min form this replaces (getLong on a null slot
+      // would read garbage)
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (aArr(j) * h + bArr(j)) % p
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -75,6 +80,7 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: 
          |final long[] $out = new long[$k];
          |java.util.Arrays.fill($out, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($input.isNullAt($i)) continue;
          |  final long $h = $input.getLong($i);
          |  for (int $j = 0; $j < $k; $j++) {
          |    final long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;

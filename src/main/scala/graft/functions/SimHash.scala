@@ -39,11 +39,15 @@ case class SimHash(child: Expression, nbits: Int) extends UnaryExpression {
     val counts = new Array[Int](nbits)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < nbits) {
-        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      // null elements contribute nothing (getLong on a null slot would
+      // read garbage)
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < nbits) {
+          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -68,6 +72,7 @@ case class SimHash(child: Expression, nbits: Int) extends UnaryExpression {
          |final int $n = $input.numElements();
          |final int[] $counts = new int[$nbits];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($input.isNullAt($i)) continue;
          |  final long $h = $input.getLong($i);
          |  for (int $j = 0; $j < $nbits; $j++) {
          |    if ((($h >> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;

@@ -36,9 +36,11 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!spark.conf.get(Flag, "false").toBoolean) plan
     else plan.transformUp {
       case agg @ Aggregate(Nil, Seq(Alias(ae: AggregateExpression, _)), child, _)
-          if isBareCount(ae) && parquetFiles(child).isDefined =>
-        val n = footerCount(parquetFiles(child).get)
-        LocalRelation(agg.output, Seq(InternalRow(n)))
+          if isBareCount(ae) =>
+        parquetFiles(child) match {
+          case Some(files) => LocalRelation(agg.output, Seq(InternalRow(footerCount(files))))
+          case None => agg
+        }
     }
 
   private def isBareCount(ae: AggregateExpression): Boolean =

@@ -156,21 +156,42 @@ object StreamAgg {
         .queryName(name)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val incoming = batch.groupBy(col("user_id"), col("event_type"))
-            .agg(count(lit(1)).as("cnt"))
-          val merged = spark.read.parquet(versionPath(version))
-            .unionByName(incoming)
-            .groupBy(col("user_id"), col("event_type"))
-            .agg(sum(col("cnt")).cast("bigint").as("cnt"))
-          merged.write.mode("overwrite").parquet(versionPath(version + 1))
-          version += 1
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // foreachBatch may redeliver a batch after a failure/restart —
+          // an applied-batch marker makes the merge idempotent by batchId
+          // (the contract the versioned MERGE shape requires)
+          val marker = java.nio.file.Paths.get(stateRoot, s"_applied_$batchId")
+          if (!java.nio.file.Files.exists(marker)) {
+            val incoming = batch.groupBy(col("user_id"), col("event_type"))
+              .agg(count(lit(1)).as("cnt"))
+            val merged = spark.read.parquet(versionPath(version))
+              .unionByName(incoming)
+              .groupBy(col("user_id"), col("event_type"))
+              .agg(sum(col("cnt")).cast("bigint").as("cnt"))
+            merged.write.mode("overwrite").parquet(versionPath(version + 1))
+            version += 1
+            java.nio.file.Files.createFile(marker)
+          }
           ()
         }
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(versionPath(version)).orderBy("user_id", "event_type")
+    // materialize the final state (localCheckpoint is eager), then clean
+    // up the scratch version chain; the sort stays lazily on top of the
+    // checkpointed blocks
+    val result = spark.read.parquet(versionPath(version)).localCheckpoint()
+    deleteRecursively(java.nio.file.Paths.get(stateRoot))
+    result.orderBy("user_id", "event_type")
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally stream.close()
+    }
   }
 
   /** Stream-static join: events stream enriched against the (batch)

@@ -536,7 +536,10 @@ final case class Traversal(
         lit(fs.length).as("__cbi"),
         lit(d).as(name)) ++ carried.map(df(_))): _*)
     }
-    val unioned = (branchDfs ++ defaultDf).reduce(_.unionByName(_))
+    // null element ids are dropped outright (the join-based formulation
+    // never matched them) — without this, every null-id row would share
+    // ONE window partition and steal each other's winning branch
+    val unioned = (branchDfs ++ defaultDf).reduce(_.unionByName(_)).where(col("__cbk").isNotNull)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cbk"))
     val picked = unioned
       .withColumn("__cbw", org.apache.spark.sql.functions.min(col("__cbi")).over(w))
