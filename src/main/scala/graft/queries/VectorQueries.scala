@@ -46,6 +46,14 @@ object VectorQueries {
   /** IVF quantizer (e05): centroid count and probed buckets per query. */
   private val KCent = 8
   private val NProbe = 2
+  /** Hot-bucket cap for the d12 self-join (mirrors TextQueries.BucketCap):
+    * an SRP bucket larger than this is skipped entirely, so a skewed or
+    * duplicate-heavy corpus can never make one bucket's pair explosion
+    * quadratic — the worst case is structurally Cap²/2 per bucket
+    * regardless of data. Sized so the healthy buckets of the test scales
+    * (≈ N/2^NBits members) pass untouched; at production scale NBits
+    * grows with the corpus to keep expected bucket size far below it. */
+  private val VecBucketCap = 2000L
 
   /** All probe codes of a query code: XOR masks for Hamming distance 0..
     * ProbeRadius — exhaustively enumerated by popcount, so any radius
@@ -190,9 +198,16 @@ object VectorQueries {
       // SRP bucket code (equi self-join on the stored code — the shuffle
       // key at scale), exact cosine computed once per pair, thresholded
       (s, dir) => {
-        val coded = codedVectors(s, dir)
-        val a = coded.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"), col("norm").as("na"))
-        val b = coded.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"), col("norm").as("nb"))
+        // hot-bucket cap: a bucket outside [2, VecBucketCap] never joins —
+        // singleton buckets yield no pairs anyway, and an oversized bucket
+        // (duplicate-heavy corpus, too few bits for the data volume) would
+        // be the quadratic hot spot, so it is structurally excluded. The
+        // window shuffles on `code`, the same key the self-join needs.
+        val sized = codedVectors(s, dir)
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("code"))))
+          .where(col("bn").between(2L, VecBucketCap))
+        val a = sized.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"), col("norm").as("na"))
+        val b = sized.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"), col("norm").as("nb"))
         a.join(b, col("code") === col("code_b") && col("a_id") < col("b_id"))
           .withColumn("dot", dotNative("ea", "eb"))
           .select(col("a_id"), col("b_id"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
@@ -200,11 +215,13 @@ object VectorQueries {
           .orderBy("a_id", "b_id")
       },
       Some(s"""WITH codes AS ($codesSql),
+              |sized AS (SELECT *, count(*) OVER (PARTITION BY code) AS bn FROM codes),
+              |ok AS (SELECT * FROM sized WHERE bn BETWEEN 2 AND $VecBucketCap),
               |pairs AS (
               |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               |    ${dotSqlOf("a.embedding", "b.embedding")} AS dot,
               |    a.norm AS na, b.norm AS nb
-              |  FROM codes a JOIN codes b ON a.code = b.code AND a.vec_id < b.vec_id)
+              |  FROM ok a JOIN ok b ON a.code = b.code AND a.vec_id < b.vec_id)
               |SELECT a_id, b_id, dot / (na * nb) AS cosine FROM pairs
               |WHERE dot / (na * nb) >= 0.25 ORDER BY 1, 2""".stripMargin)),
 
