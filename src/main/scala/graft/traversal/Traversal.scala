@@ -289,6 +289,10 @@ final case class Traversal(
   def selectValues(field: String): Traversal =
     Traversal(graph, Element.Value("values"), df.select(map_values(col(field)).as("values")))
 
+  /** No-op step (reference: identity, TraversalOps.scala:606) — the unit
+    * of step composition; useful as a branch arm. */
+  def identity: Traversal = this
+
   /** Side-effecting peek at the current plan (reference: sideEffect,
     * TraversalOps.scala:606-609) — runs eagerly against the current df. */
   def sideEffect(f: DataFrame => Unit): Traversal = { f(df); this }
