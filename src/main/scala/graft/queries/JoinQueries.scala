@@ -95,6 +95,40 @@ object JoinQueries {
       Some("""SELECT l_returnflag,
              |  count(*) FILTER (l_linestatus = 'F') AS F,
              |  count(*) FILTER (l_linestatus = 'O') AS O
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q88_skew_salted_join",
+      // SALTED shuffle join — the skew mitigation for a hot join key. A
+      // low-cardinality key (event_type here: every key is hot) would pile
+      // each key's entire fact volume onto one shuffle partition; salting
+      // spreads it: the fact side gets a deterministic salt in [0, S), the
+      // dimension side replicates each row S times (explode), and the join
+      // runs on (key, salt) — S-way parallelism per hot key, identical
+      // result to the plain join (which is exactly what the oracle runs).
+      // The shuffle_hash hint pins the shuffled path the pattern exists
+      // for: at 100 TB the dimension (× S replication) can exceed the
+      // broadcast threshold, and AQE's skew split only kicks in after a
+      // partition has already been built oversized. S trades replication
+      // volume for parallelism; 8 suffices to split any key across a
+      // 32-slot stage.
+      (s, dir) => {
+        val S = 8
+        val ev = TestData.graph(s, dir).V("events").toDF
+        val dim = ev.groupBy(col("event_type"))
+          .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double") / count(lit(1))).as("tavg"))
+        val fact = ev.withColumn("salt", pmod(col("event_id"), lit(S.toLong)).cast("int"))
+        val saltedDim = dim.withColumn("salt", explode(array((0 until S).map(lit): _*)))
+        fact.join(saltedDim.hint("shuffle_hash"), Seq("event_type", "salt"))
+          .select(col("event_id"), col("event_type"), col("value"), col("tavg"),
+            (col("value") - col("tavg")).as("dev"))
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (SELECT event_type,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS tavg
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value, d.tavg, e.value - d.tavg AS dev
+             |FROM events e JOIN dim d USING (event_type)
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -287,6 +287,93 @@ object VectorQueries {
               |WHERE a.vec_id <> 0
               |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
 
+    Q("e06_ivf_lloyd_ann",
+      // e05's quantizer TRAINED: one spherical-Lloyd iteration from the
+      // hash seeds. Because assignment is by cosine — invariant to positive
+      // scaling of the centroid — the updated centroid can be the
+      // per-cluster per-dimension SUM instead of the mean: no division, so
+      // the whole iteration stays in exact decimal arithmetic and is
+      // bit-reproducible across engines and partitionings. The sums are
+      // computed by exploding (cid, pos, component) into narrow rows and
+      // tree-aggregating — one extra pass over the corpus per iteration,
+      // with partial (map-side) aggregation; the K×Dim result is
+      // broadcast-sized regardless of corpus size. Clusters that lose all
+      // members simply vanish (both engines agree). The final probe is the
+      // same bucket-pruned rescore as e05, against the trained centroids.
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val coded = codedVectors(s, dir)
+        val cents0 = coded
+          .orderBy(expr("md5(cast(vec_id AS STRING))"), col("vec_id"))
+          .limit(KCent)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
+        // nearest-centroid assignment: map-side scores vs broadcast
+        // centroids, argmax over narrow (vec_id, cid, cos) rows
+        def assignTo(cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
+          coded.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("cid"),
+              (dotNative("embedding", "cvec") / col("cnorm")).as("cos"))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select(col("vec_id"), col("cid"))
+        }
+        // Lloyd update: exact decimal component sums per cluster, emitted
+        // as float so the trained centroid feeds the same native decimal
+        // dot as the seeds (double→float rounding is IEEE, identical in
+        // both engines)
+        val sums = coded.join(assignTo(cents0), "vec_id")
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("v").cast(DecimalType(38, 6))).cast("double").as("sv"))
+        val cents1 = sums.groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> CAST(x.sv AS FLOAT))").as("cvec"))
+          .withColumn("cnorm", sqrt(dotNative("cvec", "cvec")))
+        val a1 = assignTo(cents1)
+        val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val qprobe = cents1.crossJoin(broadcast(q))
+          .withColumn("qcos", dotNative("cvec", "qvec") / col("cnorm"))
+          .withColumn("rn", row_number().over(Window.orderBy(col("qcos").desc, col("cid").asc)))
+          .where(col("rn") <= NProbe)
+          .select(col("cid"))
+        a1.join(broadcast(qprobe), "cid")
+          .where(col("vec_id") =!= 0)
+          .join(coded.select(col("vec_id"), col("embedding")), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some(s"""WITH codes AS ($codesSql),
+              |cents0 AS (SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm FROM codes
+              |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KCent),
+              |a0 AS (SELECT vec_id, cid FROM (
+              |    SELECT v.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
+              |    FROM codes v CROSS JOIN cents0 c) t WHERE rn = 1),
+              |sums AS (
+              |  SELECT a0.cid, t.i AS pos,
+              |    CAST(SUM(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sv
+              |  FROM codes v JOIN a0 ON v.vec_id = a0.vec_id, range(1, $Dim + 1) t(i)
+              |  GROUP BY 1, 2),
+              |cents1 AS (SELECT cid, list(CAST(sv AS FLOAT) ORDER BY pos) AS cvec FROM sums GROUP BY cid),
+              |cents1n AS (SELECT cid, cvec, sqrt(${dotSqlOf("cvec", "cvec")}) AS cnorm FROM cents1),
+              |a1 AS (SELECT vec_id, cid, embedding FROM (
+              |    SELECT v.vec_id, c.cid, v.embedding,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |        ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
+              |    FROM codes v CROSS JOIN cents1n c) t WHERE rn = 1),
+              |q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
+              |qp AS (SELECT cid FROM (
+              |    SELECT c.cid, row_number() OVER (
+              |      ORDER BY ${dotSqlOf("c.cvec", "q.qvec")} / c.cnorm DESC, c.cid) AS rn
+              |    FROM cents1n c CROSS JOIN q) t WHERE rn <= $NProbe)
+              |SELECT a.vec_id, ${dotSqlOf("a.embedding", "q.qvec")} AS score
+              |FROM a1 a JOIN qp ON a.cid = qp.cid CROSS JOIN q
+              |WHERE a.vec_id <> 0
+              |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
+
     Q("e04_vector_norms",
       (s, dir) => emb(s, dir)
         .select(col("vec_id"),
