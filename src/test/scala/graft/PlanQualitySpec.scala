@@ -65,6 +65,26 @@ class PlanQualitySpec extends SparkSpec {
       assert(g.V("nation").has("n_regionkey", 0).toDF.count() === 5)
     }
 
+    it("takes the shuffled-hash path for the salted skew join") {
+      // q88's whole point is spreading a hot key across partitions — a
+      // silently re-planned broadcast join would make the salt a no-op
+      val df = graft.queries.JoinQueries.all.find(_.name == "q88_skew_salted_join").get
+        .fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), plan)
+    }
+
+    it("keeps the trained-IVF centroid passes broadcast") {
+      // e06: both assignment passes and the probe join must broadcast the
+      // K-row centroid/probe tables — a shuffle there would move the whole
+      // corpus K times
+      val df = graft.queries.VectorQueries.all.find(_.name == "e06_ivf_lloyd_ann").get
+        .fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+
     it("keeps per-row pipeline expressions inside whole-stage codegen") {
       val df = graft.sources.TestData.graph(spark, sfDir)
         .V("documents").df
