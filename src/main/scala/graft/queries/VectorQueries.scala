@@ -161,6 +161,41 @@ object VectorQueries {
               |WHERE a.vec_id <> 0 AND bit_count(xor(a.code, q.qcode)) <= $ProbeRadius
               |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
 
+    Q("e07_ann_recall_metric",
+      // index-quality monitoring: recall@5 of the SRP multi-probe against
+      // the brute-force truth, plus the candidate (scan) count — the
+      // metric a production ANN deployment computes on a sampled query set
+      // to decide when NBits/ProbeRadius need retuning. Truth is a top-5
+      // over the corpus (the sampled audit pays brute force ONCE to price
+      // the index); candidates come via the same probe predicate the
+      // index serves. Both sides are tiny aggregates crossed at the end —
+      // nothing but the brute-force audit scan touches the corpus.
+      (s, dir) => {
+        val coded = codedVectors(s, dir)
+        val q = coded.where(col("vec_id") === 0)
+          .select(col("code").as("qcode"), col("embedding").as("qvec"))
+        val truth = coded.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+        val cand = coded.where(col("vec_id") =!= 0)
+          .join(broadcast(q), expr(s"bit_count(code ^ qcode) <= $ProbeRadius"))
+          .select(col("vec_id"))
+        val hits = truth.join(cand, "vec_id")
+          .agg((count(lit(1)).cast("double") / 5d).as("recall_at_5"))
+        val scanned = cand.agg(count(lit(1)).as("scanned"))
+        hits.crossJoin(scanned)
+      },
+      Some(s"""WITH codes AS ($codesSql),
+              |q AS (SELECT code AS qcode, embedding AS qvec FROM codes WHERE vec_id = 0),
+              |truth AS (SELECT a.vec_id FROM codes a CROSS JOIN q WHERE a.vec_id <> 0
+              |  ORDER BY ${dotSqlOf("a.embedding", "q.qvec")} DESC, a.vec_id LIMIT 5),
+              |cand AS (SELECT a.vec_id FROM codes a CROSS JOIN q
+              |  WHERE a.vec_id <> 0 AND bit_count(xor(a.code, q.qcode)) <= $ProbeRadius)
+              |SELECT (SELECT CAST(count(*) AS DOUBLE) / 5 FROM truth JOIN cand USING (vec_id)) AS recall_at_5,
+              |  (SELECT count(*) FROM cand) AS scanned""".stripMargin)),
+
     Q("e03_knn_bucketed_join",
       // k-NN JOIN: each query explodes into its probe codes (Hamming ≤
       // ProbeRadius masks); candidates arrive via an equi-join on the code
