@@ -50,6 +50,25 @@ class PlanQualitySpec extends SparkSpec {
       assert(filtered.count() > 0)
     }
 
+    it("reads JSON- and ORC-backed vertex tables through the same traversal surface") {
+      // storage-agnostic catalog, continued: the same VertexTable slot
+      // accepts any DataFrame-producing source — JSON (schema-on-read
+      // ingest) and ORC (the other columnar format a lake migration meets)
+      val dir = java.nio.file.Files.createTempDirectory("graft_srcfmt").toString
+      val nation = graft.sources.TestData.graph(spark, sfDir).V("nation").df
+      nation.write.mode("overwrite").json(s"$dir/nation_json")
+      nation.write.mode("overwrite").orc(s"$dir/nation_orc")
+      for (df <- Seq(
+          spark.read.schema(nation.schema).json(s"$dir/nation_json"),
+          spark.read.orc(s"$dir/nation_orc"))) {
+        val g = new graft.traversal.Graph(
+          spark,
+          Map("nation" -> graft.traversal.VertexTable("nation", df, "n_nationkey")),
+          Map.empty)
+        assert(g.V("nation").has("n_regionkey", 0).toDF.count() === 5)
+      }
+    }
+
     it("reads a CSV-backed vertex table through the same traversal surface") {
       // the catalog is storage-agnostic: any DataFrame-producing source
       // slots in as a VertexTable (parquet is just the default)
