@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Property test for the native decimal dot product: on randomly generated
+ * float vectors (mixed magnitudes, negative zero, subnormals, null
+ * elements) the compiled expression must equal the declarative
+ * `aggregate(zip_with(...))` decimal form bit-for-bit — that equality is
+ * what the DuckDB oracle parity of every vector query rests on. All 200
+ * generated pairs are evaluated in ONE Spark job (each pair a row), not
+ * one job per case.
+ */
+class NativeExprPropertySpec extends SparkSpec {
+
+  private val finiteFloat: Gen[Float] = Gen.oneOf(
+    Gen.choose(-1e6f, 1e6f),
+    Gen.choose(-1f, 1f),
+    Gen.oneOf(0f, -0f, 1.4e-45f, -1.4e-45f, 3.1415927f, -2.5f, 1e-20f))
+    .flatMap(g => g)
+
+  private val elem: Gen[Option[Float]] =
+    Gen.frequency(9 -> finiteFloat.map(Some(_)), 1 -> Gen.const(None))
+
+  private val pair: Gen[(Seq[Option[Float]], Seq[Option[Float]])] = for {
+    n <- Gen.choose(0, 96)
+    x <- Gen.listOfN(n, elem)
+    y <- Gen.listOfN(n, elem)
+  } yield (x, y)
+
+  it("DecimalDotProduct equals the declarative decimal aggregate on 200 random vectors") {
+    import spark.implicits._
+    val cases = Gen.listOfN(200, pair)
+      .apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(fail("generator exhausted"))
+    val df = cases.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val both = df.select(
+      col("id"),
+      GraftBridge.column(graft.functions.DecimalDotProduct(
+        GraftBridge.expression(col("x")), GraftBridge.expression(col("y")))).as("native"),
+      // DECIMAL(38,12) like the DuckDB oracle's dotSqlOf — the (20,12) form
+      // has 8 integer digits and overflows on |prod| >= 1e8, which is a
+      // limit of the REFERENCE formulation, not of the native expression
+      // (unbounded BigDecimal accumulation)
+      expr("""CAST(aggregate(zip_with(x, y, (a, b) -> CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(38,12))),
+             |  CAST(0 AS DECIMAL(38,12)), (acc, v) -> CAST(acc + v AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+        .as("declarative"))
+    val diverging = both.where(!(col("native") <=> col("declarative"))).collect()
+    assert(diverging.isEmpty, diverging.take(5).mkString("\n"))
+  }
+}
