@@ -53,4 +53,37 @@ class NativeExprPropertySpec extends SparkSpec {
     val diverging = both.where(!(col("native") <=> col("declarative"))).collect()
     assert(diverging.isEmpty, diverging.take(5).mkString("\n"))
   }
+
+  // contract scope: ≥1 non-null hash per row — the engine only signs
+  // shingle arrays of filtered documents (≥3 tokens), and on an empty /
+  // all-null array the declarative array_min yields null where the native
+  // form yields the MaxValue sentinel
+  private val hashElem: Gen[Option[Long]] =
+    Gen.frequency(9 -> Gen.choose(0L, 4294967295L).map(Some(_)), 1 -> Gen.const(None))
+
+  private val hashArray: Gen[Seq[Option[Long]]] = for {
+    n <- Gen.choose(0, 60)
+    xs <- Gen.listOfN(n, hashElem)
+    pinned <- Gen.choose(0L, 4294967295L)
+  } yield Some(pinned) +: xs
+
+  it("MinHashSignature equals K independent transform+array_min columns on 200 random hash arrays") {
+    import spark.implicits._
+    val P = 4294967311L
+    val as = Seq(3L, 1048573L, 7919L, 536870909L, 2L, 104729L, 15485863L, 999983L)
+    val bs = Seq(11L, 99991L, 0L, 4294967295L, 1L, 7L, 123456789L, 31L)
+    val cases = Gen.listOfN(200, hashArray)
+      .apply(Gen.Parameters.default, Seed(7L))
+      .getOrElse(fail("generator exhausted"))
+    val df = cases.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }.toDF("id", "hs")
+    val both = df.select(
+      col("id"),
+      GraftBridge.column(graft.functions.MinHashSignature(
+        GraftBridge.expression(col("hs")), as, bs, P)).as("native"),
+      array(as.zip(bs).map { case (a, b) =>
+        array_min(transform(col("hs"), h => (h * lit(a) + lit(b)) % lit(P)))
+      }: _*).as("declarative"))
+    val diverging = both.where(!(col("native") <=> col("declarative"))).collect()
+    assert(diverging.isEmpty, diverging.take(5).mkString("\n"))
+  }
 }
