@@ -90,6 +90,14 @@ object PipelineQueries {
              | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
              |ORDER BY 1, 2""".stripMargin)),
 
+    Q("s08_stream_minhash_index",
+      // the dedup signature index maintained incrementally: the d08 plan
+      // (stateless shingle→MinHash selects) over a streaming documents
+      // source — same oracle as the batch index, proving stream and batch
+      // builds agree row-for-row
+      (s, dir) => StreamAgg.minhashIndexStream(s, dir),
+      TextQueries.all.find(_.name == "d08_minhash_signature").get.oracle),
+
     Q("s07_stream_foreachbatch_upsert",
       // streaming write path: per-batch MERGE of key aggregates into a
       // versioned state table via foreachBatch (the insert/upsert sink)

@@ -86,6 +86,12 @@ object TextQueries {
     hashedShingles(source).select(col("doc_id"), sigCol.as("sig"))
   }
 
+  /** The signature pipeline applied to an arbitrary (possibly STREAMING)
+    * documents source — every step is a stateless select/filter, so the
+    * same plan that builds the stored batch index maintains it
+    * incrementally over a stream (used by s08). */
+  private[graft] def streamSignatures(source: DataFrame): DataFrame = signatures(source)
+
   /** The materialized signature table — cached per (session, dir) like
     * the table catalog: a production near-dup pipeline computes MinHash
     * signatures ONCE and stores them; the signature report (d08), the

@@ -31,33 +31,60 @@ object StreamAgg {
     try body finally spark.conf.set(key, old)
   }
 
-  /** The events file staged as a streaming source (a scratch symlink dir —
-    * the file stream source wants a directory), with `ts` normalized. */
-  private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
+  /** A single parquet file staged as a streaming source directory (the
+    * file stream source wants a directory): a scratch symlink dir keyed
+    * by a strong digest of the absolute source path (a String.hashCode
+    * collision between two data dirs would silently aggregate the wrong
+    * dataset). A stale link whose target differs is recreated. */
+  private def stagedFileStream(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    // The file stream source wants a directory; stage a symlink to the
-    // (read-only) events file in a scratch dir keyed by a strong digest of
-    // the absolute source path (a String.hashCode collision between two
-    // data dirs would silently aggregate the wrong dataset). A stale link
-    // whose target differs is recreated.
     val target = java.nio.file.Paths.get(path).toAbsolutePath
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(target.toString.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     val streamDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream_" + digest)
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
+    val link = streamDir.resolve(target.getFileName)
     if (java.nio.file.Files.isSymbolicLink(link) &&
         java.nio.file.Files.readSymbolicLink(link) != target)
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, target)
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** The events file staged as a streaming source, with `ts` normalized. */
+  private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = stagedFileStream(spark, s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
+  }
+
+  /** The MinHash signature index built INCREMENTALLY over a documents
+    * stream (SURVEY §2.9 × the dedup pipeline): the exact stateless
+    * select/filter plan that builds the stored batch signature table
+    * (TextQueries d08) run as a Structured Streaming query — new
+    * documents append their signatures to the index with no state at
+    * all, which is why the near-dup index of a growing 100 TB corpus is
+    * maintained by a stream job, not nightly rebuilds. Banding and
+    * candidate joins then read the signature table batch-side
+    * (stream-static, as d09 does). */
+  def minhashIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
+    val sig = graft.queries.TextQueries.streamSignatures(docsStream)
+      .select(col("doc_id"), concat_ws(",", col("sig").cast("array<string>")).as("sig"))
+    val name = "stream_sig_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val q = sig.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("doc_id")
   }
 
   /** Daily count+sum buckets over a parquet events stream, processed with
