@@ -20,7 +20,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // STDOUT, not stderr: with run/outputStrategy = StdoutOutput the
+        // forked JVM's streams pass through raw, and tools/check.py greps
+        // sbt stdout for these diagnostics
+        println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -179,9 +179,13 @@ object VectorQueries {
           .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
           .orderBy(col("score").desc, col("vec_id").asc)
           .limit(5)
+        // materialized once: both the hit count and the scan count read it,
+        // and an unshared plan would re-run the probe join (a full extra
+        // index scan per audit at scale)
         val cand = coded.where(col("vec_id") =!= 0)
           .join(broadcast(q), expr(s"bit_count(code ^ qcode) <= $ProbeRadius"))
           .select(col("vec_id"))
+          .localCheckpoint()
         val hits = truth.join(cand, "vec_id")
           .agg((count(lit(1)).cast("double") / 5d).as("recall_at_5"))
         val scanned = cand.agg(count(lit(1)).as("scanned"))

@@ -18,6 +18,16 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object StreamAgg {
 
+  /** Drain a memory-sink table: materialize the (small, bounded) replay
+    * result and DROP the backing temp view — without this every streaming
+    * query invocation would pin its full result in driver memory for the
+    * session lifetime (Bench/Verify run all queries in one session). */
+  private def drainMemorySink(spark: SparkSession, name: String, ordered: DataFrame): DataFrame = {
+    val out = ordered.localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Run a synchronous streaming query with a reduced state-partition
     * count: each shuffle partition becomes a state-store directory with
     * per-batch commit files, so 32 partitions of near-empty state are
@@ -84,7 +94,7 @@ object StreamAgg {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("doc_id")
+    drainMemorySink(spark, name, spark.table(name).orderBy("doc_id"))
   }
 
   /** Daily count+sum buckets over a parquet events stream, processed with
@@ -106,7 +116,7 @@ object StreamAgg {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("bucket_ms")
+    drainMemorySink(spark, name, spark.table(name).orderBy("bucket_ms"))
   }
 
   /** Streaming exact deduplication: the distinct (user_id, event_type)
@@ -129,7 +139,7 @@ object StreamAgg {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("user_id", "event_type")
+    drainMemorySink(spark, name, spark.table(name).orderBy("user_id", "event_type"))
   }
 
   /** Streaming dedup with BOUNDED state: distinct (user_id, event_type,
@@ -155,7 +165,7 @@ object StreamAgg {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("user_id", "event_type", "day_ms")
+    drainMemorySink(spark, name, spark.table(name).orderBy("user_id", "event_type", "day_ms"))
   }
 
   /** Streaming upsert via foreachBatch (SURVEY §2.1 — the streaming
@@ -239,7 +249,7 @@ object StreamAgg {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("event_id")
+    drainMemorySink(spark, name, spark.table(name).orderBy("event_id"))
   }
 
   /** Stream-stream time-interval self-join: pairs of events by the same
@@ -266,7 +276,7 @@ object StreamAgg {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("a_id", "b_id")
+    drainMemorySink(spark, name, spark.table(name).orderBy("a_id", "b_id"))
   }
 
   /** Watermarked append-mode variant (the unbounded-stream shape): 1-hour
@@ -342,6 +352,6 @@ object StreamAgg {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("bucket_ms")
+    drainMemorySink(spark, name, spark.table(name).orderBy("bucket_ms"))
   }
 }

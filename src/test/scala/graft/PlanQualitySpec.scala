@@ -12,6 +12,19 @@ class PlanQualitySpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Temp scratch for write-then-read tests, deleted afterwards — CI runs
+    * must not accumulate tmpdir litter. */
+  private def withScratchDir[T](prefix: String)(body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally {
+      val st = java.nio.file.Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
+
   describe("plan quality on the testdata graph") {
 
     it("pushes a has() filter into the parquet scan") {
@@ -41,47 +54,50 @@ class PlanQualitySpec extends SparkSpec {
       // the SURVEY §4 claim "label filter = partition pruning for free",
       // demonstrated: documents written partitioned by lang, filtered scan
       // reads only the matching partition directories
-      val dir = java.nio.file.Files.createTempDirectory("graft_partpr").toString
-      graft.sources.TestData.graph(spark, sfDir).V("documents").df
-        .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
-      val filtered = spark.read.parquet(s"$dir/docs").where(col("lang") === "en")
-      val plan = filtered.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
-      assert(filtered.count() > 0)
+      withScratchDir("graft_partpr") { dir =>
+        graft.sources.TestData.graph(spark, sfDir).V("documents").df
+          .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
+        val filtered = spark.read.parquet(s"$dir/docs").where(col("lang") === "en")
+        val plan = filtered.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+        assert(filtered.count() > 0)
+      }
     }
 
     it("reads JSON- and ORC-backed vertex tables through the same traversal surface") {
       // storage-agnostic catalog, continued: the same VertexTable slot
       // accepts any DataFrame-producing source — JSON (schema-on-read
       // ingest) and ORC (the other columnar format a lake migration meets)
-      val dir = java.nio.file.Files.createTempDirectory("graft_srcfmt").toString
-      val nation = graft.sources.TestData.graph(spark, sfDir).V("nation").df
-      nation.write.mode("overwrite").json(s"$dir/nation_json")
-      nation.write.mode("overwrite").orc(s"$dir/nation_orc")
-      for (df <- Seq(
-          spark.read.schema(nation.schema).json(s"$dir/nation_json"),
-          spark.read.orc(s"$dir/nation_orc"))) {
-        val g = new graft.traversal.Graph(
-          spark,
-          Map("nation" -> graft.traversal.VertexTable("nation", df, "n_nationkey")),
-          Map.empty)
-        assert(g.V("nation").has("n_regionkey", 0).toDF.count() === 5)
+      withScratchDir("graft_srcfmt") { dir =>
+        val nation = graft.sources.TestData.graph(spark, sfDir).V("nation").df
+        nation.write.mode("overwrite").json(s"$dir/nation_json")
+        nation.write.mode("overwrite").orc(s"$dir/nation_orc")
+        for (df <- Seq(
+            spark.read.schema(nation.schema).json(s"$dir/nation_json"),
+            spark.read.orc(s"$dir/nation_orc"))) {
+          val g = new graft.traversal.Graph(
+            spark,
+            Map("nation" -> graft.traversal.VertexTable("nation", df, "n_nationkey")),
+            Map.empty)
+          assert(g.V("nation").has("n_regionkey", 0).toDF.count() === 5)
+        }
       }
     }
 
     it("reads a CSV-backed vertex table through the same traversal surface") {
       // the catalog is storage-agnostic: any DataFrame-producing source
       // slots in as a VertexTable (parquet is just the default)
-      val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
-      graft.sources.TestData.graph(spark, sfDir).V("nation").df
-        .write.option("header", "true").mode("overwrite").csv(s"$dir/nation")
-      val csvDf = spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(s"$dir/nation")
-      val g = new graft.traversal.Graph(
-        spark,
-        Map("nation" -> graft.traversal.VertexTable("nation", csvDf, "n_nationkey")),
-        Map.empty)
-      assert(g.V("nation").has("n_regionkey", 0).toDF.count() === 5)
+      withScratchDir("graft_csv") { dir =>
+        graft.sources.TestData.graph(spark, sfDir).V("nation").df
+          .write.option("header", "true").mode("overwrite").csv(s"$dir/nation")
+        val csvDf = spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(s"$dir/nation")
+        val g = new graft.traversal.Graph(
+          spark,
+          Map("nation" -> graft.traversal.VertexTable("nation", csvDf, "n_nationkey")),
+          Map.empty)
+        assert(g.V("nation").has("n_regionkey", 0).toDF.count() === 5)
+      }
     }
 
     it("takes the shuffled-hash path for the salted skew join") {
@@ -100,8 +116,14 @@ class PlanQualitySpec extends SparkSpec {
       val df = graft.queries.VectorQueries.all.find(_.name == "e06_ivf_lloyd_ann").get
         .fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+      // the plan has several corpus × centroid-table joins (two assignment
+      // passes, two probe sides, the final rescore) — ALL of them must be
+      // broadcast; a single unhinted one would show up as a
+      // CartesianProduct or SortMergeJoin over the corpus
+      val broadcasts = "Broadcast(NestedLoop|Hash)Join".r.findAllIn(plan).size
+      assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$plan")
       assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
     }
 
     it("keeps per-row pipeline expressions inside whole-stage codegen") {
