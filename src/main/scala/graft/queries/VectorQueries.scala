@@ -125,6 +125,76 @@ object VectorQueries {
     """CAST(list_sum(list_transform(list_zip(a.embedding, q.qvec),
       |  x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)""".stripMargin
 
+  // ------------------------------------------ shared IVF machinery (e05/e06)
+  // ONE definition each of the seed-centroid sample, the nearest-centroid
+  // assignment, and the probe+rescore tail, in BOTH engines — a change to
+  // the tie-break, the probe count, or the assignment shape lands in every
+  // variant at once instead of silently breaking cross-engine bit-parity
+  // in one of four hand-copied blocks.
+
+  /** Deterministic hash-sample seed centroids: the KCent vectors with the
+    * smallest md5(vec_id). */
+  private def seedCentroids(coded: DataFrame): DataFrame =
+    coded.orderBy(expr("md5(cast(vec_id AS STRING))"), col("vec_id"))
+      .limit(KCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
+
+  /** Nearest-centroid assignment: map-side cosine scores against the
+    * broadcast centroid table, argmax over NARROW (vec_id, cid, cos) rows
+    * — shuffling K copies of the full embedding would be a K× data blowup
+    * at scale; embeddings are re-fetched by id only where needed. */
+  private def assignToCentroids(coded: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
+    coded.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotNative("embedding", "cvec") / col("cnorm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Query side: probe the NProbe nearest centroid buckets of vec 0 and
+    * exact-rescore only inside them (bucket pruning on the stored index). */
+  private def probeAndRescore(coded: DataFrame, cents: DataFrame, assign: DataFrame): DataFrame = {
+    val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val qprobe = cents.crossJoin(broadcast(q))
+      .withColumn("qcos", dotNative("cvec", "qvec") / col("cnorm"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("qcos").desc, col("cid").asc)))
+      .where(col("rn") <= NProbe)
+      .select(col("cid"))
+    assign.join(broadcast(qprobe), "cid")
+      .where(col("vec_id") =!= 0)
+      .join(coded.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** DuckDB mirrors of the three blocks above (CTE bodies/tails
+    * parameterized by the centroid/assignment CTE names). */
+  private val seedCentsSqlBody: String =
+    s"""SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm FROM codes
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KCent""".stripMargin
+
+  private def assignSqlBody(cents: String): String =
+    s"""SELECT vec_id, cid, embedding FROM (
+       |    SELECT v.vec_id, c.cid, v.embedding,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
+       |    FROM codes v CROSS JOIN $cents c) t WHERE rn = 1""".stripMargin
+
+  private def probeRescoreSqlTail(cents: String, assign: String): String =
+    s"""q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
+       |qp AS (SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |      ORDER BY ${dotSqlOf("c.cvec", "q.qvec")} / c.cnorm DESC, c.cid) AS rn
+       |    FROM $cents c CROSS JOIN q) t WHERE rn <= $NProbe)
+       |SELECT a.vec_id, ${dotSqlOf("a.embedding", "q.qvec")} AS score
+       |FROM $assign a JOIN qp ON a.cid = qp.cid CROSS JOIN q
+       |WHERE a.vec_id <> 0
+       |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_knn_bruteforce",
       (s, dir) => {
@@ -275,56 +345,18 @@ object VectorQueries {
       // a broadcast table, the assignment is map-side (no shuffle), the
       // bucket id is the partition/bucket key of the stored index, and a
       // probe is partition pruning — the complement of e02's
-      // data-independent SRP quantizer.
+      // data-independent SRP quantizer. The centroid/assignment/probe
+      // machinery is shared with e06 ([[seedCentroids]],
+      // [[assignToCentroids]], [[probeAndRescore]] and the *Sql builders).
       (s, dir) => {
         val coded = codedVectors(s, dir)
-        val cents = coded
-          .orderBy(expr("md5(cast(vec_id AS STRING))"), col("vec_id"))
-          .limit(KCent)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
-        // assignment scores are computed map-side against the broadcast
-        // centroids, then the argmax window runs over NARROW (vec_id, cid,
-        // cos) rows — shuffling K copies of the full embedding would be an
-        // 8× data blowup at scale; embeddings are re-fetched by id only
-        // for vectors inside the probed buckets (a small fraction)
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
-        val assign = coded.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cid"),
-            (dotNative("embedding", "cvec") / col("cnorm")).as("cos"))
-          .withColumn("rn", row_number().over(wAssign))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("cid"))
-        val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
-        val qprobe = cents.crossJoin(broadcast(q))
-          .withColumn("qcos", dotNative("cvec", "qvec") / col("cnorm"))
-          .withColumn("rn", row_number().over(Window.orderBy(col("qcos").desc, col("cid").asc)))
-          .where(col("rn") <= NProbe)
-          .select(col("cid"))
-        assign.join(broadcast(qprobe), "cid")
-          .where(col("vec_id") =!= 0)
-          .join(coded.select(col("vec_id"), col("embedding")), "vec_id")
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
-          .orderBy(col("score").desc, col("vec_id").asc)
-          .limit(5)
+        val cents = seedCentroids(coded)
+        probeAndRescore(coded, cents, assignToCentroids(coded, cents))
       },
       Some(s"""WITH codes AS ($codesSql),
-              |cents AS (SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm FROM codes
-              |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KCent),
-              |assign AS (SELECT vec_id, cid, embedding FROM (
-              |    SELECT v.vec_id, c.cid, v.embedding,
-              |      row_number() OVER (PARTITION BY v.vec_id
-              |        ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
-              |    FROM codes v CROSS JOIN cents c) t WHERE rn = 1),
-              |q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
-              |qp AS (SELECT cid FROM (
-              |    SELECT c.cid, row_number() OVER (
-              |      ORDER BY ${dotSqlOf("c.cvec", "q.qvec")} / c.cnorm DESC, c.cid) AS rn
-              |    FROM cents c CROSS JOIN q) t WHERE rn <= $NProbe)
-              |SELECT a.vec_id, ${dotSqlOf("a.embedding", "q.qvec")} AS score
-              |FROM assign a JOIN qp ON a.cid = qp.cid CROSS JOIN q
-              |WHERE a.vec_id <> 0
-              |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
+              |cents AS ($seedCentsSqlBody),
+              |assign AS (${assignSqlBody("cents")}),
+              |${probeRescoreSqlTail("cents", "assign")}""".stripMargin)),
 
     Q("e06_ivf_lloyd_ann",
       // e05's quantizer TRAINED: one spherical-Lloyd iteration from the
@@ -342,55 +374,23 @@ object VectorQueries {
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
         val coded = codedVectors(s, dir)
-        val cents0 = coded
-          .orderBy(expr("md5(cast(vec_id AS STRING))"), col("vec_id"))
-          .limit(KCent)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
-        // nearest-centroid assignment: map-side scores vs broadcast
-        // centroids, argmax over narrow (vec_id, cid, cos) rows
-        def assignTo(cents: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
-          coded.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("cid"),
-              (dotNative("embedding", "cvec") / col("cnorm")).as("cos"))
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1)
-            .select(col("vec_id"), col("cid"))
-        }
+        val a0 = assignToCentroids(coded, seedCentroids(coded))
         // Lloyd update: exact decimal component sums per cluster, emitted
         // as float so the trained centroid feeds the same native decimal
         // dot as the seeds (double→float rounding is IEEE, identical in
         // both engines)
-        val sums = coded.join(assignTo(cents0), "vec_id")
+        val sums = coded.join(a0, "vec_id")
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cid"), col("pos"))
           .agg(sum(col("v").cast(DecimalType(38, 6))).cast("double").as("sv"))
         val cents1 = sums.groupBy(col("cid"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> CAST(x.sv AS FLOAT))").as("cvec"))
           .withColumn("cnorm", sqrt(dotNative("cvec", "cvec")))
-        val a1 = assignTo(cents1)
-        val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
-        val qprobe = cents1.crossJoin(broadcast(q))
-          .withColumn("qcos", dotNative("cvec", "qvec") / col("cnorm"))
-          .withColumn("rn", row_number().over(Window.orderBy(col("qcos").desc, col("cid").asc)))
-          .where(col("rn") <= NProbe)
-          .select(col("cid"))
-        a1.join(broadcast(qprobe), "cid")
-          .where(col("vec_id") =!= 0)
-          .join(coded.select(col("vec_id"), col("embedding")), "vec_id")
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
-          .orderBy(col("score").desc, col("vec_id").asc)
-          .limit(5)
+        probeAndRescore(coded, cents1, assignToCentroids(coded, cents1))
       },
       Some(s"""WITH codes AS ($codesSql),
-              |cents0 AS (SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm FROM codes
-              |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KCent),
-              |a0 AS (SELECT vec_id, cid FROM (
-              |    SELECT v.vec_id, c.cid,
-              |      row_number() OVER (PARTITION BY v.vec_id
-              |        ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
-              |    FROM codes v CROSS JOIN cents0 c) t WHERE rn = 1),
+              |cents0 AS ($seedCentsSqlBody),
+              |a0 AS (${assignSqlBody("cents0")}),
               |sums AS (
               |  SELECT a0.cid, t.i AS pos,
               |    CAST(SUM(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sv
@@ -398,20 +398,8 @@ object VectorQueries {
               |  GROUP BY 1, 2),
               |cents1 AS (SELECT cid, list(CAST(sv AS FLOAT) ORDER BY pos) AS cvec FROM sums GROUP BY cid),
               |cents1n AS (SELECT cid, cvec, sqrt(${dotSqlOf("cvec", "cvec")}) AS cnorm FROM cents1),
-              |a1 AS (SELECT vec_id, cid, embedding FROM (
-              |    SELECT v.vec_id, c.cid, v.embedding,
-              |      row_number() OVER (PARTITION BY v.vec_id
-              |        ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
-              |    FROM codes v CROSS JOIN cents1n c) t WHERE rn = 1),
-              |q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
-              |qp AS (SELECT cid FROM (
-              |    SELECT c.cid, row_number() OVER (
-              |      ORDER BY ${dotSqlOf("c.cvec", "q.qvec")} / c.cnorm DESC, c.cid) AS rn
-              |    FROM cents1n c CROSS JOIN q) t WHERE rn <= $NProbe)
-              |SELECT a.vec_id, ${dotSqlOf("a.embedding", "q.qvec")} AS score
-              |FROM a1 a JOIN qp ON a.cid = qp.cid CROSS JOIN q
-              |WHERE a.vec_id <> 0
-              |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
+              |a1 AS (${assignSqlBody("cents1n")}),
+              |${probeRescoreSqlTail("cents1n", "a1")}""".stripMargin)),
 
     Q("e04_vector_norms",
       (s, dir) => emb(s, dir)
