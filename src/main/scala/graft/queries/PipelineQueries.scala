@@ -38,6 +38,54 @@ object PipelineQueries {
              |  md5(text) AS content_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("m04_modality_routing",
+      // modality dispatch: payloads routed by mime class into per-modality
+      // feature pipelines (image → codec features via the per-partition
+      // mapPartitions stage, audio → frame sampling, text → tokenization),
+      // then unioned under one feature schema. Routing is a filter per
+      // branch (partition-prunable when the lake partitions by modality);
+      // each branch keeps its own batch shape, and the union returns to
+      // one narrow Catalyst-planned schema.
+      (s, dir) => {
+        val docs = TestData.graph(s, dir).V("documents").df
+          .select(col("doc_id"), col("text"),
+            element_at(array(lit("image/png"), lit("audio/wav"), lit("text/plain")),
+              (col("doc_id") % 3).cast("int") + 1).as("mime"))
+        val img = Multimodal.extractFeatures(s,
+          docs.where(col("mime") === "image/png")
+            .select(col("doc_id"), col("text").cast("binary").as("blob")))
+          .select(col("doc_id"), lit("image").as("modality"),
+            col("byte_len").as("feat"), col("content_md5").as("detail"))
+        val audio = Multimodal.sampleFrames(s,
+          docs.where(col("mime") === "audio/wav")
+            .select(col("doc_id"), col("text").cast("binary").as("blob")), 4)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("feat"), min(col("frame_md5")).as("detail"))
+          .select(col("doc_id"), lit("audio").as("modality"), col("feat"), col("detail"))
+        val txt = docs.where(col("mime") === "text/plain")
+          .select(col("doc_id"), lit("text").as("modality"),
+            size(split(col("text"), " ")).cast("bigint").as("feat"),
+            element_at(split(col("text"), " "), 1).as("detail"))
+        img.unionByName(audio).unionByName(txt).orderBy("doc_id")
+      },
+      Some("""WITH routed AS (SELECT doc_id, text,
+             |    ['image/png','audio/wav','text/plain'][CAST(doc_id % 3 AS INT) + 1] AS mime
+             |  FROM documents)
+             |SELECT doc_id, 'image' AS modality, CAST(length(text) AS BIGINT) AS feat,
+             |  md5(text) AS detail
+             |FROM routed WHERE mime = 'image/png'
+             |UNION ALL
+             |SELECT doc_id, 'audio', 4,
+             |  (SELECT min(md5(substr(r.text, CAST(i*length(r.text)//4 + 1 AS BIGINT),
+             |     CAST((i+1)*length(r.text)//4 - i*length(r.text)//4 AS BIGINT))))
+             |   FROM (SELECT unnest(generate_series(0, 3)) AS i))
+             |FROM routed r WHERE mime = 'audio/wav'
+             |UNION ALL
+             |SELECT doc_id, 'text', CAST(len(string_split(text, ' ')) AS BIGINT),
+             |  split_part(text, ' ', 1)
+             |FROM routed WHERE mime = 'text/plain'
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("m02_frame_sample",
       // video/audio frame-sampling plumbing: each payload fans out to 4
       // evenly-spaced byte slices; text is ASCII so the oracle reproduces
@@ -89,6 +137,12 @@ object PipelineQueries {
              |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
              | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
              |ORDER BY 1, 2""".stripMargin)),
+
+    Q("s09_stream_dedup_within_watermark",
+      // the dedicated bounded-state dedup operator: natural key kept,
+      // state expired by the watermark (vs s04's window-in-key encoding)
+      (s, dir) => StreamAgg.streamDedupWithinWatermark(s, dir),
+      Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2")),
 
     Q("s08_stream_minhash_index",
       // the dedup signature index maintained incrementally: the d08 plan

@@ -97,6 +97,33 @@ object StreamAgg {
     drainMemorySink(spark, name, spark.table(name).orderBy("doc_id"))
   }
 
+  /** Streaming dedup via the DEDICATED bounded-state operator,
+    * `dropDuplicatesWithinWatermark`: unlike [[streamWindowedDistinct]]
+    * (which bounds state by folding an event-time window into the key),
+    * this keeps the NATURAL key and lets the engine expire a key's state
+    * once the watermark passes its last-seen event time + delay — the
+    * first-class Spark shape for at-least-once source dedup, where
+    * duplicates arrive within a bounded disorder horizon. Only key
+    * columns are emitted, so the replay's output SET is the distinct
+    * pairs. */
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val dd = stagedEventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = "stream_ddww_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val q = dd.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemorySink(spark, name, spark.table(name).orderBy("user_id", "event_type"))
+  }
+
   /** Daily count+sum buckets over a parquet events stream, processed with
     * Trigger.AvailableNow into an in-memory table (batch-equivalent run). */
   def dailyBuckets(spark: SparkSession, dir: String): DataFrame = {
