@@ -28,6 +28,25 @@ object StreamAgg {
     out
   }
 
+  /** The shared memory-sink replay harness: run `df` to completion with
+    * Trigger.AvailableNow into a uniquely-named in-memory table (8 state
+    * partitions), then drain it through `order`. ONE definition of the
+    * sink boilerplate — a harness fix (like the drain-and-drop above)
+    * lands in every streaming query at once. */
+  private def replayToMemory(spark: SparkSession, df: DataFrame, prefix: String,
+      outputMode: String)(order: DataFrame => DataFrame): DataFrame = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMemorySink(spark, name, order(spark.table(name)))
+  }
+
   /** Run a synchronous streaming query with a reduced state-partition
     * count: each shuffle partition becomes a state-store directory with
     * per-batch commit files, so 32 partitions of near-empty state are
@@ -85,16 +104,7 @@ object StreamAgg {
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
     val sig = graft.queries.TextQueries.streamSignatures(docsStream)
       .select(col("doc_id"), concat_ws(",", col("sig").cast("array<string>")).as("sig"))
-    val name = "stream_sig_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = sig.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    drainMemorySink(spark, name, spark.table(name).orderBy("doc_id"))
+    replayToMemory(spark, sig, "stream_sig_", "append")(_.orderBy("doc_id"))
   }
 
   /** Streaming dedup via the DEDICATED bounded-state operator,
@@ -105,23 +115,19 @@ object StreamAgg {
     * first-class Spark shape for at-least-once source dedup, where
     * duplicates arrive within a bounded disorder horizon. Only key
     * columns are emitted, so the replay's output SET is the distinct
-    * pairs. */
+    * pairs. INVARIANT the oracle depends on: the staged source is ONE
+    * file and therefore ONE micro-batch — under a multi-batch replay
+    * (e.g. maxFilesPerTrigger) a key recurring more than the watermark
+    * delay after its first sighting would legitimately be re-emitted
+    * after state expiry, and the global-DISTINCT oracle would no longer
+    * apply. */
   def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
     val dd = stagedEventsStream(spark, dir)
       .withWatermark("ts", "1 day")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    val name = "stream_ddww_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = dd.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    drainMemorySink(spark, name, spark.table(name).orderBy("user_id", "event_type"))
+    replayToMemory(spark, dd, "stream_ddww_", "append")(_.orderBy("user_id", "event_type"))
   }
 
   /** Daily count+sum buckets over a parquet events stream, processed with
@@ -134,16 +140,7 @@ object StreamAgg {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
           .cast("double").as("val_sum"))
       .select(unix_millis(col("w.start")).as("bucket_ms"), col("cnt"), col("val_sum"))
-    val name = "stream_daily_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = agg.writeStream
-        .format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    drainMemorySink(spark, name, spark.table(name).orderBy("bucket_ms"))
+    replayToMemory(spark, agg, "stream_daily_", "complete")(_.orderBy("bucket_ms"))
   }
 
   /** Streaming exact deduplication: the distinct (user_id, event_type)
@@ -157,16 +154,7 @@ object StreamAgg {
     val ev = stagedEventsStream(spark, dir)
     val distinctPairs = ev.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = distinctPairs.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    drainMemorySink(spark, name, spark.table(name).orderBy("user_id", "event_type"))
+    replayToMemory(spark, distinctPairs, "stream_dedup_", "append")(_.orderBy("user_id", "event_type"))
   }
 
   /** Streaming dedup with BOUNDED state: distinct (user_id, event_type,
@@ -183,16 +171,7 @@ object StreamAgg {
       .withColumn("w", window(col("ts"), "1 day"))
       .dropDuplicates("user_id", "event_type", "w")
       .select(col("user_id"), col("event_type"), unix_millis(col("w.start")).as("day_ms"))
-    val name = "stream_wdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = dd.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    drainMemorySink(spark, name, spark.table(name).orderBy("user_id", "event_type", "day_ms"))
+    replayToMemory(spark, dd, "stream_wdedup_", "append")(_.orderBy("user_id", "event_type", "day_ms"))
   }
 
   /** Streaming upsert via foreachBatch (SURVEY §2.1 — the streaming
@@ -269,14 +248,7 @@ object StreamAgg {
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("c_mktsegment"))
-    val name = "stream_sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    drainMemorySink(spark, name, spark.table(name).orderBy("event_id"))
+    replayToMemory(spark, joined, "stream_sj_", "append")(_.orderBy("event_id"))
   }
 
   /** Stream-stream time-interval self-join: pairs of events by the same
@@ -294,16 +266,7 @@ object StreamAgg {
       col("a_user") === col("b_user") && col("a_id") < col("b_id") &&
         col("b_ts") >= col("a_ts") && col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
       .select(col("a_id"), col("b_id"))
-    val name = "stream_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = joined.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    drainMemorySink(spark, name, spark.table(name).orderBy("a_id", "b_id"))
+    replayToMemory(spark, joined, "stream_ssj_", "append")(_.orderBy("a_id", "b_id"))
   }
 
   /** Watermarked append-mode variant (the unbounded-stream shape): 1-hour
@@ -370,15 +333,6 @@ object StreamAgg {
       .parquet(stageDir.toString + "/p*")
     val agg = hourlyAppend(spark, stream)
       .select(unix_millis(col("bucket")).as("bucket_ms"), col("cnt"))
-    val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = agg.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    drainMemorySink(spark, name, spark.table(name).orderBy("bucket_ms"))
+    replayToMemory(spark, agg, "stream_hourly_", "append")(_.orderBy("bucket_ms"))
   }
 }
