@@ -86,4 +86,30 @@ class NativeExprPropertySpec extends SparkSpec {
     val diverging = both.where(!(col("native") <=> col("declarative"))).collect()
     assert(diverging.isEmpty, diverging.take(5).mkString("\n"))
   }
+
+  it("SimHash equals an independent sign-counting model on 200 random hash arrays") {
+    import spark.implicits._
+    val NBits = 48
+    // independent reference: straightforward driver-side sign counting
+    // with the same null-skip and counts>0 packing contract
+    def model(hs: Seq[Option[Long]]): Long = {
+      val counts = Array.fill(NBits)(0)
+      hs.foreach(_.foreach { h =>
+        (0 until NBits).foreach(j => if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1)
+      })
+      (0 until NBits).foldLeft(0L)((acc, j) => if (counts(j) > 0) acc | (1L << j) else acc)
+    }
+    val cases = Gen.listOfN(200, hashArray)
+      .apply(Gen.Parameters.default, Seed(99L))
+      .getOrElse(fail("generator exhausted"))
+    val df = cases.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }.toDF("id", "hs")
+    val got = df.select(
+      col("id"),
+      GraftBridge.column(graft.functions.SimHash(
+        GraftBridge.expression(col("hs")), NBits)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (hs, i) =>
+      assert(got(i.toLong) == model(hs), s"case $i: $hs")
+    }
+  }
 }
