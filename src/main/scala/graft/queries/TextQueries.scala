@@ -344,6 +344,36 @@ object TextQueries {
               |FROM reps WHERE doc_id NOT IN (SELECT b_id FROM dropped)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("d22_neardup_clusters",
+      // TRANSITIVE near-dup clustering: connected components over the
+      // verified-pair graph (jaccard ≥ 0.8), so A~B and B~C land in one
+      // cluster even when A and C never shared a band bucket — the
+      // canonicalization step production dedup runs after pairwise verify
+      // (keep-one-per-cluster follows by picking the min doc_id, which IS
+      // the emitted component label). Composes two stored artifacts: the
+      // verified-pairs index and the GraphX fixed-point machinery (g01);
+      // message-passing components, no driver-side state. The oracle
+      // reproduces the fixpoint with a recursive reachability CTE —
+      // feasible because the pair graph is tiny relative to the corpus
+      // (that asymmetry is exactly why clustering after LSH is cheap).
+      (s, dir) => {
+        val edges = verifiedPairs(s, dir)
+          .where(col("jaccard") >= 0.8)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        graft.analytics.GraphAnalytics.connectedComponents(s, edges)
+          .select(col("vid").as("doc_id"), col("component").as("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE jac AS ($jacSql),
+              |e AS (SELECT a_id AS a, b_id AS b FROM jac WHERE jaccard >= 0.8
+              |      UNION ALL SELECT b_id, a_id FROM jac WHERE jaccard >= 0.8),
+              |nodes AS (SELECT DISTINCT a AS doc FROM e),
+              |r AS (SELECT doc AS src, doc AS dst FROM nodes
+              |      UNION
+              |      SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
+              |SELECT src AS doc_id, min(dst) AS cluster FROM r
+              |GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     Q("d13_bpe_tokens",
       // BPE-ish regex tokenization (letter runs | digit runs | single
       // punctuation) alongside the whitespace count of d03
