@@ -374,6 +374,40 @@ object TextQueries {
               |SELECT src AS doc_id, min(dst) AS cluster FROM r
               |GROUP BY src ORDER BY doc_id""".stripMargin)),
 
+    Q("d23_pii_redaction",
+      // PII scrubbing — the redaction pass every training-data pipeline
+      // runs before release: emails then digit runs replaced by typed
+      // placeholders, with match counts and a digest of the redacted text
+      // as the audit record. Pure per-row regex work: codegen'd, no
+      // shuffle, trivially corpus-parallel. The synthetic corpus has no
+      // organic PII, so a deterministic PII-shaped suffix (same
+      // construction in both engines) is injected to make the match
+      // counts non-trivial; digit counting runs AFTER email redaction so
+      // an address's digits aren't double-counted.
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com phone "), (col("doc_id") * 7 + 1000000).cast("string")).as("t"))
+        .select(col("doc_id"),
+          expr("CAST(size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', 0)) AS BIGINT)").as("n_emails"),
+          expr("regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>')").as("t1"))
+        .select(col("doc_id"), col("n_emails"),
+          expr("CAST(size(regexp_extract_all(t1, '[0-9]+', 0)) AS BIGINT)").as("n_nums"),
+          md5(expr("regexp_replace(t1, '[0-9]+', '<NUM>')").cast("binary")).as("red_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com phone '
+             |      || CAST(doc_id * 7 + 1000000 AS VARCHAR) AS t
+             |  FROM documents),
+             |r1 AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+             |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS t1
+             |  FROM t)
+             |SELECT doc_id, n_emails,
+             |  CAST(len(regexp_extract_all(t1, '[0-9]+')) AS BIGINT) AS n_nums,
+             |  md5(regexp_replace(t1, '[0-9]+', '<NUM>', 'g')) AS red_md5
+             |FROM r1 ORDER BY doc_id""".stripMargin)),
+
     Q("d13_bpe_tokens",
       // BPE-ish regex tokenization (letter runs | digit runs | single
       // punctuation) alongside the whitespace count of d03
