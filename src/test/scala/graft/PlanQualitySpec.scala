@@ -100,6 +100,27 @@ class PlanQualitySpec extends SparkSpec {
       }
     }
 
+    it("reads an evolved-schema table (added column) through mergeSchema") {
+      // lake reality at 100 TB: partitions written before a schema change
+      // lack the new column; the catalog must read old+new together with
+      // nulls for the missing column, not fail or drop partitions
+      withScratchDir("graft_evolve") { dir =>
+        import spark.implicits._
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+          .write.parquet(s"$dir/t/batch=1")
+        Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra")
+          .write.parquet(s"$dir/t/batch=2")
+        val df = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+        val g = new graft.traversal.Graph(
+          spark,
+          Map("t" -> graft.traversal.VertexTable("t", df, "id")),
+          Map.empty)
+        val rows = g.V("t").toDF.orderBy("id")
+          .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+        assert(rows == Seq(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
+      }
+    }
+
     it("takes the shuffled-hash path for the salted skew join") {
       // q88's whole point is spreading a hot key across partitions — a
       // silently re-planned broadcast join would make the salt a no-op
