@@ -383,9 +383,15 @@ object VectorQueries {
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cid"), col("pos"))
           .agg(sum(col("v").cast(DecimalType(38, 6))).cast("double").as("sv"))
+        // checkpointed: the trained centroid table has THREE consumers
+        // (second assignment, query probe, rescore) — without
+        // materialization each broadcast re-runs the whole training
+        // lineage (seed assignment + explode + two aggregations), i.e.
+        // several extra corpus passes for an 8-row table
         val cents1 = sums.groupBy(col("cid"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> CAST(x.sv AS FLOAT))").as("cvec"))
           .withColumn("cnorm", sqrt(dotNative("cvec", "cvec")))
+          .localCheckpoint()
         probeAndRescore(coded, cents1, assignToCentroids(coded, cents1))
       },
       Some(s"""WITH codes AS ($codesSql),
