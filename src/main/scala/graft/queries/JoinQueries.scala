@@ -97,6 +97,43 @@ object JoinQueries {
              |  count(*) FILTER (l_linestatus = 'O') AS O
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("q89_window_running_total",
+      // frame-based window aggregate: per-customer running order total in
+      // (date, key) order — ONE shuffle on the partition key, then a
+      // sorted in-partition scan; the decimal accumulator keeps the
+      // running sum bit-stable at any partition count
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        TestData.graph(s, dir).V("orders").df
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+              .over(w).cast("double").as("running"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("q90_cube",
+      // CUBE grouping sets (alongside q78's rollup): all four grouping
+      // combinations in one pass — Spark expands the sets map-side, still
+      // one shuffle; NULL-able group keys are rendered through coalesce so
+      // the total row is distinguishable from a NULL-valued key
+      (s, dir) => TestData.graph(s, dir).V("lineitem").df
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"), col("n"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS rf,
+             |  coalesce(l_linestatus, '<all>') AS ls, count(*) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
     Q("q88_skew_salted_join",
       // SALTED shuffle join — the skew mitigation for a hot join key. A
       // low-cardinality key (event_type here: every key is hot) would pile
