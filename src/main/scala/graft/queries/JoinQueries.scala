@@ -121,16 +121,27 @@ object JoinQueries {
     Q("q90_cube",
       // CUBE grouping sets (alongside q78's rollup): all four grouping
       // combinations in one pass — Spark expands the sets map-side, still
-      // one shuffle; NULL-able group keys are rendered through coalesce so
-      // the total row is distinguishable from a NULL-valued key
+      // one shuffle. Subtotal rows are discriminated with grouping(), NOT
+      // by coalescing the key: a genuinely NULL key value would otherwise
+      // collide with the total row and make the output ambiguous (and its
+      // sort order nondeterministic)
       (s, dir) => TestData.graph(s, dir).V("lineitem").df
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"))
-        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
-          coalesce(col("l_linestatus"), lit("<all>")).as("ls"), col("n"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, lit("<all>"))
+            .otherwise(coalesce(col("l_returnflag"), lit("<null>"))).as("rf"),
+          when(col("g_ls") === 1, lit("<all>"))
+            .otherwise(coalesce(col("l_linestatus"), lit("<null>"))).as("ls"),
+          col("n"))
         .orderBy("rf", "ls"),
-      Some("""SELECT coalesce(l_returnflag, '<all>') AS rf,
-             |  coalesce(l_linestatus, '<all>') AS ls, count(*) AS n
+      Some("""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '<all>'
+             |    ELSE coalesce(l_returnflag, '<null>') END AS rf,
+             |  CASE WHEN GROUPING(l_linestatus) = 1 THEN '<all>'
+             |    ELSE coalesce(l_linestatus, '<null>') END AS ls,
+             |  count(*) AS n
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 

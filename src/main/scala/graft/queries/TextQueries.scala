@@ -44,6 +44,10 @@ object TextQueries {
   private val B = 16 // bands
   private val R = 8 // rows per band (B*R = K)
   private val P = graft.functions.MinHashDefaults.P // prime > 2^32
+  /** Near-dup decision threshold on verified n-gram Jaccard — ONE
+    * definition shared by the removal pipeline (d20) and the transitive
+    * clustering (d22), interpolated into both engines' plans. */
+  private val JaccardThreshold = 0.8
   private val BucketCap = 20 // max docs per LSH bucket (hot buckets dropped)
   private val hashParams: IndexedSeq[(Long, Long)] = graft.functions.MinHashDefaults.params
 
@@ -327,7 +331,7 @@ object TextQueries {
       // and one groupBy.
       (s, dir) => {
         val dropIds = verifiedPairs(s, dir)
-          .where(col("jaccard") >= 0.8)
+          .where(col("jaccard") >= JaccardThreshold)
           .select(col("b_id").as("doc_id")).distinct()
         docs(s, dir)
           .join(repDocIds(s, dir), Seq("doc_id"), "left_semi")
@@ -338,7 +342,7 @@ object TextQueries {
           .orderBy("lang")
       },
       Some(s"""WITH reps AS ($repsSql), jac AS ($jacSql),
-              |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jaccard >= 0.8)
+              |dropped AS (SELECT DISTINCT b_id FROM jac WHERE jaccard >= $JaccardThreshold)
               |SELECT lang, count(*) AS n_docs,
               |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
               |FROM reps WHERE doc_id NOT IN (SELECT b_id FROM dropped)
@@ -358,15 +362,15 @@ object TextQueries {
       // (that asymmetry is exactly why clustering after LSH is cheap).
       (s, dir) => {
         val edges = verifiedPairs(s, dir)
-          .where(col("jaccard") >= 0.8)
+          .where(col("jaccard") >= JaccardThreshold)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         graft.analytics.GraphAnalytics.connectedComponents(s, edges)
           .select(col("vid").as("doc_id"), col("component").as("cluster"))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE jac AS ($jacSql),
-              |e AS (SELECT a_id AS a, b_id AS b FROM jac WHERE jaccard >= 0.8
-              |      UNION ALL SELECT b_id, a_id FROM jac WHERE jaccard >= 0.8),
+              |e AS (SELECT a_id AS a, b_id AS b FROM jac WHERE jaccard >= $JaccardThreshold
+              |      UNION ALL SELECT b_id, a_id FROM jac WHERE jaccard >= $JaccardThreshold),
               |nodes AS (SELECT DISTINCT a AS doc FROM e),
               |r AS (SELECT doc AS src, doc AS dst FROM nodes
               |      UNION

@@ -12,19 +12,6 @@ class PlanQualitySpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Temp scratch for write-then-read tests, deleted afterwards — CI runs
-    * must not accumulate tmpdir litter. */
-  private def withScratchDir[T](prefix: String)(body: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    try body(dir.toString)
-    finally {
-      val st = java.nio.file.Files.walk(dir)
-      try st.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally st.close()
-    }
-  }
-
   describe("plan quality on the testdata graph") {
 
     it("pushes a has() filter into the parquet scan") {

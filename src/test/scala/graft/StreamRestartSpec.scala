@@ -15,8 +15,8 @@ class StreamRestartSpec extends SparkSpec {
 
   it("a restarted stateful aggregation resumes from the checkpoint to the exact batch answer") {
     import spark.implicits._
-    val scratch = java.nio.file.Files.createTempDirectory("graft_restart")
-    try {
+    withScratchDir("graft_restart") { scratchDir =>
+      val scratch = java.nio.file.Paths.get(scratchDir)
       val src = scratch.resolve("src"); val ckpt = scratch.resolve("ckpt").toString
       java.nio.file.Files.createDirectories(src)
       // the full logical input, arriving as two files: p1 before the
@@ -62,11 +62,6 @@ class StreamRestartSpec extends SparkSpec {
         (k, rows.size.toLong, rows.map(_._3).sum)
       }.toSeq.sortBy(_._1)
       assert(resumed == expected, s"resumed aggregate diverged from the batch answer: $resumed")
-    } finally {
-      val st = java.nio.file.Files.walk(scratch)
-      try st.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally st.close()
     }
   }
 }
