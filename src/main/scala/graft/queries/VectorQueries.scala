@@ -46,6 +46,12 @@ object VectorQueries {
   /** IVF quantizer (e05): centroid count and probed buckets per query. */
   private val KCent = 8
   private val NProbe = 2
+  /** PQ quantizer (e08): M subspaces of SubDim dims, KSub codebook
+    * entries per subspace, ReRank approx candidates exact-rescored. */
+  private val MSub = 4
+  private val SubDim = Dim / MSub
+  private val KSub = 16
+  private val ReRank = 10
   /** Hot-bucket cap for the d12 self-join (mirrors TextQueries.BucketCap):
     * an SRP bucket larger than this is skipped entirely, so a skewed or
     * duplicate-heavy corpus can never make one bucket's pair explosion
@@ -119,6 +125,13 @@ object VectorQueries {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(graft.functions.DecimalDotProduct(
       GraftBridge.expression(col(x)), GraftBridge.expression(col(y))))
+  }
+
+  /** [[dotNative]] over arbitrary Column expressions (sub-vector slices). */
+  private def dotNativeC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.DecimalDotProduct(
+      GraftBridge.expression(x), GraftBridge.expression(y)))
   }
 
   private val dotSql =
@@ -406,6 +419,101 @@ object VectorQueries {
               |cents1n AS (SELECT cid, cvec, sqrt(${dotSqlOf("cvec", "cvec")}) AS cnorm FROM cents1),
               |a1 AS (${assignSqlBody("cents1n")}),
               |${probeRescoreSqlTail("cents1n", "a1")}""".stripMargin)),
+
+    Q("e08_pq_adc_ann",
+      // PRODUCT QUANTIZATION + asymmetric distance computation — the
+      // compressed-index ANN family (vs e02's hashing and e05/e06's
+      // coarse partitioning): each vector is encoded as M=4 sub-space
+      // codebook ids (4 small ints instead of 64 floats — the 100 TB
+      // memory story), a query builds an M×K lookup table of exact
+      // sub-dot-products against the codebooks, every vector's
+      // APPROXIMATE dot is the sum of M table lookups (map-side over the
+      // stored code table), and only the top ReRank approximates are
+      // exact-rescored. Codebooks are deterministic per-subspace
+      // hash-samples (the e05 seeding scheme); every distance/dot is
+      // decimal-exact, so encoding, LUT, and the approx ranking are
+      // bit-reproducible across engines. Fixed-order lut0+..+lut3
+      // addition keeps the approx score IEEE-identical in both engines.
+      (s, dir) => {
+        val coded = codedVectors(s, dir)
+        // per-subspace codebooks: KSub entries, k = rank in md5 order
+        val cb = (0 until MSub).map { m =>
+          coded
+            .orderBy(expr(s"md5(concat('pq:$m:', cast(vec_id AS STRING)))"), col("vec_id"))
+            .limit(KSub)
+            .select(lit(m).as("m"),
+              (row_number().over(Window.orderBy(
+                expr(s"md5(concat('pq:$m:', cast(vec_id AS STRING)))"), col("vec_id"))) - 1).as("k"),
+              expr(s"slice(embedding, ${m * SubDim} + 1, $SubDim)").as("cvec"))
+        }.reduce(_.unionByName(_))
+          .withColumn("cn2", dotNative("cvec", "cvec"))
+          .localCheckpoint() // M×KSub rows; three consumers below
+        // encode: argmin_k ||x_m − c||² per (vector, subspace); ||x_m||²
+        // is constant within the argmin so −2·x·c + ||c||² suffices —
+        // narrow (vec_id, m, k) rows, codebooks broadcast
+        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d2"). asc, col("k").asc)
+        val enc = coded.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("m"), col("k"),
+            (lit(-2d) * dotNativeC(expr(s"slice(embedding, m * $SubDim + 1, $SubDim)"), col("cvec")) + col("cn2")).as("d2"))
+          .withColumn("rn", row_number().over(wEnc))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("k"))
+        // the stored compressed index: one row per vector, M code columns
+        val kCols = (0 until MSub).map(m => max(when(col("m") === m, col("k"))).as(s"k$m"))
+        val wide = enc.groupBy(col("vec_id")).agg(kCols.head, kCols.tail: _*)
+        // query-time LUT: exact sub-dots of the query against every entry
+        val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val lut = cb.crossJoin(broadcast(q))
+          .select(col("m"), col("k"),
+            dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
+          .localCheckpoint() // M×KSub rows, joined MSub times below
+        val approx = (0 until MSub).foldLeft(wide) { (df, m) =>
+          df.join(broadcast(lut.where(col("m") === m).select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
+        }
+          .select(col("vec_id"),
+            (0 until MSub).map(m => col(s"l$m")).reduce(_ + _).as("approx"))
+        approx.where(col("vec_id") =!= 0)
+          .orderBy(col("approx").desc, col("vec_id").asc)
+          .limit(ReRank)
+          .join(coded.select(col("vec_id"), col("embedding")), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some {
+        val cbSql = (0 until MSub).map { m =>
+          s"""(SELECT $m AS m,
+             |  row_number() OVER (ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
+             |  list_slice(embedding, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
+             |FROM codes ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val lutJoins = (0 until MSub)
+          .map(m => s"JOIN lut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
+        s"""WITH codes AS ($codesSql),
+           |cb0 AS ($cbSql),
+           |cb AS (SELECT m, k, cvec, ${dotSqlOf("cvec", "cvec")} AS cn2 FROM cb0),
+           |enc AS (SELECT vec_id, m, k FROM (
+           |    SELECT v.vec_id, c.m, c.k,
+           |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
+           |        -2 * ${dotSqlOf(s"list_slice(v.embedding, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} + c.cn2 ASC,
+           |        c.k) AS rn
+           |    FROM codes v CROSS JOIN cb c) t WHERE rn = 1),
+           |wide AS (SELECT vec_id, ${(0 until MSub).map(m => s"max(CASE WHEN m = $m THEN k END) AS k$m").mkString(", ")}
+           |  FROM enc GROUP BY vec_id),
+           |q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
+           |lut AS (SELECT c.m, c.k,
+           |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
+           |  FROM cb c CROSS JOIN q),
+           |appr AS (SELECT w.vec_id, ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
+           |  FROM wide w $lutJoins),
+           |top AS (SELECT vec_id FROM appr WHERE vec_id <> 0
+           |  ORDER BY approx DESC, vec_id LIMIT $ReRank)
+           |SELECT t.vec_id, ${dotSqlOf("v.embedding", "q.qvec")} AS score
+           |FROM top t JOIN codes v ON v.vec_id = t.vec_id CROSS JOIN q
+           |ORDER BY score DESC, t.vec_id LIMIT 5""".stripMargin
+      }),
 
     Q("e04_vector_norms",
       (s, dir) => emb(s, dir)
