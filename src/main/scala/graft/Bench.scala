@@ -24,7 +24,7 @@ object Bench {
     "d01_exact_dedup_keep_first", "d08_minhash_signature", "d09_lsh_band_candidates",
     "d10_ngram_jaccard_verify", "d12_embedding_cosine_neardup", "d16_curation_pipeline",
     "d20_neardup_removal_pipeline", "e01_knn_bruteforce", "e03_knn_bucketed_join",
-    "e05_ivf_coarse_ann", "e06_ivf_lloyd_ann", "e07_ann_recall_metric",
+    "e05_ivf_coarse_ann", "e06_ivf_lloyd_ann", "e07_ann_recall_metric", "e08_pq_adc_ann",
     "q88_skew_salted_join",
     "g01_connected_components",
     "g04_triangle_count", "m03_blob_chunk_roundtrip", "s02_stream_hourly_watermark",
