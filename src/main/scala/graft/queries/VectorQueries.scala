@@ -121,11 +121,8 @@ object VectorQueries {
 
   /** Native decimal-exact dot (same result as the declarative pattern,
     * one compiled pass — Spark higher-order lambdas are interpreted). */
-  private def dotNative(x: String, y: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.GraftBridge
-    GraftBridge.column(graft.functions.DecimalDotProduct(
-      GraftBridge.expression(col(x)), GraftBridge.expression(col(y))))
-  }
+  private def dotNative(x: String, y: String): org.apache.spark.sql.Column =
+    dotNativeC(col(x), col(y))
 
   /** [[dotNative]] over arbitrary Column expressions (sub-vector slices). */
   private def dotNativeC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -436,26 +433,34 @@ object VectorQueries {
       // addition keeps the approx score IEEE-identical in both engines.
       (s, dir) => {
         val coded = codedVectors(s, dir)
-        // per-subspace codebooks: KSub entries, k = rank in md5 order
-        val cb = (0 until MSub).map { m =>
-          coded
-            .orderBy(expr(s"md5(concat('pq:$m:', cast(vec_id AS STRING)))"), col("vec_id"))
-            .limit(KSub)
-            .select(lit(m).as("m"),
-              (row_number().over(Window.orderBy(
-                expr(s"md5(concat('pq:$m:', cast(vec_id AS STRING)))"), col("vec_id"))) - 1).as("k"),
-              expr(s"slice(embedding, ${m * SubDim} + 1, $SubDim)").as("cvec"))
-        }.reduce(_.unionByName(_))
+        // narrow (vec_id, m, subvec) rows — each sub-vector sliced ONCE
+        // (4 rows per vector), shared by codebook seeding and encoding;
+        // the per-m md5 key rides along for the seeding rank
+        val subs = coded.select(col("vec_id"),
+          explode(array((0 until MSub).map { m =>
+            struct(lit(m).as("m"),
+              expr(s"md5(concat('pq:$m:', cast(vec_id AS STRING)))").as("h"),
+              expr(s"slice(embedding, ${m * SubDim} + 1, $SubDim)").as("sv"))
+          }: _*)).as("e"))
+          .select(col("vec_id"), col("e.m").as("m"), col("e.h").as("h"), col("e.sv").as("sv"))
+        // per-subspace codebooks in ONE pass: rank by (md5, vec_id) within
+        // each subspace, keep the first KSub — identical entries and ranks
+        // to a per-m orderBy+limit, without M scans of the corpus
+        val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
+        val cb = subs
+          .withColumn("k", row_number().over(wSeed) - 1)
+          .where(col("k") < KSub)
+          .select(col("m"), col("k"), col("sv").as("cvec"))
           .withColumn("cn2", dotNative("cvec", "cvec"))
-          .localCheckpoint() // M×KSub rows; three consumers below
+          .localCheckpoint() // M×KSub rows; two consumers (encode, LUT)
         // encode: argmin_k ||x_m − c||² per (vector, subspace); ||x_m||²
         // is constant within the argmin so −2·x·c + ||c||² suffices —
         // narrow (vec_id, m, k) rows, codebooks broadcast
         val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("d2"). asc, col("k").asc)
-        val enc = coded.crossJoin(broadcast(cb))
+          .orderBy(col("d2").asc, col("k").asc)
+        val enc = subs.join(broadcast(cb), "m")
           .select(col("vec_id"), col("m"), col("k"),
-            (lit(-2d) * dotNativeC(expr(s"slice(embedding, m * $SubDim + 1, $SubDim)"), col("cvec")) + col("cn2")).as("d2"))
+            (lit(-2d) * dotNativeC(col("sv"), col("cvec")) + col("cn2")).as("d2"))
           .withColumn("rn", row_number().over(wEnc))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("m"), col("k"))
