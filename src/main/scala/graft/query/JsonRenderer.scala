@@ -1,0 +1,111 @@
+package graft.query
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.json4s._
+
+/**
+ * Golden JSON rendering of query results — the rebuild of the reference's
+ * `Output`/`Renderer` layer (reference: query/Aggregation.scala:201-216
+ * empty → JsNull; :218-330 scalar shapes `{name: value}`; :383-397 +
+ * :460-479 grouped shapes `{key: {subAggName: value}}` with JsNull
+ * sub-results folded out of the merge; controllers/Renderer.scala for the
+ * per-entity row renderer, e.g. core-test/.../ModernQuery.scala:22-29).
+ *
+ * Rendering is the API-payload step, inherently driver-side in the
+ * reference too: its input is an aggregation result (one row per group,
+ * `_size`-capped) or one page of a traversal — never the raw table. The
+ * distributed path stays the DataFrame; this collects only the final,
+ * already-reduced result.
+ *
+ * Key order is canonical = the DataFrame's row order (AggCompiler orders
+ * groups by the group key ascending unless `_order` says otherwise), so
+ * the rendered string is deterministic and cross-engine reproducible.
+ */
+object JsonRenderer {
+
+  /** A traversal result as a JSON array, one object per row. */
+  def renderRows(df: DataFrame, renderer: Row => JValue): JValue =
+    JArray(df.collect().iterator.map(renderer).toList)
+
+  /** Default row renderer: every non-system column, in schema order. */
+  def defaultRow(row: Row): JValue =
+    JObject(row.schema.fields.iterator.zipWithIndex.collect {
+      case (f, i) if !f.name.startsWith("_") => f.name -> toJson(row.get(i))
+    }.toList)
+
+  /** An aggregation result in the reference's golden shapes. */
+  def renderAggregation(df: DataFrame, agg: Agg): JValue = agg match {
+    case Agg.Count(name, _) =>
+      // count on empty input emits 0, never JsNull (reference :319-330)
+      JObject(List(name -> toJson(df.collect().head.get(0))))
+    case s: Agg.Scalar =>
+      // sum/avg/min/max coalesce to Output(null, JsNull) on empty input
+      // (reference :231-239 and peers)
+      df.collect().headOption.flatMap(r => Option(r.get(0))) match {
+        case Some(v) => JObject(List(s.name -> toJson(v)))
+        case None => JNull
+      }
+    case Agg.ByField(field, _, subs, _, _, _) =>
+      val rows = df.collect()
+      JObject(rows.iterator.map { r =>
+        val key = Option(r.get(r.fieldIndex(field))).map(keyString).getOrElse("null")
+        key -> subObject(r, subs)
+      }.toList)
+    case Agg.ByTime(field, _, _, _, subs, _) =>
+      // time keys are epoch-millis strings (reference :430,:479 dateToKey)
+      val rows = df.collect()
+      JObject(rows.iterator.map { r =>
+        val key = r.get(r.fieldIndex(s"${field}_bucket")) match {
+          case t: Timestamp => t.getTime.toString
+          case other => keyString(other)
+        }
+        key -> subObject(r, subs)
+      }.toList)
+  }
+
+  /** One group's merged sub-aggregation object. A sub-result that rendered
+    * JsNull (scalar over an empty/all-null slice) is omitted — the
+    * reference folds non-JsObject results out of the merge with a warning
+    * (Aggregation.scala:383-391). */
+  private def subObject(r: Row, subs: Seq[Agg]): JValue =
+    JObject(subs.iterator.flatMap {
+      case Agg.Count(n, _) => Some(n -> toJson(Option(r.get(r.fieldIndex(n))).getOrElse(0L)))
+      case sub => Option(r.get(r.fieldIndex(sub.name))).map(v => sub.name -> toJson(v))
+    }.toList)
+
+  /** Group keys stringify as the reference's `kv._1.toString`
+    * (Aggregation.scala:397): integral doubles shed no precision, dates
+    * become epoch millis. */
+  private def keyString(v: Any): String = v match {
+    case t: Timestamp => t.getTime.toString
+    case other => other.toString
+  }
+
+  def toJson(v: Any): JValue = v match {
+    case null => JNull
+    case b: Boolean => JBool(b)
+    case i: Int => JInt(BigInt(i))
+    case l: Long => JInt(BigInt(l))
+    case s: Short => JInt(BigInt(s.toInt))
+    case b: Byte => JInt(BigInt(b.toInt))
+    case f: Float => JDouble(f.toDouble)
+    case d: Double => JDouble(d)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case d: BigDecimal => JDecimal(d)
+    case s: String => JString(s)
+    case t: Timestamp => JInt(BigInt(t.getTime)) // dates render as epoch millis
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ rows collect as LocalDateTime
+      JInt(BigInt(t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+    case d: java.sql.Date => JString(d.toString)
+    case seq: scala.collection.Seq[_] => JArray(seq.iterator.map(toJson).toList)
+    case m: scala.collection.Map[_, _] =>
+      JObject(m.iterator.map { case (k, x) => String.valueOf(k) -> toJson(x) }.toList)
+    case row: Row =>
+      JObject(row.schema.fields.iterator.zipWithIndex.map { case (f, i) => f.name -> toJson(row.get(i)) }.toList)
+    case other => JString(other.toString)
+  }
+
+  def compact(j: JValue): String = org.json4s.jackson.JsonMethods.compact(j)
+}

@@ -27,6 +27,10 @@ sealed trait QVal
 object QVal {
   final case class Trav(t: Traversal) extends QVal
   final case class Result(df: DataFrame) extends QVal
+  /** A terminal aggregation result, carrying the parsed [[Agg]] tree so
+    * [[QueryExecutor.executeJson]] can render the reference's golden
+    * `{key: {subAggName: value}}` shape. */
+  final case class AggResult(df: DataFrame, agg: Agg) extends QVal
 }
 
 final class QueryExecutor(
@@ -48,7 +52,33 @@ final class QueryExecutor(
   def execute(json: String): DataFrame =
     executeJ(org.json4s.jackson.JsonMethods.parse(json))
 
-  def executeJ(q: JValue): DataFrame = {
+  def executeJ(q: JValue): DataFrame = executeValue(q) match {
+    case QVal.Result(df) => df
+    case QVal.AggResult(df, _) => df
+    case QVal.Trav(t) => t.toDF
+  }
+
+  /** Run the composed query and render its result as the reference's
+    * golden JSON (reference: Output.toJson through
+    * QueryExecutor.execute, QueryExecutor.scala:39-45): a traversal page
+    * becomes a JSON array (one object per element, through the label's
+    * registered renderer), an aggregation becomes
+    * `{key: {subAggName: value}}` / JsNull-on-empty, a count becomes its
+    * bare number. */
+  def executeJson(json: String): JValue =
+    executeValue(org.json4s.jackson.JsonMethods.parse(json)) match {
+      case QVal.Trav(t) =>
+        val r = renderers.getOrElse(labelOf(t), JsonRenderer.defaultRow _)
+        JsonRenderer.renderRows(t.toDF, r)
+      case QVal.AggResult(df, agg) => JsonRenderer.renderAggregation(df, agg)
+      case QVal.Result(df) =>
+        // count / limitedCount: a single numeric cell renders as its number
+        val rows = df.collect()
+        if (rows.length == 1 && rows.head.length == 1) JsonRenderer.toJson(rows.head.get(0))
+        else JArray(rows.iterator.map(JsonRenderer.defaultRow).toList)
+    }
+
+  private def executeValue(q: JValue): QVal = {
     val steps = q match {
       case JArray(items) => items
       case single => List(single)
@@ -57,10 +87,13 @@ final class QueryExecutor(
     val folded = steps.zipWithIndex.foldLeft[Option[QVal]](None) { case (acc, (step, i)) =>
       Some(applyStep(acc, step, i))
     }
-    folded.get match {
-      case QVal.Result(df) => df
-      case QVal.Trav(t) => t.toDF
-    }
+    folded.get
+  }
+
+  private def labelOf(t: Traversal): String = t.element match {
+    case Element.Vertex(l, _) => l
+    case Element.Edge(l, _, _) => l
+    case _ => ""
   }
 
   private def stepName(step: JValue): String = step \ "_name" match {
@@ -86,7 +119,15 @@ final class QueryExecutor(
       case (Some(QVal.Trav(t)), "aggregation") =>
         val props = propsFor(t)
         val resolved = TraversalProps.resolveValueColumns(t, props, TraversalProps.aggFields(step))
-        QVal.Result(AggCompiler(resolved.df, AggregationParser.fromJValue(step, props), props))
+        // the top-level `_name` is the step selector ("aggregation"), not
+        // the aggregation's own name — drop it (top level only; sub-agg
+        // `_name`s in `_select` must survive) so name defaulting works
+        val aggJson = step match {
+          case JObject(fields) => JObject(fields.filterNot(_._1 == "_name"))
+          case other => other
+        }
+        val agg = AggregationParser.fromJValue(aggJson, props)
+        QVal.AggResult(AggCompiler(resolved.df, agg, props), agg)
       case (Some(QVal.Trav(t)), "count") =>
         QVal.Result(t.count)
       case (Some(QVal.Trav(t)), "limitedCount") =>
@@ -107,7 +148,7 @@ final class QueryExecutor(
               case None => throw new IllegalArgumentException(s"step $idx: unknown step '$other'")
             }
         }
-      case (Some(QVal.Result(_)), other) =>
+      case (Some(QVal.Result(_) | QVal.AggResult(_, _)), other) =>
         throw new IllegalArgumentException(
           s"step $idx: '$other' cannot follow a terminal step (type check, cf. reference Query.scala:18-34)")
     }
@@ -125,6 +166,16 @@ final class QueryExecutor(
 
   def withContinuation(name: String)(f: (Traversal, JValue) => Traversal): QueryExecutor = {
     continuations = continuations + (name -> f)
+    this
+  }
+
+  /** Per-label entity renderers for [[executeJson]] (the analog of the
+    * reference's `Query.output[D, T]` + implicit `Renderer`, e.g.
+    * core-test/.../ModernQuery.scala:22-29 OutputPerson). */
+  private var renderers: Map[String, org.apache.spark.sql.Row => JValue] = Map.empty
+
+  def withRenderer(label: String)(f: org.apache.spark.sql.Row => JValue): QueryExecutor = {
+    renderers = renderers + (label -> f)
     this
   }
 

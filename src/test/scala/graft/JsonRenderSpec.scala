@@ -1,0 +1,118 @@
+package graft
+
+import org.json4s._
+import graft.query._
+
+/**
+ * Golden JSON rendering on the Modern fixture — byte-for-byte the
+ * reference's QueryTest expectations (core-test/.../models/QueryTest.scala:
+ * :38-61 sorted-people array, :63-89 field-agg on age, :91-104 field-agg on
+ * lang), through the composed-JSON executor end to end.
+ *
+ * The reference compares play-json `JsObject`s (unordered); here the
+ * rendered string is canonical — aggregation keys in the compiler's group
+ * order (ascending key), row objects in renderer field order — so the
+ * assertion is on exact bytes.
+ */
+class JsonRenderSpec extends SparkSpec {
+
+  private lazy val g = ModernFixture.auditedGraph(spark)
+
+  /** allPeople/allSoftware + the OutputPerson renderer, as the reference's
+    * ModernQueryExecutor registers them (ModernQuery.scala:22-29,73-74). */
+  private lazy val exec =
+    new QueryExecutor(g, Map(
+      "allPeople" -> ((_: JValue, g) => g.V("person")),
+      "allSoftware" -> ((_: JValue, g) => g.V("software"))))
+      .withRenderer("person") { row =>
+        JObject(List(
+          "createdBy" -> JString(row.getAs[String]("_createdBy")),
+          "label" -> JString("Mister " + row.getAs[String]("name")),
+          "name" -> JString(row.getAs[String]("name")),
+          "age" -> JInt(BigInt(row.getAs[Int]("age")))))
+      }
+
+  private def run(q: String): String = JsonRenderer.compact(exec.executeJson(q))
+
+  describe("golden Modern outputs") {
+    it("sorted people render as the reference's OutputPerson array (QueryTest.scala:38-61)") {
+      val out = run(
+        """[{"_name":"allPeople"},
+          |  {"_name":"sort","_fields":[{"age":"incr"}]}]""".stripMargin)
+      assert(out ==
+        """[{"createdBy":"admin","label":"Mister vadas","name":"vadas","age":27},""" +
+        """{"createdBy":"admin","label":"Mister franck","name":"franck","age":28},""" +
+        """{"createdBy":"admin","label":"Mister marko","name":"marko","age":29},""" +
+        """{"createdBy":"admin","label":"Mister josh","name":"josh","age":32},""" +
+        """{"createdBy":"admin","label":"Mister marc","name":"marc","age":34},""" +
+        """{"createdBy":"admin","label":"Mister peter","name":"peter","age":35}]""")
+    }
+
+    it("field aggregation on age renders {key: {count: n}} (QueryTest.scala:63-89)") {
+      val out = run(
+        """[{"_name":"allPeople"},
+          |  {"_name":"aggregation","_agg":"field","_field":"age",
+          |   "_select":[{"_agg":"count"}]}]""".stripMargin)
+      // same pairs as the reference golden, keys in canonical ascending order
+      assert(out ==
+        """{"27":{"count":1},"28":{"count":1},"29":{"count":1},""" +
+        """"32":{"count":1},"34":{"count":1},"35":{"count":1}}""")
+    }
+
+    it("field aggregation on lang renders {java: {count: 2}} (QueryTest.scala:91-104)") {
+      val out = run(
+        """[{"_name":"allSoftware"},
+          |  {"_name":"aggregation","_agg":"field","_field":"lang",
+          |   "_select":[{"_agg":"count"}]}]""".stripMargin)
+      assert(out == """{"java":{"count":2}}""")
+    }
+  }
+
+  describe("aggregation rendering shapes (reference Aggregation.scala:201-330)") {
+    it("scalar aggregation over empty input renders JsNull") {
+      val out = run(
+        """[{"_name":"allPeople"},
+          |  {"_name":"filter","_query":{"_gt":{"age":100}}},
+          |  {"_name":"aggregation","_agg":"sum","_field":"age"}]""".stripMargin)
+      assert(out == "null")
+    }
+
+    it("count over empty input renders 0, not JsNull") {
+      val out = run(
+        """[{"_name":"allPeople"},
+          |  {"_name":"filter","_query":{"_gt":{"age":100}}},
+          |  {"_name":"aggregation","_agg":"count"}]""".stripMargin)
+      assert(out == """{"count":0}""")
+    }
+
+    it("field aggregation over empty input renders the empty object") {
+      val out = run(
+        """[{"_name":"allPeople"},
+          |  {"_name":"filter","_query":{"_gt":{"age":100}}},
+          |  {"_name":"aggregation","_agg":"field","_field":"age",
+          |   "_select":[{"_agg":"count"}]}]""".stripMargin)
+      assert(out == "{}")
+    }
+
+    it("scalar sum renders {name: value} with the default name") {
+      val out = run(
+        """[{"_name":"allPeople"},
+          |  {"_name":"aggregation","_agg":"sum","_field":"age"}]""".stripMargin)
+      assert(out == """{"sum_age":185}""")
+    }
+
+    it("sub-aggregations merge into one object per group; null sub-results are omitted") {
+      val out = run(
+        """[{"_name":"allSoftware"},
+          |  {"_name":"aggregation","_agg":"field","_field":"lang",
+          |   "_select":[{"_agg":"count","_name":"cnt"},
+          |              {"_agg":"min","_field":"name","_name":"first_name"}]}]""".stripMargin)
+      assert(out == """{"java":{"cnt":2,"first_name":"lop"}}""")
+    }
+
+    it("count terminal step renders its bare number") {
+      val out = run("""[{"_name":"allPeople"},{"_name":"count"}]""")
+      assert(out == "6")
+    }
+  }
+}

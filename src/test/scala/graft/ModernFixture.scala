@@ -20,7 +20,7 @@ object ModernFixture {
     import spark.implicits._
     val person = Seq(
       Person("marko", 29), Person("vadas", 27), Person("josh", 32),
-      Person("peter", 35), Person("marc", 30), Person("franck", 28)).toDF
+      Person("peter", 35), Person("marc", 34), Person("franck", 28)).toDF
     val software = Seq(Software("lop", "java"), Software("ripple", "java")).toDF
     val knows = Seq(
       ("marko", "vadas", 0.5), ("marko", "josh", 1.0)).toDF("_src", "_dst", "weight")
@@ -35,5 +35,21 @@ object ModernFixture {
       Map(
         "knows" -> EdgeTable("knows", "person", "person", knows),
         "created" -> EdgeTable("created", "person", "software", created)))
+  }
+
+  /** The same graph written through the audit path (reference: the Modern
+    * fixture is built via `Database.createVertex`, which stamps the audit
+    * envelope with the system user — core-test/.../Modern.scala:85-100,
+    * models/Model.scala:25-32) so golden outputs that project `_createdBy`
+    * (QueryTest.scala:38-61) have their column. */
+  def auditedGraph(spark: SparkSession): Graph = {
+    val at = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val g = graph(spark)
+    def audited(label: String, t: VertexTable): VertexTable =
+      t.copy(df = graft.services.Mutations.withAudit(t.df, label, "admin", at))
+    new Graph(
+      spark,
+      g.vertices.map { case (l, t) => l -> audited(l, t) },
+      g.edges)
   }
 }

@@ -91,20 +91,20 @@ class TraversalSpec extends SparkSpec {
       assert(m == Map("lop" -> 3, "ripple" -> 1))
     }
     it("scalar aggregates") {
-      assert(g.V("person").sum("age").collect().head.getLong(0) == 181L)
-      assert(g.V("person").mean("age").collect().head.getDouble(0) === 181.0 / 6)
+      assert(g.V("person").sum("age").collect().head.getLong(0) == 185L)
+      assert(g.V("person").mean("age").collect().head.getDouble(0) === 185.0 / 6)
     }
     it("fold/unfold round-trip") {
       val folded = g.V("person").fold("age")
       val t = Traversal(g, Element.Value("folded"), folded).unfold("folded")
-      assert(t.toDF.collect().map(_.getInt(0)).sorted.toSeq == Seq(27, 28, 29, 30, 32, 35))
+      assert(t.toDF.collect().map(_.getInt(0)).sorted.toSeq == Seq(27, 28, 29, 32, 34, 35))
     }
   }
 
   describe("paging and sorting") {
     it("range is offset+limit in sorted order") {
       val t = g.V("person").sort("age" -> true).range(2, 4).value("age")
-      assert(t.toDF.collect().map(_.getInt(0)).toSeq == Seq(29, 30))
+      assert(t.toDF.collect().map(_.getInt(0)).toSeq == Seq(29, 32))
     }
     it("dedup by alias columns") {
       val t = g.V("person").as("p").out("created").dedup("p")
