@@ -60,10 +60,17 @@ object AggregationParser {
   def parse(json: String, props: Properties): Agg =
     fromJValue(org.json4s.jackson.JsonMethods.parse(json), props)
 
-  def fromJValue(j: JValue, props: Properties): Agg = {
+  def fromJValue(j: JValue, props: Properties): Agg =
+    fromJValue(j, props, FilterParser.defaultLeaf(props))
+
+  /** Variant with a caller-supplied filter-leaf compiler, so `_query`
+    * pre-filters on traversal-based properties get the same EXISTS
+    * semantics as the `filter` step (the reference routes one
+    * filterParser through both, Aggregation.scala:136-141,229-231). */
+  def fromJValue(j: JValue, props: Properties, leaf: FilterParser.Leaf): Agg = {
     val filter = j \ "_query" match {
       case JNothing | JNull => None
-      case q => Some(FilterParser.fromJValue(q, props))
+      case q => Some(FilterParser.build(q, props, leaf))
     }
     def nameOr(default: String) = j \ "_name" match {
       case JString(s) => s
@@ -76,7 +83,7 @@ object AggregationParser {
         Agg.Scalar(kind, f, nameOr(s"${kind}_$f"), filter)
       case "field" =>
         val f = str(j \ "_field")
-        val subs = asArray(j \ "_select" match { case JNothing => JArray(Nil); case x => x }).map(fromJValue(_, props))
+        val subs = asArray(j \ "_select" match { case JNothing => JArray(Nil); case x => x }).map(fromJValue(_, props, leaf))
         val order = j \ "_order" match {
           case JNothing | JNull => Nil
           case o => asArray(o).map(str)
@@ -88,7 +95,7 @@ object AggregationParser {
         Agg.ByField(f, nameOr(s"field_$f"), subs, order, size, filter)
       case "time" =>
         val f = str(j \ "_field")
-        val subs = asArray(j \ "_select" match { case JNothing => JArray(Nil); case x => x }).map(fromJValue(_, props))
+        val subs = asArray(j \ "_select" match { case JNothing => JArray(Nil); case x => x }).map(fromJValue(_, props, leaf))
         val (iv, cal) = j \ "_interval" match {
           case JString(intervalRe(n, unit)) => intervalOf(n.toLong, unit)
           case JObject(_) =>

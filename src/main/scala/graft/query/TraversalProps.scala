@@ -44,11 +44,22 @@ object TraversalProps {
       throw new IllegalArgumentException(s"traversal property '$name' must end in a value, found $other")
   }
 
-  /** Apply a JSON filter, compiling leaves on traversal-based properties
-    * into EXISTS flags and everything else to plain Column predicates. */
-  def applyFilter(t: Traversal, j: JValue, props: Properties): Traversal = {
-    var current = t
-    var flags = List.empty[String]
+  /** Stateful filter-leaf compiler: a leaf on a traversal-based property
+    * attaches an EXISTS flag column to the carried traversal (one
+    * `groupBy(id).agg(max(pred))` + left join per leaf) and compiles to
+    * the flag, so the flags compose under `_and`/`_or`/`_not` as plain
+    * boolean columns — the reference's filter semantics
+    * (PublicProperty.scala:80-91). Shared by the `filter` step and by
+    * aggregation `_query` pre-filters (Aggregation.scala:229-231 routes
+    * the same filterParser). */
+  final class ExistsLeafCompiler(t0: Traversal, props: Properties) {
+    private var current = t0
+    private var flagList = List.empty[String]
+
+    /** The traversal with all flag columns attached so far. */
+    def traversal: Traversal = current
+    def flags: Seq[String] = flagList
+
     val leaf: FilterParser.Leaf = (field, op, jv) =>
       props.props.get(field).filter(_.traversal.isDefined) match {
         case Some(p) =>
@@ -59,7 +70,7 @@ object TraversalProps {
           // with the property's declared type driving literal coercion
           val vprops = Properties(PublicProperty(field, col(vcol), p.dataType))
           val pred = FilterParser.defaultLeaf(vprops)(field, op, jv)
-          val flagName = s"__tpflag_${flags.size}"
+          val flagName = s"__tpflag_${flagList.size}"
           val flagDf = subT.df
             .groupBy(col(s"${Traversal.AliasPrefix}$SubAlias.$key").as("__tpk"))
             .agg(max(pred).as(flagName))
@@ -67,12 +78,19 @@ object TraversalProps {
             .join(flagDf.alias("__tr"), col(s"__tl.$key") === col("__tr.__tpk"), "left_outer")
             .select(col("__tl.*"), col(s"__tr.$flagName"))
           current = current.copy(df = joined)
-          flags ::= flagName
+          flagList ::= flagName
           coalesce(col(flagName), lit(false))
         case None => FilterParser.defaultLeaf(props)(field, op, jv)
       }
-    val pred = FilterParser.build(j, props, leaf)
-    current.copy(df = flags.foldLeft(current.df.where(pred))(_.drop(_)))
+  }
+
+  /** Apply a JSON filter, compiling leaves on traversal-based properties
+    * into EXISTS flags and everything else to plain Column predicates. */
+  def applyFilter(t: Traversal, j: JValue, props: Properties): Traversal = {
+    val compiler = new ExistsLeafCompiler(t, props)
+    val pred = FilterParser.build(j, props, compiler.leaf)
+    val current = compiler.traversal
+    current.copy(df = compiler.flags.foldLeft(current.df.where(pred))(_.drop(_)))
   }
 
   /** Left-join the resolved value column for each referenced
