@@ -76,6 +76,26 @@ object PropertyQueries {
       Some("""SELECT n.n_name AS nation_name, count(*) AS cnt,
              |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum
              |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY 1 ORDER BY nation_name""".stripMargin)),
+
+    Q("q91_traversal_prop_agg_exists",
+      // aggregation `_query` pre-filter on a MULTI-valued link resolves as
+      // EXISTS (any linked order matches), not min-per-element: a customer
+      // whose order prices are [100, 400000] must be counted — min
+      // resolution (100) would drop it. Same compiler path as the filter
+      // step (q48); this entry pins the aggregation route.
+      (s, dir) => exec(s, dir).execute(
+        """[{"_name":"all_customer"},
+          |  {"_name":"aggregation","_agg":"field","_field":"nation_name",
+          |   "_query":{"_gt":{"order_price":300000}},
+          |   "_select":[{"_agg":"count","_name":"cnt"},
+          |              {"_agg":"sum","_field":"c_acctbal","_name":"bal_sum"}]}]""".stripMargin),
+      Some("""SELECT n.n_name AS nation_name, count(*) AS cnt,
+             |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum
+             |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
              |GROUP BY 1 ORDER BY nation_name""".stripMargin))
   )
 }

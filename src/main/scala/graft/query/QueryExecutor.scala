@@ -126,8 +126,14 @@ final class QueryExecutor(
           case JObject(fields) => JObject(fields.filterNot(_._1 == "_name"))
           case other => other
         }
-        val agg = AggregationParser.fromJValue(aggJson, props)
-        QVal.AggResult(AggCompiler(resolved.df, agg, props), agg)
+        // `_query` pre-filter leaves on traversal-based properties compile
+        // to EXISTS flags through the same compiler the filter step uses
+        // (reference routes one filterParser through both,
+        // Aggregation.scala:136-141,229-231) — min-resolution would be
+        // wrong for multi-valued links
+        val compiler = new TraversalProps.ExistsLeafCompiler(resolved, props)
+        val agg = AggregationParser.fromJValue(aggJson, props, compiler.leaf)
+        QVal.AggResult(AggCompiler(compiler.traversal.df, agg, props), agg)
       case (Some(QVal.Trav(t)), "count") =>
         QVal.Result(t.count)
       case (Some(QVal.Trav(t)), "limitedCount") =>

@@ -121,12 +121,13 @@ object TraversalProps {
       case _ => Nil
     }
 
-  /** Property names an aggregation JSON references (group keys, scalar
-    * fields, and `_query` pre-filter leaves). Note: pre-filters inside an
-    * aggregation evaluate against the RESOLVED value column (min per
-    * element) rather than EXISTS — identical for single-valued links. */
+  /** Property names an aggregation JSON needs as VALUE columns: group keys
+    * and scalar fields only. `_query` pre-filter leaves are deliberately
+    * excluded — they compile through [[ExistsLeafCompiler]] (the same
+    * EXISTS path the `filter` step uses), because min-resolution is wrong
+    * for multi-valued links: a pre-filter `p = "x"` must keep an element
+    * whose link values are `["a","x"]`. */
   def aggFields(j: JValue): Seq[String] =
     (j \ "_field" match { case JString(s) => Seq(s); case _ => Nil }) ++
-      (j \ "_query" match { case JNothing | JNull => Nil; case q => FilterParser.referencedFields(q) }) ++
       (j \ "_select" match { case JNothing => Nil; case s => FilterParser.asArray(s).flatMap(aggFields) })
 }

@@ -46,6 +46,29 @@ class TraversalPropsSpec extends SparkSpec {
     }
   }
 
+  describe("aggregation _query pre-filters") {
+    // josh's created weights are [1.0, 0.4]: EXISTS(weight >= 1) keeps him,
+    // min-resolution (0.4 >= 1) would drop him — this pins the EXISTS route
+    it("compile as EXISTS, not min-resolution, for multi-valued links") {
+      val exec = new QueryExecutor(g, QueryExecutor.defaultNamed(g), Map("person" -> props))
+      val df = exec.execute(
+        """[{"_name":"all_person"},
+          |  {"_name":"aggregation","_agg":"count",
+          |   "_query":{"_gte":{"created_weight":1}}}]""".stripMargin)
+      assert(df.collect().head.getLong(0) == 1L)
+    }
+    it("compose EXISTS leaves with plain predicates inside _query") {
+      val exec = new QueryExecutor(g, QueryExecutor.defaultNamed(g), Map("person" -> props))
+      val df = exec.execute(
+        """[{"_name":"all_person"},
+          |  {"_name":"aggregation","_agg":"field","_field":"age",
+          |   "_query":{"_or":[{"_gte":{"created_weight":1}},{"_is":{"name":"vadas"}}]},
+          |   "_select":[{"_agg":"count","_name":"cnt"}]}]""".stripMargin)
+      val byAge = df.collect().map(r => r.getAs[Number]("age").intValue -> r.getAs[Long]("cnt")).toMap
+      assert(byAge == Map(27 -> 1L, 32 -> 1L)) // vadas(27), josh(32)
+    }
+  }
+
   describe("traversal-property value resolution (sort/agg)") {
     it("joins min(value) per element, null when absent") {
       val t = TraversalProps.resolveValueColumns(g.V("person"), props, Seq("created_weight"))
