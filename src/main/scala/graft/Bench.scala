@@ -14,7 +14,9 @@ object Bench {
 
   /** Fixed headline subset — stable keys round-over-round so BENCH_r{N}
     * files are comparable. One representative per operator family plus
-    * every historically expensive query. */
+    * every historically expensive query. The emitted headline is this set
+    * UNION the run's own top-5 by time (see below), so regressions outside
+    * the fixed list still surface. */
   private val headline: Seq[String] = Seq(
     "q01_scan_filter_sort_page", "q07_hop_out", "q09_two_hop_groupcount",
     "q36_dedup_keep_first", "q46_custom_filter_property", "q48_traversal_prop_filter",
@@ -76,8 +78,26 @@ object Bench {
     val fw = new java.io.PrintWriter("bench_full.json")
     try fw.println(s"""{"total":${ms(total)},"queries":$full,"errors":${jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })},"sf":"${esc(sfDir)}"}""")
     finally fw.close()
-    val head = timings.filter { case (k, _) => headline.contains(k) }
-    val qs = jmap(head.map { case (k, v) => k -> ms(v) })
+    // Headline = fixed subset ∪ this run's top-5 by time, so a regression
+    // in a query outside the fixed list (e.g. a streaming spike) is always
+    // visible in BENCH_r{N}. Headline entries report the MIN of two runs —
+    // robust to one-off JIT/GC noise — while "total" stays the first-pass
+    // sum over all queries so totals remain comparable round-over-round.
+    val top5 = timings.toSeq.sortBy(-_._2).take(5).map(_._1)
+    val headKeys = (headline ++ top5).distinct.filter(timings.contains).sorted
+    val fns = SparkEntry.queries
+    headKeys.foreach { k =>
+      fns.get(k).foreach { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          if (t < timings(k)) timings(k) = t
+        } catch { case _: Throwable => () }
+      }
+    }
+    val head = headKeys.map(k => k -> timings(k))
+    val qs = jmap(scala.collection.immutable.ListMap(head.map { case (k, v) => k -> ms(v) }: _*))
     val es = jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
