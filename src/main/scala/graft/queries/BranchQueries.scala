@@ -46,7 +46,7 @@ object BranchQueries {
             Seq(
               "BUILDING" -> (_.out("cust_nation").value("n_name")),
               "MACHINERY" -> (_.value("c_name"))),
-            otherwise = Some(_.constant("OTHER")))
+            none = Some(_.constant("OTHER")))
         t.project("c_custkey" -> t.sel("c", "c_custkey"), "v" -> col("v"))
           .sortBy(col("c_custkey"), col("v")).toDF
       },
@@ -58,6 +58,34 @@ object BranchQueries {
              |  UNION ALL
              |  SELECT c_custkey, 'OTHER' FROM customer
              |    WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY'))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("q92_choose_branch_picks",
+      // all three TinkerPop pick routings in one query: value options,
+      // `none` (catching BOTH a null selector — FURNITURE nulled via
+      // nullif — and unmatched segments), and `any` (every customer
+      // additionally, regardless of routing)
+      (s, dir) => {
+        val t = TestData.graph(s, dir).V("customer").as("c")
+          .chooseBranch(expr("nullif(c_mktsegment, 'FURNITURE')"), "v",
+            Seq(
+              "BUILDING" -> (_.out("cust_nation").value("n_name")),
+              "MACHINERY" -> (_.value("c_name"))),
+            none = Some(_.constant("NONE")),
+            any = Some(_.constant("ANY")))
+        t.project("c_custkey" -> t.sel("c", "c_custkey"), "v" -> col("v"))
+          .sortBy(col("c_custkey"), col("v")).toDF
+      },
+      Some("""SELECT c_custkey, v FROM (
+             |  SELECT c_custkey, n_name AS v FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |    WHERE c_mktsegment = 'BUILDING'
+             |  UNION ALL
+             |  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'MACHINERY'
+             |  UNION ALL
+             |  SELECT c_custkey, 'NONE' FROM customer
+             |    WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+             |  UNION ALL
+             |  SELECT c_custkey, 'ANY' FROM customer)
              |ORDER BY 1, 2""".stripMargin)),
 
     Q("q54_match_pattern",

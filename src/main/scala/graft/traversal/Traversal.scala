@@ -553,15 +553,32 @@ final case class Traversal(
   }
 
   /** Multi-way branch routing (reference: chooseBranch + BranchSelector,
-    * TraversalOps.scala:274-287, BranchSelector.scala:6-45): route each
-    * element through the branch whose option value matches `on`, or the
-    * `otherwise` branch. Compiles to a union of branches each applied to
-    * its filtered subset — one scan per branch, predicates pushed down. */
+    * TraversalOps.scala:274-287, BranchSelector.scala:6-45, delegating to
+    * TinkerPop's ChooseStep picks). Routing, per element:
+    *
+    *  - matches an option value  → that option's branch
+    *  - matches no option        → the `none` branch if declared, else
+    *    dropped (TinkerPop BranchStep: unmatched choice falls to the
+    *    Pick.none options or dies)
+    *  - a NULL selector also routes to `none`: TinkerPop 3.4 threw
+    *    ("traverser does not map to a value") on a non-productive choice
+    *    traversal; 3.5+ maps it to Pick.none, which is the only sane
+    *    columnar rendering — a throw per null row is not an option at
+    *    scale, and null-safe option matching (`<=>`) still lets an
+    *    explicit `option(null, f)` claim nulls first
+    *  - the `any` branch, if declared, additionally receives EVERY
+    *    element regardless of its routing (TinkerPop Pick.any is a copy,
+    *    not an alternative)
+    *
+    * Compiles to a union of branches each applied to its filtered subset —
+    * one scan per branch, predicates pushed down; no shuffle beyond what
+    * the branches themselves do. */
   def chooseBranch(
       on: Column,
       name: String,
       options: Seq[(Any, Traversal => Traversal)],
-      otherwise: Option[Traversal => Traversal] = None): Traversal = {
+      none: Option[Traversal => Traversal] = None,
+      any: Option[Traversal => Traversal] = None): Traversal = {
     def run(pred: Column, f: Traversal => Traversal): DataFrame = {
       val b = f(this.where(pred))
       val vcol = b.element match {
@@ -570,11 +587,14 @@ final case class Traversal(
       }
       b.df.withColumnRenamed(vcol, name)
     }
+    // null-safe per-option equality (not isin): an explicit option(null)
+    // matches null selectors, and the none-predicate is its exact negation
+    val matched = options.map { case (v, _) => on <=> lit(v) }
+      .reduceOption(_ || _).getOrElse(lit(false))
     val optionDfs = options.map { case (v, f) => run(on <=> lit(v), f) }
-    val otherDf = otherwise.map { f =>
-      run(!org.apache.spark.sql.functions.coalesce(on.isin(options.map(_._1): _*), lit(false)), f)
-    }
-    val unioned = (optionDfs ++ otherDf).reduce(_.unionByName(_, allowMissingColumns = true))
+    val noneDf = none.map(f => run(!matched, f))
+    val anyDf = any.map(f => run(lit(true), f))
+    val unioned = (optionDfs ++ noneDf ++ anyDf).reduce(_.unionByName(_, allowMissingColumns = true))
     Traversal(graph, Element.Value(name), unioned, aliasTypes)
   }
 

@@ -25,15 +25,41 @@ class BranchSpec extends SparkSpec {
   }
 
   describe("chooseBranch") {
-    it("routes each element through its matching option or otherwise") {
+    it("routes each element through its matching option or none") {
       val t = g.V("person")
         .chooseBranch(col("name"), "v",
           Seq("marko" -> (_.out("knows").value("name")),
               "josh" -> (_.out("created").value("name"))),
-          otherwise = Some(_.value("name")))
+          none = Some(_.value("name")))
       val vs = t.toDF.collect().map(_.getString(0)).toSeq.sorted
       // marko → {vadas, josh}; josh → {lop, ripple}; rest → own names
       assert(vs == Seq("franck", "josh", "lop", "marc", "peter", "ripple", "vadas", "vadas"))
+    }
+    it("drops unmatched elements when no none branch is declared") {
+      val t = g.V("person")
+        .chooseBranch(col("name"), "v",
+          Seq("marko" -> (_.out("knows").value("name"))))
+      assert(t.toDF.collect().map(_.getString(0)).toSeq.sorted == Seq("josh", "vadas"))
+    }
+    it("routes null selectors to none; any receives every element") {
+      // nullif makes vadas's selector null: a null selector and an
+      // unmatched value both land in none (TinkerPop 3.5+ Pick.none)
+      val t = g.V("person")
+        .chooseBranch(nullif(col("name"), lit("vadas")), "v",
+          Seq("marko" -> (_.constant("M"))),
+          none = Some(_.constant("N")),
+          any = Some(_.constant("A")))
+      val byV = t.toDF.collect().map(_.getString(0)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      // 6 people: marko→M; vadas (null selector) + 4 unmatched → N; all 6 → A
+      assert(byV == Map("M" -> 1, "N" -> 5, "A" -> 6))
+    }
+    it("an explicit option(null) claims null selectors before none") {
+      val t = g.V("person")
+        .chooseBranch(nullif(col("name"), lit("vadas")), "v",
+          Seq("marko" -> (_.constant("M")), (null: Any) -> (_.constant("NULLOPT"))),
+          none = Some(_.constant("N")))
+      val byV = t.toDF.collect().map(_.getString(0)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      assert(byV == Map("M" -> 1, "NULLOPT" -> 1, "N" -> 4))
     }
   }
 
