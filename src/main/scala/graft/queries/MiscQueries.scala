@@ -85,6 +85,33 @@ object MiscQueries {
              |  (VALUES (CAST(9001 AS BIGINT), 'NEWLAND'), (CAST(9002 AS BIGINT), 'TERRA')) t(v, n)
              |ORDER BY r_regionkey""".stripMargin)),
 
+    Q("q93_set_cardinality_write",
+      // Set-cardinality enforcement on the write path: per-customer order
+      // priorities collected WITH duplicates, written through the
+      // model-aware create — the declared Cardinality.Set applies
+      // array_distinct, so the persisted size is the distinct count
+      // (reference: SetMapping, models/Mapping.scala:275-308)
+      (s, dir) => {
+        import graft.model.{Cardinality, FieldDef, VertexDef}
+        import org.apache.spark.sql.types._
+        val orders = TestData.graph(s, dir).V("orders").df
+        val rows = orders.groupBy(col("o_custkey").cast("long").as("c_custkey"))
+          .agg(collect_list(col("o_orderpriority")).as("prios"))
+        val model = VertexDef("cust_prio", Seq(
+          FieldDef("c_custkey", LongType),
+          FieldDef("prios", StringType, Cardinality.Set)))
+        Mutations.create(rows.limit(0), rows, model)
+          .select(
+            col("c_custkey"),
+            array_join(array_sort(col("prios")), ",").as("prios_str"),
+            size(col("prios")).as("n_distinct"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+             |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios_str,
+             |  CAST(len(list_distinct(list(o_orderpriority))) AS INT) AS n_distinct
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("q44_id_filter_executor",
       // `_id` filter resolved through the traversal's id column (round-1
       // latent bug: a hardcoded `_id` column threw on every real table)

@@ -2,6 +2,7 @@ package graft.services
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.model.{Cardinality, EdgeDef, FieldDef, VertexDef}
 
 /**
  * Write-path operations — the Spark rendering of the reference's OLTP
@@ -32,6 +33,54 @@ object Mutations {
   /** Insert = append (reference: VertexSrv.createEntity). */
   def create(table: DataFrame, rows: DataFrame): DataFrame =
     table.unionByName(rows, allowMissingColumns = true)
+
+  /** Model-aware insert: enforces declared cardinalities on the written
+    * rows before appending (see [[conform]]). */
+  def create(table: DataFrame, rows: DataFrame, model: VertexDef): DataFrame =
+    create(table, conform(rows, model.fields, isEdge = false))
+
+  /** Edge insert: additionally rejects multi-valued properties — the
+    * reference throws for edges at the Mapping layer
+    * (MultiValueMapping.addValue, models/Mapping.scala:147-158). */
+  def create(table: DataFrame, rows: DataFrame, model: EdgeDef): DataFrame =
+    create(table, conform(rows, model.fields, isEdge = true))
+
+  /** Enforce declared property cardinalities on rows about to be written
+    * (reference: models/Mapping.scala:147-168 MultiValueMapping — edges
+    * reject multi-valued properties; :275-308 SetMapping — a Set-valued
+    * property is a value SET): `Set` columns get `array_distinct` applied
+    * map-side (no shuffle), and any List/Set field on an edge model is a
+    * schema error, surfaced at plan time rather than per row. */
+  def conform(rows: DataFrame, fields: Seq[FieldDef], isEdge: Boolean): DataFrame = {
+    val multi = fields.filter(f =>
+      f.cardinality == Cardinality.List || f.cardinality == Cardinality.Set)
+    if (isEdge && multi.nonEmpty)
+      throw new IllegalArgumentException(
+        s"edges don't support multi-valued properties: ${multi.map(_.name).mkString(", ")} " +
+          "(reference: models/Mapping.scala:150-158)")
+    fields.foldLeft(rows) { (df, f) =>
+      if (f.cardinality == Cardinality.Set && df.columns.contains(f.name))
+        df.withColumn(f.name, array_distinct(col(f.name)))
+      else df
+    }
+  }
+
+  /** The declared unique-index key set of a model (reference:
+    * models/Model.scala:16-19 IndexType.unique + DedupCheck reading the
+    * model's unique indexes, IntegrityCheckOps.scala:486-493). */
+  def uniqueKeys(model: VertexDef): Seq[String] =
+    model.fields.filter(_.unique).map(_.name)
+
+  /** Duplicate-vertex resolution driven by the model's declared `unique`
+    * flags instead of a caller-supplied key list. */
+  def mergeDuplicates(
+      vertices: DataFrame,
+      model: VertexDef,
+      orderCol: String): (DataFrame, DataFrame) = {
+    val keys = uniqueKeys(model)
+    require(keys.nonEmpty, s"model '${model.label}' declares no unique fields")
+    mergeDuplicates(vertices, model.idField, keys, orderCol)
+  }
 
   /** Point update of selected rows + `_updatedAt`/`_updatedBy` stamping
     * (reference: PropertyUpdater, PublicProperty.scala:107-141). Rows not

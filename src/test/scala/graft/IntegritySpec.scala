@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.services.Integrity
+import graft.model.{Cardinality, EdgeDef, FieldDef, VertexDef}
+import graft.services.{Integrity, Mutations}
+import org.apache.spark.sql.types._
 
 /** Repair-strategy semantics on small fixtures (the reference proves the
   * same behaviors in IntegrityCheckTest's 13 named cases). */
@@ -43,6 +45,53 @@ class IntegritySpec extends SparkSpec {
       val (keptDf, removedDf) = Integrity.splitDuplicateLinks(links, Seq("s", "d"), "ord")
       assert(keptDf.count() == 2 && removedDf.count() == 1)
       assert(removedDf.collect().head.getInt(2) == 2)
+    }
+  }
+
+  describe("cardinality enforcement on the write path") {
+    val vModel = VertexDef("doc", Seq(
+      FieldDef("id", LongType),
+      FieldDef("tags", StringType, Cardinality.Set),
+      FieldDef("notes", StringType, Cardinality.List)))
+
+    it("Set columns are deduplicated by the model-aware create") {
+      val rows = Seq((1L, Seq("a", "b", "a"), Seq("x", "x")), (2L, Seq("c", "c"), Seq("y")))
+        .toDF("id", "tags", "notes")
+      val out = Mutations.create(rows.limit(0), rows, vModel)
+        .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1).sorted, r.getSeq[String](2)))).toMap
+      assert(out(1L) == ((Seq("a", "b"), Seq("x", "x")))) // Set deduped, List kept verbatim
+      assert(out(2L) == ((Seq("c"), Seq("y"))))
+    }
+
+    it("edge models reject multi-valued properties at plan time") {
+      val eModel = EdgeDef("link", "doc", "doc", Seq(
+        FieldDef("kind", StringType),
+        FieldDef("tags", StringType, Cardinality.Set)))
+      val rows = Seq((1L, 2L, "k", Seq("a"))).toDF("_src", "_dst", "kind", "tags")
+      val ex = intercept[IllegalArgumentException] {
+        Mutations.create(rows.limit(0), rows, eModel)
+      }
+      assert(ex.getMessage.contains("multi-valued"))
+      // a single-valued edge model passes
+      val okModel = EdgeDef("link", "doc", "doc", Seq(FieldDef("kind", StringType)))
+      assert(Mutations.create(rows.limit(0), rows, okModel).count() == 1)
+    }
+
+    it("mergeDuplicates driven by the model's declared unique flags") {
+      val model = VertexDef("user", Seq(
+        FieldDef("email", StringType, unique = true),
+        FieldDef("name", StringType)), idField = "id")
+      val vertices = Seq(
+        (1L, "a@x", "first"), (2L, "a@x", "dup"), (3L, "b@x", "only"))
+        .toDF("id", "email", "name")
+      val (kept, mapping) = Mutations.mergeDuplicates(vertices, model, "id")
+      assert(kept.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      assert(mapping.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(2L -> 1L))
+      // no unique flags declared → explicit error, not a silent no-key dedup
+      val bare = VertexDef("user", Seq(FieldDef("email", StringType)))
+      intercept[IllegalArgumentException] {
+        Mutations.mergeDuplicates(vertices, bare, "id")
+      }
     }
   }
 }
