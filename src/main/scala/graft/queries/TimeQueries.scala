@@ -49,6 +49,18 @@ object TimeQueries {
       Some("""SELECT (epoch_ms(ts) - (epoch_ms(ts) + 259200000) % 604800000) AS bucket_ms, count(*) AS cnt
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("t08_time_agg_2week",
+      // multi-week interval at the REFERENCE's exact bucket boundaries:
+      // roundToWeek(t, n) = (t+3d) - (t+3d) % (n*1w) - 3d  ≡  t - (t+3d) % (n*1w)
+      // (Aggregation.scala:409-414; the +3d shift — epoch day 0 is a
+      // Thursday — makes bucket STARTS land on Monday, so the reference is
+      // Monday-anchored, not Thursday-anchored; roundToWeek(0) = -3d =
+      // Mon 1969-12-29, pinned in QueryLanguageSpec)
+      timeAgg("""{"_agg":"time","_field":"ts","_interval":"2w",
+                |"_select":[{"_agg":"count","_name":"cnt"}]}""".stripMargin),
+      Some("""SELECT (epoch_ms(ts) - (epoch_ms(ts) + 259200000) % 1209600000) AS bucket_ms, count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("t04_time_agg_filtered",
       timeAgg("""{"_agg":"time","_field":"ts","_interval":"6h",
                 |"_query":{"_is":{"event_type":"click"}},

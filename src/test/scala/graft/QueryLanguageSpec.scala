@@ -91,6 +91,26 @@ class QueryLanguageSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(rows == Seq(-259200000L -> 2L, 345600000L -> 1L))
     }
+    it("bucket boundaries bit-match the reference roundToWeek for 1w and 2w") {
+      // the reference's exact math (Aggregation.scala:409-414):
+      // (t+3d) - (t+3d) % (n*1w) - 3d — the +3d shift (epoch day 0 is a
+      // Thursday) lands bucket starts on MONDAY
+      def refRound(t: Long, n: Long): Long = {
+        val shifted = t + 259200000L
+        shifted - (shifted % (604800000L * n)) - 259200000L
+      }
+      val times = Seq(0L, 1L, 259199999L, 259200000L, 345600000L,
+        1700000000123L, 1767225600000L)
+      for (n <- Seq(1L, 2L)) {
+        val tdf = times.map(new java.sql.Timestamp(_)).toDF("ts")
+        val agg = AggregationParser.parse(
+          s"""{"_agg":"time","_field":"ts","_interval":"${n}w","_select":[{"_agg":"count","_name":"cnt"}]}""",
+          Properties.passthrough)
+        val buckets = AggCompiler(tdf, agg, Properties.passthrough)
+          .select(unix_millis(col("ts_bucket"))).collect().map(_.getLong(0)).toSet
+        assert(buckets == times.map(refRound(_, n)).toSet)
+      }
+    }
     it("interval grammar parses n-unit strings and ChronoUnit objects") {
       val a = AggregationParser.parse(
         """{"_agg":"time","_field":"ts","_interval":"6h"}""", Properties.passthrough)
