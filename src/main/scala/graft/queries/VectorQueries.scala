@@ -194,6 +194,46 @@ object VectorQueries {
        |        ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
        |    FROM codes v CROSS JOIN $cents c) t WHERE rn = 1""".stripMargin
 
+  /** One spherical-Lloyd iteration (shared by e06/e06b): assign to the
+    * given centroids, then rebuild each centroid as the per-cluster
+    * per-dimension exact-decimal component SUM (cosine assignment is
+    * invariant to positive scaling, so no division — the whole update is
+    * bit-reproducible across engines and partitionings; see e06 notes).
+    * Checkpointed: every trained centroid table has multiple consumers. */
+  private def lloydIterate(coded: DataFrame, cents: DataFrame): DataFrame =
+    centsFromSums(lloydSums(coded, cents))
+
+  /** The iteration's narrow (cid, pos, sv) component-sum table; `sv` is
+    * the exact DECIMAL(38,6) sum emitted as double (exact round-trip:
+    * ≤ 9 significant digits). */
+  private def lloydSums(coded: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = assignToCentroids(coded, cents)
+    coded.join(a, "vec_id")
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v").cast(DecimalType(38, 6))).cast("double").as("sv"))
+  }
+
+  private def centsFromSums(sums: DataFrame): DataFrame =
+    sums.groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> CAST(x.sv AS FLOAT))").as("cvec"))
+      .withColumn("cnorm", sqrt(dotNative("cvec", "cvec")))
+      .localCheckpoint()
+
+  /** DuckDB mirror of [[lloydIterate]]: CTEs `aN` (assignment against
+    * `inCents`), `sumsN`, `outBase` (raw sums) and `outBase + "n"` (with
+    * norm) — the table produced for the next step is `outBase + "n"`. */
+  private def lloydSqlCtes(inCents: String, aName: String, sumsName: String, outBase: String): String =
+    s"""$aName AS (${assignSqlBody(inCents)}),
+       |$sumsName AS (
+       |  SELECT $aName.cid, t.i AS pos,
+       |    CAST(SUM(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sv
+       |  FROM codes v JOIN $aName ON v.vec_id = $aName.vec_id, range(1, $Dim + 1) t(i)
+       |  GROUP BY 1, 2),
+       |$outBase AS (SELECT cid, list(CAST(sv AS FLOAT) ORDER BY pos) AS cvec FROM $sumsName GROUP BY cid),
+       |${outBase}n AS (SELECT cid, cvec, sqrt(${dotSqlOf("cvec", "cvec")}) AS cnorm FROM $outBase)""".stripMargin
+
   private def probeRescoreSqlTail(cents: String, assign: String): String =
     s"""q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
        |qp AS (SELECT cid FROM (
@@ -324,6 +364,14 @@ object VectorQueries {
         // window shuffles on `code`, the same key the self-join needs.
         val sized = codedVectors(s, dir)
           .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("code"))))
+          // no silent caps: rows living in over-cap buckets (and the max
+          // bucket size) are emitted as named observed metrics in the same
+          // pass — a listener/driver reads them off the plan, so a corpus
+          // whose hot buckets start swallowing candidates is visible
+          // without a second scan
+          .observe("d12_bucket_cap",
+            sum(when(col("bn") > VecBucketCap, 1L).otherwise(0L)).as("rows_in_capped_buckets"),
+            max(col("bn")).as("max_bucket_size"))
           .where(col("bn").between(2L, VecBucketCap))
         val a = sized.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"), col("norm").as("na"))
         val b = sized.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"), col("norm").as("nb"))
@@ -382,40 +430,60 @@ object VectorQueries {
       // members simply vanish (both engines agree). The final probe is the
       // same bucket-pruned rescore as e05, against the trained centroids.
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val coded = codedVectors(s, dir)
-        val a0 = assignToCentroids(coded, seedCentroids(coded))
-        // Lloyd update: exact decimal component sums per cluster, emitted
-        // as float so the trained centroid feeds the same native decimal
-        // dot as the seeds (double→float rounding is IEEE, identical in
-        // both engines)
-        val sums = coded.join(a0, "vec_id")
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("v").cast(DecimalType(38, 6))).cast("double").as("sv"))
-        // checkpointed: the trained centroid table has THREE consumers
-        // (second assignment, query probe, rescore) — without
-        // materialization each broadcast re-runs the whole training
-        // lineage (seed assignment + explode + two aggregations), i.e.
-        // several extra corpus passes for an 8-row table
-        val cents1 = sums.groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> CAST(x.sv AS FLOAT))").as("cvec"))
-          .withColumn("cnorm", sqrt(dotNative("cvec", "cvec")))
-          .localCheckpoint()
+        val cents1 = lloydIterate(coded, seedCentroids(coded))
         probeAndRescore(coded, cents1, assignToCentroids(coded, cents1))
       },
       Some(s"""WITH codes AS ($codesSql),
               |cents0 AS ($seedCentsSqlBody),
-              |a0 AS (${assignSqlBody("cents0")}),
-              |sums AS (
-              |  SELECT a0.cid, t.i AS pos,
-              |    CAST(SUM(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sv
-              |  FROM codes v JOIN a0 ON v.vec_id = a0.vec_id, range(1, $Dim + 1) t(i)
-              |  GROUP BY 1, 2),
-              |cents1 AS (SELECT cid, list(CAST(sv AS FLOAT) ORDER BY pos) AS cvec FROM sums GROUP BY cid),
-              |cents1n AS (SELECT cid, cvec, sqrt(${dotSqlOf("cvec", "cvec")}) AS cnorm FROM cents1),
+              |${lloydSqlCtes("cents0", "a0", "sums0", "cents1")},
               |a1 AS (${assignSqlBody("cents1n")}),
               |${probeRescoreSqlTail("cents1n", "a1")}""".stripMargin)),
+
+    Q("e06b_ivf_lloyd_convergence",
+      // SECOND Lloyd iteration + the convergence signal a production
+      // training loop stops on: per-cluster cosine movement between the
+      // iteration-1 and iteration-2 centroids, 1 − cos(s1, s2) over the
+      // exact DECIMAL(38,6) component sums. The dots are EXACT end-to-end
+      // — decimal×decimal products and decimal sums, no double→decimal
+      // rounding anywhere — because the engines' double→DECIMAL casts
+      // round differently in shortest-repr tie cases (DuckDB rounds the
+      // shortest decimal repr half-to-even; Spark quantizes the exact
+      // binary value), which the float-centroid dot path hits here. Each
+      // iteration is one corpus pass; the movement join is over the
+      // K×Dim-row narrow sum tables.
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val coded = codedVectors(s, dir)
+        // sums1 has two consumers (cents1 and the movement join);
+        // centsFromSums checkpoints its own output for the 3-consumer
+        // centroid table
+        val sums1 = lloydSums(coded, seedCentroids(coded)).localCheckpoint()
+        val sums2 = lloydSums(coded, centsFromSums(sums1))
+        val dec = DecimalType(18, 6)
+        val j = sums1.select(col("cid"), col("pos"), col("sv").cast(dec).as("d1"))
+          .join(sums2.select(col("cid"), col("pos"), col("sv").cast(dec).as("d2")), Seq("cid", "pos"))
+        j.groupBy(col("cid"))
+          .agg(
+            sum(col("d1") * col("d2")).as("dot12"),
+            sum(col("d1") * col("d1")).as("dot11"),
+            sum(col("d2") * col("d2")).as("dot22"))
+          .select(col("cid"),
+            (lit(1d) - col("dot12").cast("double") /
+              (sqrt(col("dot11").cast("double")) * sqrt(col("dot22").cast("double")))).as("movement"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH codes AS ($codesSql),
+              |cents0 AS ($seedCentsSqlBody),
+              |${lloydSqlCtes("cents0", "a0", "sums0", "cents1")},
+              |${lloydSqlCtes("cents1n", "a1", "sums1", "cents2")},
+              |j AS (SELECT s1.cid, CAST(s1.sv AS DECIMAL(18,6)) AS d1, CAST(s2.sv AS DECIMAL(18,6)) AS d2
+              |      FROM sums0 s1 JOIN sums1 s2 ON s1.cid = s2.cid AND s1.pos = s2.pos),
+              |m AS (SELECT cid, SUM(d1*d2) AS dot12, SUM(d1*d1) AS dot11, SUM(d2*d2) AS dot22
+              |      FROM j GROUP BY cid)
+              |SELECT cid, 1 - CAST(dot12 AS DOUBLE) /
+              |  (sqrt(CAST(dot11 AS DOUBLE)) * sqrt(CAST(dot22 AS DOUBLE))) AS movement
+              |FROM m ORDER BY 1""".stripMargin)),
 
     Q("e08_pq_adc_ann",
       // PRODUCT QUANTIZATION + asymmetric distance computation — the
