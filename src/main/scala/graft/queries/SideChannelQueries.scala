@@ -92,10 +92,13 @@ object SideChannelQueries {
       // which is exactly the operators' contract.
       (s, dir) => {
         var peeked = -1L
-        G(s, dir).V("nation").identity
+        val t = G(s, dir).V("nation").identity
           .sideEffect(d => peeked = d.count())
           .barrier()
-          .sortBy(col("n_nationkey")).toDF
+        // the sideEffect runs eagerly at construction — pin it so the
+        // peek can't silently become dead code under a refactor
+        require(peeked > 0, s"sideEffect peek did not run (peeked=$peeked)")
+        t.sortBy(col("n_nationkey")).toDF
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
@@ -124,7 +127,10 @@ object SideChannelQueries {
       // executors and was checkpointed once.
       (s, dir) => {
         val g = G(s, dir)
-        val ex = new QueryExecutor(g, QueryExecutor.defaultNamed(g))
+        // threshold pinned ABOVE any SF's nation count: the oracle emits
+        // the true total, which is only valid while the limitedCount
+        // doesn't saturate (saturation emits -threshold)
+        val ex = new QueryExecutor(g, QueryExecutor.defaultNamed(g), limitedCountThreshold = 1000000L)
         val out = ex.executeStream("""[{"_name":"all_nation"}]""")
         val schema = g.V("nation").toDF.schema
         import scala.jdk.CollectionConverters._

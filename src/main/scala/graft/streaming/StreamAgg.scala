@@ -22,29 +22,27 @@ object StreamAgg {
     * result and DROP the backing temp view — without this every streaming
     * query invocation would pin its full result in driver memory for the
     * session lifetime (Bench/Verify run all queries in one session). */
-  private def drainMemorySink(spark: SparkSession, name: String, ordered: DataFrame): DataFrame = {
-    val out = ordered.localCheckpoint()
-    spark.catalog.dropTempView(name)
-    out
-  }
-
   /** The shared memory-sink replay harness: run `df` to completion with
     * Trigger.AvailableNow into a uniquely-named in-memory table (8 state
     * partitions), then drain it through `order`. ONE definition of the
-    * sink boilerplate — a harness fix (like the drain-and-drop above)
-    * lands in every streaming query at once. */
+    * sink boilerplate — a harness fix lands in every streaming query at
+    * once. The temp view is dropped in a finally: a failed replay or
+    * drain must not leak the registered view into the shared session
+    * (dropTempView is a no-op false if the view never registered). */
   private def replayToMemory(spark: SparkSession, df: DataFrame, prefix: String,
       outputMode: String)(order: DataFrame => DataFrame): DataFrame = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = df.writeStream
-        .format("memory").queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    drainMemorySink(spark, name, order(spark.table(name)))
+    try {
+      withStatePartitions(spark, 8) {
+        val q = df.writeStream
+          .format("memory").queryName(name)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      order(spark.table(name)).localCheckpoint()
+    } finally spark.catalog.dropTempView(name)
   }
 
   /** Run a synchronous streaming query with a reduced state-partition
@@ -79,6 +77,19 @@ object StreamAgg {
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, target)
+    // INVARIANT the single-batch oracles depend on (e.g. s09's
+    // global-DISTINCT oracle for dropDuplicatesWithinWatermark): the
+    // staged dir holds exactly ONE file, so an AvailableNow replay is
+    // exactly ONE micro-batch. A second file here (stale link from a
+    // renamed source, outside interference) would silently turn the
+    // replay multi-batch and invalidate those oracles.
+    val staged = {
+      val st = java.nio.file.Files.list(streamDir)
+      try { import scala.jdk.CollectionConverters._; st.iterator().asScala.toList }
+      finally st.close()
+    }
+    require(staged == List(link),
+      s"staged stream dir $streamDir must hold exactly the one source file, found: $staged")
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
