@@ -10,11 +10,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Decimal-exact dot product of two float vectors, emitted as double:
- * per element `round(x·y, 12 frac digits, HALF_UP)` summed exactly —
- * byte-for-byte the same result as the declarative
- * `aggregate(zip_with(...))` decimal pattern used by the oracle (Spark's
- * double→DECIMAL(20,12) cast is BigDecimal.valueOf + HALF_UP, reproduced
- * here), and therefore order-independent and partitioning-independent.
+ * per element the product is quantized to 12 fractional digits on the
+ * double's SHORTEST decimal representation (`BigDecimal.valueOf`) with
+ * HALF_EVEN tie rounding, then summed exactly — order-independent,
+ * partitioning-independent, and bit-identical to DuckDB's
+ * `CAST(double AS DECIMAL(38,12))`, which was probed to be exactly
+ * shortest-repr + half-even (1.4596260114985 → …498, 1.4596260114975 →
+ * …498, 2.7182818284595 → …460, symmetric for negatives). Spark's own
+ * double→decimal Cast uses the same shortest repr but HALF_UP, which
+ * diverges from the oracle at representation ties — a real mismatch hit
+ * by centroid products whose operands carry short decimal reprs — so the
+ * declarative `aggregate(zip_with(CAST …))` form is NOT equivalent at
+ * ties and must not be substituted for this expression.
  *
  * Why native: Spark's higher-order functions (`transform`, `zip_with`,
  * `aggregate`) have no codegen — each lambda application is interpreted
@@ -52,7 +59,7 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val prod = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      acc = acc.add(JBigDecimal.valueOf(prod).setScale(12, RoundingMode.HALF_UP))
+      acc = acc.add(JBigDecimal.valueOf(prod).setScale(12, RoundingMode.HALF_EVEN))
       i += 1
     }
     Double.box(acc.doubleValue())
