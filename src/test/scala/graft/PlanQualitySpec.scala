@@ -37,6 +37,25 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), plan)
     }
 
+    it("e09's probe prunes the partitioned ANN index to the probed buckets") {
+      // the production ANN story: the stored index is partitioned by
+      // bucket code, so a probe never opens non-probed bucket files
+      val idx = graft.queries.VectorQueries.partitionedIndex(spark, sfDir)
+      val probed = idx.where(col("code").isin(0L, 3L, 5L))
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("code"), plan)
+      // directory-level pruning, not post-scan filtering: the probed scan
+      // must open strictly fewer files than the full index holds
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.count()
+        df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+        }.getOrElse(fail("no FileSourceScanExec leaf in\n" + df.queryExecution.executedPlan))
+      }
+      assert(filesRead(probed) < idx.inputFiles.length.toLong,
+        s"probed=${filesRead(probed)} full=${idx.inputFiles.length}")
+    }
+
     it("prunes partitions when a table is partitioned by its filter column") {
       // the SURVEY §4 claim "label filter = partition pruning for free",
       // demonstrated: documents written partitioned by lang, filtered scan
