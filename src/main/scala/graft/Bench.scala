@@ -43,6 +43,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // StreamingJoinHelper WARN-logs a caught internal error for every
+    // non-time `<` conjunct of a stream-stream join condition (s06's
+    // a_id < b_id) on every micro-batch — verified benign (the executed
+    // plan keeps both sides' state-cleanup predicates; see
+    // StreamAgg.streamIntervalSelfJoin). Raise just that logger so the
+    // driver-captured stderr tail only shows real failures.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.StreamingJoinHelper",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm up the JVM/codegen and the parquet footer cache so the first
     // measured query doesn't absorb several seconds of session start-up.
     try {
@@ -53,16 +62,33 @@ object Bench {
     // "errors" and is excluded from "queries"/total. Stable name order.
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Family boundary cleanup: the d-family retains the LSH index caches
+    // and the d/e families retain the coded-vector table (by design —
+    // they model stored index artifacts). Release each once its last
+    // consumer family has run, and nudge the ContextCleaner, so later
+    // families' timings don't absorb the earlier families' retained
+    // blocks and GC pressure (q71 spiked to 12.7 s cold in r6 from
+    // exactly this).
+    def familyOf(n: String) = n.takeWhile(_.isLetter)
+    def releaseFamily(f: String): Unit = {
+      if (f == "d") graft.queries.TextQueries.releaseCaches(spark)
+      if (f == "e") graft.queries.VectorQueries.releaseCaches(spark)
+      if (f.nonEmpty) System.gc()
+    }
+    var fam = ""
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val f = familyOf(name)
+      if (f != fam) { releaseFamily(fam); fam = f }
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
       }
     }
+    releaseFamily(fam)
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -73,11 +99,10 @@ object Bench {
     def jmap(m: scala.collection.Map[String, String]) =
       m.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val full = jmap(timings.map { case (k, v) => k -> ms(v) })
-    // Full per-query detail → file (too long for the driver's tail capture).
-    val fw = new java.io.PrintWriter("bench_full.json")
-    try fw.println(s"""{"total":${ms(total)},"queries":$full,"errors":${jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })},"sf":"${esc(sfDir)}"}""")
-    finally fw.close()
+    // first-pass snapshot: bench_full keeps first-pass values for every
+    // key (comparable to "total"); headline min-of-2 values are reported
+    // separately so the two views can't be confused
+    val firstPass = timings.map { case (k, v) => k -> ms(v) }
     // Headline = fixed subset ∪ this run's top-5 by time, so a regression
     // in a query outside the fixed list (e.g. a streaming spike) is always
     // visible in BENCH_r{N}. Headline entries report the MIN of two runs —
@@ -86,19 +111,33 @@ object Bench {
     val top5 = timings.toSeq.sortBy(-_._2).take(5).map(_._1)
     val headKeys = (headline ++ top5).distinct.filter(timings.contains).sorted
     val fns = SparkEntry.queries
+    fam = ""
     headKeys.foreach { k =>
+      val f = familyOf(k)
+      if (f != fam) { releaseFamily(fam); fam = f }
       fns.get(k).foreach { fn =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           val t = (System.nanoTime() - t0) / 1e9
           if (t < timings(k)) timings(k) = t
-        } catch { case _: Throwable => () }
+        } catch {
+          // a failed re-run keeps the first-pass timing but must leave a
+          // trace — a silent catch here masked a stream failure in r6
+          case scala.util.control.NonFatal(e) =>
+            errors(k + "#rerun") = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+        }
       }
     }
     val head = headKeys.map(k => k -> timings(k))
     val qs = jmap(scala.collection.immutable.ListMap(head.map { case (k, v) => k -> ms(v) }: _*))
     val es = jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })
+    // Full per-query detail → file (too long for the driver's tail
+    // capture): first-pass values under "queries", headline min-of-2
+    // under "headline_min2", errors including any <name>#rerun entries.
+    val fw = new java.io.PrintWriter("bench_full.json")
+    try fw.println(s"""{"total":${ms(total)},"queries":${jmap(firstPass)},"headline_min2":$qs,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    finally fw.close()
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
     println(line)

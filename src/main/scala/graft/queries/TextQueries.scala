@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.TestData
@@ -171,6 +171,19 @@ object TextQueries {
           (col("inter").cast("double") / (size(col("ssa")) + size(col("ssb")) - col("inter"))).as("jaccard"))
         .localCheckpoint()
     })
+
+  /** Drop this session's cached index artifacts (signatures, candidate
+    * pairs, verified pairs) and free their checkpoint blocks. The bench
+    * harness calls this between query families so one family's retained
+    * blocks don't tax the next family's timings; the caches rebuild
+    * lazily on next use. */
+  def releaseCaches(s: SparkSession): Unit = {
+    val k = System.identityHashCode(s)
+    Seq(sigCache, candCache, verCache).foreach { c =>
+      c.keys.filter(_._1 == k).toSeq
+        .foreach(key => c.remove(key).foreach(GraftBridge.unpersistLocalCheckpoint))
+    }
+  }
 
   // ------------------------------------------------- DuckDB-side oracle SQL
 

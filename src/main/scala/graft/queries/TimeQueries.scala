@@ -61,6 +61,32 @@ object TimeQueries {
       Some("""SELECT (epoch_ms(ts) - (epoch_ms(ts) + 259200000) % 1209600000) AS bucket_ms, count(*) AS cnt
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("t09_time_agg_week_pre1970",
+      // pre-epoch week buckets, oracle-pinning the engine's FLOOR
+      // semantics (pmod): the reference's truncating % would collapse
+      // every timestamp with t+3d in (-1w, 1w) into one double-width
+      // bucket around epoch (see QueryLanguageSpec's pinned-divergence
+      // probe). Input = the events table shifted back ~63 years by a
+      // fixed millisecond delta (pure arithmetic, engine-agnostic), so
+      // every timestamp is deep pre-1970.
+      (s, dir) => {
+        val df = G(s, dir).V("events").df
+          .withColumn("ts", timestamp_millis(unix_millis(col("ts")) - lit(2000000000000L)))
+        val out = AggCompiler(df,
+          AggregationParser.parse(
+            """{"_agg":"time","_field":"ts","_interval":"1w",
+              |"_select":[{"_agg":"count","_name":"cnt"}]}""".stripMargin,
+            Properties.passthrough),
+          Properties.passthrough)
+        out.select(unix_millis(col("ts_bucket")).as("bucket_ms"), col("cnt"))
+          .orderBy("bucket_ms")
+      },
+      // floor-mod spelled out for DuckDB (its % also truncates toward 0)
+      Some("""SELECT (shifted - (((shifted + 259200000) % 604800000) + 604800000) % 604800000) AS bucket_ms,
+             |  count(*) AS cnt
+             |FROM (SELECT epoch_ms(ts) - 2000000000000 AS shifted FROM events)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("t04_time_agg_filtered",
       timeAgg("""{"_agg":"time","_field":"ts","_interval":"6h",
                 |"_query":{"_is":{"event_type":"click"}},
@@ -74,7 +100,13 @@ object TimeQueries {
     Q("t05_executor_pipeline",
       (s, dir) => {
         val g = G(s, dir)
-        new QueryExecutor(g, QueryExecutor.defaultNamed(g)).execute(
+        // run through the version-routed registry (reference:
+        // ScalligraphRouter.scala:38-49): a base executor serving every
+        // version merged with a v1-scoped module, resolved at version 1 —
+        // the exact path a /api/v1/query request takes
+        val base = new QueryExecutor(g, QueryExecutor.defaultNamed(g))
+        val v1 = new QueryExecutor(g, Map.empty, version = (1, 1))
+        new GlobalQueryExecutor(Seq(base, v1)).get(1).execute(
           """[{"_name":"all_customer"},
             |  {"_name":"filter","_query":{"_gte":{"c_acctbal":1000}}},
             |  {"_name":"sort","_fields":[{"c_acctbal":"desc"},{"c_custkey":"asc"}]},

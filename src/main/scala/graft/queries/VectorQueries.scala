@@ -191,13 +191,49 @@ object VectorQueries {
   private val idxCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private[graft] def partitionedIndex(s: SparkSession, dir: String): DataFrame =
     idxCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      // digest covers the SOURCE FILE's size+mtime, not just the dir name,
+      // so regenerated data at the same path invalidates the index; a
+      // finished index (Spark's _SUCCESS marker after the atomic rename)
+      // is reused as-is — a second session or concurrent JVM never
+      // re-runs mode("overwrite") under a path another session's cached
+      // DataFrame is reading.
+      val src = java.nio.file.Paths.get(dir, "embeddings.parquet").toAbsolutePath
+      val attrs = java.nio.file.Files.readAttributes(src, classOf[java.nio.file.attribute.BasicFileAttributes])
+      val stamp = s"ivfidx:$src:${attrs.size}:${attrs.lastModifiedTime.toMillis}"
       val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+        .digest(stamp.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
       val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_ivf_idx_$digest").toString
-      codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)
-      s.read.parquet(path)
+        System.getProperty("java.io.tmpdir"), s"graft_ivf_idx_$digest")
+      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+        // stage under a process-unique name, then atomically rename into
+        // place; if a concurrent writer won the rename, discard ours
+        val staging = path.resolveSibling(
+          path.getFileName.toString + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
+        codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(staging.toString)
+        try java.nio.file.Files.move(staging, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.DirectoryNotEmptyException |
+              _: java.nio.file.AccessDeniedException =>
+            val st = java.nio.file.Files.walk(staging)
+            try st.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally st.close()
+        }
+      }
+      s.read.parquet(path.toString)
     })
+
+  /** Drop this session's cached coded-vector table and free its
+    * checkpoint blocks (bench inter-family release; rebuilds lazily).
+    * The partitioned-index entries are parquet-backed — dropping them
+    * frees only driver references; the on-disk index is reused via its
+    * _SUCCESS marker. */
+  def releaseCaches(s: SparkSession): Unit = {
+    val k = System.identityHashCode(s)
+    codedCache.keys.filter(_._1 == k).toSeq
+      .foreach(key => codedCache.remove(key).foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint))
+    idxCache.keys.filter(_._1 == k).toSeq.foreach(idxCache.remove)
+  }
 
   /** DuckDB mirrors of the three blocks above (CTE bodies/tails
     * parameterized by the centroid/assignment CTE names). */

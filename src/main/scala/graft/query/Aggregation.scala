@@ -172,8 +172,13 @@ object AggCompiler {
       val bucket = (iv, cal) match {
         case (Some((d, off)), _) =>
           // anchored fixed windows: ts - ((epochMs + offset) mod d). pmod
-          // keeps floor semantics for pre-1970 timestamps too; offset=3d for
-          // weeks yields the reference's Monday anchor.
+          // keeps floor semantics for pre-1970 timestamps too — a
+          // DELIBERATE divergence from the reference, whose truncating
+          // Java % collapses all t+3d in (-1w, 1w) into one double-width
+          // epoch-spanning bucket (Aggregation.scala:411-414). Bit-parity
+          // holds for every t+offset >= 0; the pre-epoch floor is pinned
+          // by oracle t09 and the QueryLanguageSpec divergence probe.
+          // offset=3d for weeks yields the reference's Monday anchor.
           timestamp_millis(unix_millis(ts) - pmod(unix_millis(ts) + lit(off), lit(d))).as(bucketName)
         case (_, Some(unit)) => date_trunc(unit, ts).as(bucketName)
         case _ => throw new IllegalStateException("time aggregation without interval")

@@ -34,14 +34,45 @@ object QVal {
 }
 
 final class QueryExecutor(
-    graph: Graph,
+    private val graph: Graph,
     /** App-registered named queries (reference: Query.init/withParam,
       * Query.scala:52-122), e.g. "allCustomers" → label scan. */
-    namedQueries: Map[String, (JValue, Graph) => Traversal],
+    private val namedQueries: Map[String, (JValue, Graph) => Traversal],
     /** Public-property catalog per vertex/edge label (reference:
       * PublicProperty lookup per type, query/PublicProperty.scala:143-158). */
-    propsByLabel: Map[String, Properties] = Map.empty,
-    limitedCountThreshold: Long = 1000L) {
+    private val propsByLabel: Map[String, Properties] = Map.empty,
+    private val limitedCountThreshold: Long = 1000L,
+    /** Inclusive API version window this executor serves (reference:
+      * QueryExecutor.scala:18 `version: (Int, Int)`; TheHive runs v0 and
+      * v1 executors side by side through the version-filtered merge). */
+    val version: (Int, Int) = (0, Int.MaxValue)) {
+
+  /** reference: QueryExecutor.scala:33. */
+  def versionCheck(v: Int): Boolean = version._1 <= v && v <= version._2
+
+  /** Merge two executors serving an overlapping version window
+    * (reference: QueryExecutor.scala:162-170): the right-hand executor's
+    * threshold wins, the version window narrows to the intersection, and
+    * right-hand registrations win name/label collisions (the reference
+    * concatenates its `queries`/`publicProperties` sequences with the
+    * right side appended; for map-backed registries that is right-bias). */
+  def ++(other: QueryExecutor): QueryExecutor = {
+    val mergedProps = (propsByLabel.keySet ++ other.propsByLabel.keySet).map { label =>
+      label -> ((propsByLabel.get(label), other.propsByLabel.get(label)) match {
+        case (Some(a), Some(b)) => a ++ b
+        case (a, b) => a.orElse(b).get
+      })
+    }.toMap
+    val merged = new QueryExecutor(
+      other.graph,
+      namedQueries ++ other.namedQueries,
+      mergedProps,
+      other.limitedCountThreshold,
+      (math.max(version._1, other.version._1), math.min(version._2, other.version._2)))
+    merged.continuations = continuations ++ other.continuations
+    merged.renderers = renderers ++ other.renderers
+    merged
+  }
 
   private def propsFor(t: Traversal): Properties = t.element match {
     case Element.Vertex(l, id) => propsByLabel.getOrElse(l, Properties.passthrough).withId(id)
@@ -211,4 +242,29 @@ object QueryExecutor {
     }.toMap
 
   final case class IteratorOutput(rows: Iterator[org.apache.spark.sql.Row], total: Long)
+}
+
+/** The version-routed executor registry (reference:
+  * ScalligraphRouter.scala:38-49): every registered module contributes a
+  * [[QueryExecutor]] with a version window; a request at `/api/v{n}/query`
+  * runs against the MERGE of all executors whose window contains `n` —
+  * this is how the reference serves v0 and v1 APIs side by side. The
+  * merged executor per version is cached (the reference uses
+  * AsyncCacheApi; a concurrent map is the sync analog). */
+final class GlobalQueryExecutor(executors: Seq[QueryExecutor]) {
+  require(executors.nonEmpty, "no query executors registered")
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[Int, QueryExecutor]
+
+  /** The merged executor serving API version `v` (reference:
+    * ScalligraphRouter.scala:40-46, incl. the failure on an unserved
+    * version). */
+  def get(v: Int): QueryExecutor =
+    cache.getOrElseUpdate(v,
+      executors.filter(_.versionCheck(v)).reduceOption(_ ++ _)
+        .getOrElse(throw new IllegalArgumentException(s"No available query executor for version $v")))
+
+  /** All executors merged, version filter ignored (reference:
+    * ScalligraphRouter.scala:48). */
+  def get: QueryExecutor = executors.reduce(_ ++ _)
 }

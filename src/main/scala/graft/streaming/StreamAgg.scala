@@ -267,7 +267,20 @@ object StreamAgg {
     * and the join condition bounds event time, so each side's state is
     * evicted once the other side's watermark passes — the bounded-state
     * stream-stream join shape. Replayed here as one batch, making the
-    * output the complete deterministic pair set. */
+    * output the complete deterministic pair set.
+    *
+    * Known planner noise, verified benign: `StreamingJoinHelper` probes
+    * EVERY `<` conjunct for a state bound, including the non-time
+    * `a_id < b_id` pair-dedup term, and WARN-logs the internal error it
+    * catches on it (`getStateWatermarkFromLessThenPredicate` — "Cannot
+    * evaluate expression: a_id"). The executed plan still carries
+    * watermark state-cleanup predicates for BOTH sides (probed on Spark
+    * 4.1.2: `state cleanup [left value predicate: a_ts-1h <= W, right
+    * value predicate: b_ts-1h <= W]`), so state stays bounded; moving the
+    * term to a post-join filter doesn't help because predicate pushdown
+    * folds it straight back into the join condition. The bench harness
+    * raises that one logger to ERROR so the driver-read stderr tail stays
+    * meaningful. */
   def streamIntervalSelfJoin(spark: SparkSession, dir: String): DataFrame = {
     val e1 = stagedEventsStream(spark, dir).withWatermark("ts", "1 hour")
       .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))

@@ -15,4 +15,16 @@ object GraftBridge {
   def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Free the executor blocks behind a `localCheckpoint()`ed DataFrame.
+    * A local checkpoint's data IS its persisted blocks (lineage is
+    * truncated at checkpoint time), so only call this once the DataFrame
+    * — and everything derived from it — is no longer needed; a later
+    * action on it would fail rather than recompute. No-op on plans that
+    * are not checkpoint-backed. */
+  def unpersistLocalCheckpoint(df: Dataset[Row]): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
+      case r: execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 }

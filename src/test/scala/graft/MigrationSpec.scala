@@ -89,6 +89,38 @@ class MigrationSpec extends SparkSpec {
       }
     }
 
+    it("runs against an explicit file:-scheme root through the Hadoop FileSystem API") {
+      withScratchDir("mig") { root =>
+        seed(root)
+        // scheme-qualified root: every store operation (version marker,
+        // staged swap, delete) must resolve through Hadoop's FileSystem,
+        // the same code path an hdfs:// or s3a:// root takes
+        val store = new MigrationStore(spark, "file:" + root)
+        store.setVersion("app", 1)
+        val applied = ops.execute(store)
+        assert(applied.size == 3)
+        assert(store.version("app") == 4)
+        assert(store.read("docs").columns.toSeq == Seq("id", "len", "tier"))
+        // the swap left no stage/old siblings behind
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs__stage")))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs__old")))
+      }
+    }
+
+    it("rewrite clears a leftover __old directory from a previous crashed swap") {
+      withScratchDir("mig") { root =>
+        import spark.implicits._
+        val store = seed(root)
+        // simulate a crash after the first rename of a previous attempt
+        Seq((99, 1, "stale")).toDF("id", "len", "legacy").write.parquet(s"$root/docs__old")
+        store.rewrite("docs")(_.withColumn("tier", lit("t")))
+        assert(store.read("docs").columns.toSeq == Seq("id", "len", "legacy", "tier"))
+        assert(store.read("docs").count() == 3) // stale __old rows are gone, not merged
+      }
+    }
+
     it("rerun after repair resumes at the failed check, not from scratch") {
       withScratchDir("mig") { root =>
         import spark.implicits._

@@ -91,10 +91,11 @@ class QueryLanguageSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(rows == Seq(-259200000L -> 2L, 345600000L -> 1L))
     }
-    it("bucket boundaries bit-match the reference roundToWeek for 1w and 2w") {
+    it("bucket boundaries bit-match the reference roundToWeek for 1w and 2w (post-epoch)") {
       // the reference's exact math (Aggregation.scala:409-414):
       // (t+3d) - (t+3d) % (n*1w) - 3d — the +3d shift (epoch day 0 is a
-      // Thursday) lands bucket starts on MONDAY
+      // Thursday) lands bucket starts on MONDAY. Parity holds wherever
+      // shifted = t+3d >= 0; the pre-epoch divergence is pinned below.
       def refRound(t: Long, n: Long): Long = {
         val shifted = t + 259200000L
         shifted - (shifted % (604800000L * n)) - 259200000L
@@ -110,6 +111,29 @@ class QueryLanguageSpec extends SparkSpec {
           .select(unix_millis(col("ts_bucket"))).collect().map(_.getLong(0)).toSet
         assert(buckets == times.map(refRound(_, n)).toSet)
       }
+    }
+    it("pre-1970 week buckets FLOOR — a deliberate, pinned divergence from the reference") {
+      // For shifted = t+3d < 0 Java's truncating % makes the reference's
+      // roundToWeek round UP: every t with shifted in (-1w, 1w) collapses
+      // into the Mon 1969-12-29 bucket — a double-width bucket spanning
+      // epoch, and bucket starts that can postdate their members. The
+      // engine uses floor semantics (pmod) instead: every bucket is
+      // exactly one week and starts at-or-before its members, which is
+      // the correct shape for historical data at scale. Oracle-pinned by
+      // t09 over shifted testdata timestamps.
+      val t = java.sql.Timestamp.valueOf("1969-12-25 00:00:00") // Thu, shifted < 0
+      val tdf = Seq(t).toDF("ts")
+      val agg = AggregationParser.parse(
+        """{"_agg":"time","_field":"ts","_interval":"1w","_select":[{"_agg":"count","_name":"cnt"}]}""",
+        Properties.passthrough)
+      val bucket = AggCompiler(tdf, agg, Properties.passthrough)
+        .select(unix_millis(col("ts_bucket"))).collect().head.getLong(0)
+      val mon19691222 = -864000000L // Mon 1969-12-22, the true floor
+      assert(bucket == mon19691222)
+      // the reference's truncating % would put it a week later instead
+      val shifted = t.getTime + 259200000L
+      val refBucket = shifted - (shifted % 604800000L) - 259200000L
+      assert(refBucket == mon19691222 + 604800000L)
     }
     it("interval grammar parses n-unit strings and ChronoUnit objects") {
       val a = AggregationParser.parse(
