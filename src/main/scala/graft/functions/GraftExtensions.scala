@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // metadata-only count rewrite (opt-in via its conf flag)
     ext.injectOptimizerRule(session => graft.plans.MetadataCountRule(session))
+    // nested pruning through first(struct) dedup buffers (on by default)
+    ext.injectOptimizerRule(session => graft.plans.FirstStructPruningRule(session))
   }
 }
 

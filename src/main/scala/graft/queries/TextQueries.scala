@@ -57,9 +57,11 @@ object TextQueries {
     * Narrow on purpose — the keep-first window shuffles only
     * (doc_id, 16-byte hash), never the document text; consumers join the
     * ids back to whatever payload they need. */
-  private def repDocIds(s: SparkSession, dir: String): DataFrame = {
+  private def repDocIds(s: SparkSession, dir: String): DataFrame = repIdsOf(docs(s, dir))
+
+  private[graft] def repIdsOf(docsDf: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
-    docs(s, dir)
+    docsDf
       .select(col("doc_id"), md5(col("text").cast("binary")).as("__h"))
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select("doc_id")
@@ -131,14 +133,25 @@ object TextQueries {
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
     candCache.getOrElseUpdate((System.identityHashCode(s), dir), buildCandidatePairs(s, dir).localCheckpoint())
 
-  private def buildCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private def buildCandidatePairs(s: SparkSession, dir: String): DataFrame =
     // banding reads the stored signature table restricted to the exact-dedup
     // representatives (a signature depends only on the text, so filtering
     // the stored table to keeper doc_ids is identical to re-signing them)
-    val sigReps = sigTable(s, dir).join(repDocIds(s, dir), "doc_id")
+    candidatePairsOf(docs(s, dir), sigTable(s, dir))
+
+  /** The d09 candidate plan from arbitrary documents + signature tables —
+    * the seam the skew stress spec drives with a deliberately hot corpus.
+    * Hot buckets (and the max observed bucket size) are emitted as named
+    * observed metrics in the same pass, so a corpus whose buckets start
+    * swallowing candidates is visible without a second scan. */
+  private[graft] def candidatePairsOf(docsDf: DataFrame, sigDf: DataFrame): DataFrame = {
+    val sigReps = sigDf.join(repIdsOf(docsDf), "doc_id")
     val bd = bandsFromSig(sigReps).localCheckpoint()
     val ok = bd.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
+      .observe("d09_bucket_cap",
+        sum(when(col("n") > BucketCap, 1L).otherwise(0L)).as("hot_buckets"),
+        max(col("n")).as("max_bucket_size"))
       .where(col("n").between(2, BucketCap))
       .select("band", "bkey")
     val member = bd.join(ok, Seq("band", "bkey"))
@@ -147,6 +160,9 @@ object TextQueries {
     a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
   }
+
+  /** Signature pipeline over an arbitrary documents table (spec seam). */
+  private[graft] def signaturesOf(docsDf: DataFrame): DataFrame = signatures(docsDf)
 
   /** Jaccard-verified candidate pairs — cached like [[candidatePairs]]:
     * the verification scores are the final near-dup index artifact that

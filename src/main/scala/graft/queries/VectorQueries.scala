@@ -100,10 +100,42 @@ object VectorQueries {
     // e05/d12 all read it, as a production deployment reads the
     // materialized code table rather than re-quantizing the corpus
     codedCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      emb(s, dir).select(
-        col("vec_id"), col("embedding"), codeCol.as("code"),
-        sqrt(dotNative("embedding", "embedding")).as("norm"))
-        .localCheckpoint())
+      codeVectors(emb(s, dir)).localCheckpoint())
+
+  /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
+    * the same select [[codedVectors]] materializes; seam for the skew
+    * stress spec. */
+  private[graft] def codeVectors(embDf: DataFrame): DataFrame =
+    embDf.select(
+      col("vec_id"), col("embedding"), codeCol.as("code"),
+      sqrt(dotNative("embedding", "embedding")).as("norm"))
+
+  /** The d12 plan from a coded-vector table (shared by the oracle query
+    * and the skew stress spec). Hot-bucket cap: a bucket outside
+    * [2, VecBucketCap] never joins — singleton buckets yield no pairs
+    * anyway, and an oversized bucket (duplicate-heavy corpus, too few
+    * bits for the data volume) would be the quadratic hot spot, so it is
+    * structurally excluded. The window shuffles on `code`, the same key
+    * the self-join needs. No silent caps: rows living in over-cap buckets
+    * (and the max bucket size) are emitted as named observed metrics in
+    * the same pass — a listener/driver reads them off the plan, so a
+    * corpus whose hot buckets start swallowing candidates is visible
+    * without a second scan. */
+  private[graft] def cosineNearDupFrom(coded: DataFrame): DataFrame = {
+    val sized = coded
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("code"))))
+      .observe("d12_bucket_cap",
+        sum(when(col("bn") > VecBucketCap, 1L).otherwise(0L)).as("rows_in_capped_buckets"),
+        max(col("bn")).as("max_bucket_size"))
+      .where(col("bn").between(2L, VecBucketCap))
+    val a = sized.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"), col("norm").as("na"))
+    val b = sized.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"), col("norm").as("nb"))
+    a.join(b, col("code") === col("code_b") && col("a_id") < col("b_id"))
+      .withColumn("dot", dotNative("ea", "eb"))
+      .select(col("a_id"), col("b_id"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= 0.25)
+      .orderBy("a_id", "b_id")
+  }
 
   /** DuckDB: same quantizer. */
   private def sgnSql(j: Int): String =
@@ -439,31 +471,7 @@ object VectorQueries {
       // embedding-cosine near-duplicate detection: candidate pairs share an
       // SRP bucket code (equi self-join on the stored code — the shuffle
       // key at scale), exact cosine computed once per pair, thresholded
-      (s, dir) => {
-        // hot-bucket cap: a bucket outside [2, VecBucketCap] never joins —
-        // singleton buckets yield no pairs anyway, and an oversized bucket
-        // (duplicate-heavy corpus, too few bits for the data volume) would
-        // be the quadratic hot spot, so it is structurally excluded. The
-        // window shuffles on `code`, the same key the self-join needs.
-        val sized = codedVectors(s, dir)
-          .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("code"))))
-          // no silent caps: rows living in over-cap buckets (and the max
-          // bucket size) are emitted as named observed metrics in the same
-          // pass — a listener/driver reads them off the plan, so a corpus
-          // whose hot buckets start swallowing candidates is visible
-          // without a second scan
-          .observe("d12_bucket_cap",
-            sum(when(col("bn") > VecBucketCap, 1L).otherwise(0L)).as("rows_in_capped_buckets"),
-            max(col("bn")).as("max_bucket_size"))
-          .where(col("bn").between(2L, VecBucketCap))
-        val a = sized.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("code"), col("norm").as("na"))
-        val b = sized.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("code").as("code_b"), col("norm").as("nb"))
-        a.join(b, col("code") === col("code_b") && col("a_id") < col("b_id"))
-          .withColumn("dot", dotNative("ea", "eb"))
-          .select(col("a_id"), col("b_id"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
-          .where(col("cosine") >= 0.25)
-          .orderBy("a_id", "b_id")
-      },
+      (s, dir) => cosineNearDupFrom(codedVectors(s, dir)),
       Some(s"""WITH codes AS ($codesSql),
               |sized AS (SELECT *, count(*) OVER (PARTITION BY code) AS bn FROM codes),
               |ok AS (SELECT * FROM sized WHERE bn BETWEEN 2 AND $VecBucketCap),

@@ -99,8 +99,18 @@ final class QueryExecutor(
   def executeJson(json: String): JValue =
     executeValue(org.json4s.jackson.JsonMethods.parse(json)) match {
       case QVal.Trav(t) =>
-        val r = renderers.getOrElse(labelOf(t), JsonRenderer.defaultRow _)
-        JsonRenderer.renderRows(t.toDF, r)
+        t.element match {
+          // a value traversal renders as bare JSON values, not row
+          // objects (reference: Output of a value step serializes the
+          // scalar itself — core-test/.../QueryTest golden arrays)
+          case Element.Value(c) =>
+            JArray(t.toDF.collect().iterator
+              .map(r => JsonRenderer.toJson(r.get(r.fieldIndex(c)))).toList)
+          case _ =>
+            // label-keyed renderer lookup serves vertex AND edge labels
+            val r = renderers.getOrElse(labelOf(t), JsonRenderer.defaultRow _)
+            JsonRenderer.renderRows(t.toDF, r)
+        }
       case QVal.AggResult(df, agg) => JsonRenderer.renderAggregation(df, agg)
       case QVal.Result(df) =>
         // count / limitedCount: a single numeric cell renders as its number

@@ -96,6 +96,9 @@ object TestData {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     // rejects by default; read nanos as long and convert (floor) to micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-level optimizer extension: prune first(struct) dedup buffers
+    // to the fields downstream actually reads (match-pattern shuffles)
+    graft.plans.FirstStructPruningRule.install(spark)
     val vs = vertexTables.map { case (name, id) =>
       val df0 = table(spark, dir, name)
       // TPC-H linenumber ∈ [1,7], so orderkey*8+linenumber is injective.

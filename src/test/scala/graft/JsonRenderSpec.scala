@@ -68,6 +68,36 @@ class JsonRenderSpec extends SparkSpec {
     }
   }
 
+  describe("edge and value rendering through the executor") {
+    it("renders edges through a label-keyed edge renderer (knows with weight)") {
+      val edgeExec = new QueryExecutor(g, Map(
+        "allPeople" -> ((_: JValue, g) => g.V("person"))))
+        .withContinuation("knowsE")((t, _) => t.outE("knows"))
+        .withRenderer("knows") { row =>
+          JObject(List(
+            "to" -> JString(row.getAs[String]("_dst")),
+            "weight" -> JDouble(row.getAs[Double]("weight"))))
+        }
+      val out = JsonRenderer.compact(edgeExec.executeJson(
+        """[{"_name":"allPeople"},
+          |  {"_name":"knowsE"},
+          |  {"_name":"sort","_fields":[{"weight":"incr"}]}]""".stripMargin))
+      assert(out == """[{"to":"vadas","weight":0.5},{"to":"josh","weight":1.0}]""")
+    }
+
+    it("renders a value traversal as bare JSON values, not row objects") {
+      val valExec = new QueryExecutor(g, Map(
+        "allPeople" -> ((_: JValue, g) => g.V("person"))))
+        .withContinuation("names")((t, _) => t.value("name"))
+      val out = JsonRenderer.compact(valExec.executeJson(
+        """[{"_name":"allPeople"},
+          |  {"_name":"names"},
+          |  {"_name":"sort","_fields":[{"name":"incr"}]},
+          |  {"_name":"page","from":0,"to":3}]""".stripMargin))
+      assert(out == """["franck","josh","marc"]""")
+    }
+  }
+
   describe("aggregation rendering shapes (reference Aggregation.scala:201-330)") {
     it("scalar aggregation over empty input renders JsNull") {
       val out = run(

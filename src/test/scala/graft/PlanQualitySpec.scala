@@ -127,6 +127,41 @@ class PlanQualitySpec extends SparkSpec {
       }
     }
 
+    it("prunes match-pattern dedup shuffles to the referenced struct fields (q71 shape)") {
+      // FirstStructPruningRule: the binding-dedup Aggregate must carry
+      // first(named_struct(<needed fields>)) buffers, not the full bound
+      // entity structs — at 100 TB the dedup shuffle's width is its cost.
+      // q71 references exactly l_extendedprice, l_discount (revenue),
+      // n_name (group key), r_name + o_orderdate (post-match filter).
+      val t = graft.sources.TestData.graph(spark, sfDir).V("lineitem").matchPattern("l",
+        ("l", _.out("of_order"), "o"),
+        ("o", _.out("placed_by"), "c"),
+        ("c", _.out("cust_nation"), "n"),
+        ("l", _.out("of_supplier"), "s"),
+        ("s", _.out("supp_nation"), "n"),
+        ("n", _.out("of_region"), "r"))
+      val filtered = t.where(
+        t.sel("r", "r_name") === "ASIA" &&
+          t.sel("o", "o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          t.sel("o", "o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      val out = filtered.group(
+        filtered.sel("n", "n_name").as("n_name"),
+        sum(filtered.sel("l", "l_extendedprice")).as("revenue"))
+      val plan = out.queryExecution.executedPlan.toString
+      // the first() buffers aggregate pruned named_structs…
+      assert(plan.contains("first(named_struct("), plan.take(4000))
+      // …and none of them carries a full entity struct: no first() directly
+      // over a bound-alias attribute survives
+      assert(!plan.matches("(?s).*first\\(__as_[a-z]+#\\d+.*"), plan.take(4000))
+      // nothing beyond the referenced fields rides the buffers (the
+      // map-side struct CREATION still packs all fields — it dies inside
+      // the same codegen stage; only the first() buffers hit the wire)
+      assert(plan.contains("named_struct(l_extendedprice, "), plan.take(4000))
+      val bufferDecls = "first\\(named_struct\\([^)]*\\)".r.findAllIn(plan).toSeq
+      assert(bufferDecls.nonEmpty && bufferDecls.forall(d => !d.contains("l_tax") && !d.contains("l_quantity")),
+        bufferDecls.mkString("\n"))
+    }
+
     it("takes the shuffled-hash path for the salted skew join") {
       // q88's whole point is spreading a hot key across partitions — a
       // silently re-planned broadcast join would make the salt a no-op
