@@ -36,6 +36,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // GraftExtensions injects the optimizer rules into the MAIN
+      // operator-optimization batch (the post-hoc extraOptimizations
+      // fallback runs too late for nested pruning to cascade to scans)
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -51,6 +55,13 @@ object Bench {
     // driver-captured stderr tail only shows real failures.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.catalyst.analysis.StreamingJoinHelper",
+      org.apache.logging.log4j.Level.ERROR)
+    // releaseFamily() unpersists localCheckpoint blocks ON PURPOSE (the
+    // cache maps held the only references; nothing recomputes them), and
+    // each unpersist logs a one-line "lineage has been truncated" WARN
+    // from the RDD class — expected, so keep it out of the driver's tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
     // Warm up the JVM/codegen and the parquet footer cache so the first
     // measured query doesn't absorb several seconds of session start-up.

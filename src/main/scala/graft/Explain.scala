@@ -10,6 +10,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = args.drop(1).toSet
     val spark = SparkSession.builder()
+      // GraftExtensions injects the optimizer rules into the MAIN
+      // operator-optimization batch (the post-hoc extraOptimizations
+      // fallback runs too late for nested pruning to cascade to scans)
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

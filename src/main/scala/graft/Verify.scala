@@ -8,6 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // GraftExtensions injects the optimizer rules into the MAIN
+      // operator-optimization batch (the post-hoc extraOptimizations
+      // fallback runs too late for nested pruning to cascade to scans)
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

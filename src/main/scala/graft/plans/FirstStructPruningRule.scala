@@ -23,11 +23,19 @@ import org.apache.spark.sql.types.StructType
  *
  * This rule rewrites `Project(…struct.f…, Filter*(…struct.g…,
  * Aggregate(k, first(struct)…)))` so the `first` aggregates only the
- * union of fields the projection and any intervening filters reference:
- * `first(named_struct('f', struct.f, …))`, remapping every consumer's
- * `GetStructField` ordinals. (The Filter* case is the common one — a
- * post-`match` predicate on bound-entity fields cannot push below the
- * dedup because it references non-grouping columns.) It fires only when
+ * union of fields the projection and any intervening filters reference.
+ * The pruned struct is materialized in a PROJECT INSERTED BELOW the
+ * aggregate (`__ps_x := named_struct('f', x.f, …)`), not inline in the
+ * `first`: when this rule runs inside the operator-optimization
+ * fixed point (injected via GraftExtensions), the built-in
+ * NestedColumnAliasing + SimplifyExtractValueOps then push those field
+ * extractions through the join chain into the struct-creating projection
+ * and finally into the scan — q71's lineitem ReadSchema narrows from 11
+ * columns to the 3 the query touches. Every consumer's `GetStructField`
+ * ordinal is remapped against the pruned layout. (The Filter* case is
+ * the common one — a post-`match` predicate on bound-entity fields
+ * cannot push below the dedup because it references non-grouping
+ * columns.) It fires only when
  *  - the aggregate is a plain `first` (no DISTINCT/FILTER, ignoreNulls
  *    false — `ignoreNulls=true` would skip null STRUCTS, which a
  *    struct-of-nulls cannot emulate), and
@@ -59,9 +67,14 @@ case class FirstStructPruningRule(spark: SparkSession) extends Rule[LogicalPlan]
             if (rewrites.isEmpty) p
             else {
               val byId = rewrites.map(r => r.oldAlias.exprId -> r).toMap
-              val newAgg = agg.copy(aggregateExpressions = agg.aggregateExpressions.map { ne =>
-                byId.get(ne.exprId).fold(ne)(_.newAlias)
-              })
+              // pruned structs materialize below the aggregate, where the
+              // built-in nested-pruning rules can chase them to the scans
+              val pre = Project(agg.child.output ++ rewrites.map(_.preAlias), agg.child)
+              val newAgg = agg.copy(
+                aggregateExpressions = agg.aggregateExpressions.map { ne =>
+                  byId.get(ne.exprId).fold(ne)(_.newAlias)
+                },
+                child = pre)
               // rebuild the filter chain bottom-up with remapped ordinals
               val newChild = filters.foldRight[LogicalPlan](newAgg) { (f, c) =>
                 Filter(rewriteRefs(f.condition, byId), c)
@@ -75,23 +88,29 @@ case class FirstStructPruningRule(spark: SparkSession) extends Rule[LogicalPlan]
       // `Aggregate(k, [k, first(payload).s2 AS v])`. There the rewrite is
       // even simpler — first(struct).field ≡ first(struct.field) for
       // ignoreNulls=false (both read the same first-seen row; a null
-      // struct yields a null field either way).
+      // struct yields a null field either way). The extraction is aliased
+      // in a pre-projection for the same pushdown reason as above.
       case agg: Aggregate =>
-        var changed = false
+        val pres = scala.collection.mutable.ArrayBuffer.empty[Alias]
         val newExprs = agg.aggregateExpressions.map(_.transformDown {
           case GetStructField(ae: AggregateExpression, ord, nameOpt)
               if !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
                 case First(a: AttributeReference, false) => a.dataType.isInstanceOf[StructType]
                 case _ => false
               }) =>
-            changed = true
             val First(attr: AttributeReference, _) = (ae.aggregateFunction: @unchecked)
             val st = attr.dataType.asInstanceOf[StructType]
+            val fieldName = nameOpt.getOrElse(st(ord).name)
+            val preAlias = Alias(GetStructField(attr, ord, Some(st(ord).name)), s"__pf_$fieldName")()
+            pres += preAlias
             ae.copy(
-              aggregateFunction = First(GetStructField(attr, ord, nameOpt.orElse(Some(st(ord).name))), ignoreNulls = false),
+              aggregateFunction = First(preAlias.toAttribute, ignoreNulls = false),
               resultId = NamedExpression.newExprId)
         }.asInstanceOf[NamedExpression])
-        if (changed) agg.copy(aggregateExpressions = newExprs) else agg
+        if (pres.isEmpty) agg
+        else agg.copy(
+          aggregateExpressions = newExprs,
+          child = Project(agg.child.output ++ pres, agg.child))
     }
 
   /** The Filter chain under a project, outermost first, plus what's
@@ -103,7 +122,7 @@ case class FirstStructPruningRule(spark: SparkSession) extends Rule[LogicalPlan]
     case other => (Nil, other)
   }
 
-  private case class StructRewrite(oldAlias: Alias, newAlias: Alias, keptOrdinals: Seq[Int])
+  private case class StructRewrite(oldAlias: Alias, newAlias: Alias, keptOrdinals: Seq[Int], preAlias: Alias)
 
   /** A rewrite for `ne` if it is a pruneable first(struct) whose output
     * all consumer expressions read only field-wise, with fields to spare. */
@@ -128,9 +147,11 @@ case class FirstStructPruningRule(spark: SparkSession) extends Rule[LogicalPlan]
                   val kept = ords.toSeq
                   val pruned = CreateNamedStruct(kept.flatMap(o =>
                     Seq(Literal(st(o).name), GetStructField(attr, o, Some(st(o).name)))))
-                  val newAlias = Alias(ae.copy(aggregateFunction = First(pruned, ignoreNulls = false)), al.name)(
+                  val preAlias = Alias(pruned, s"__ps_${attr.name}")()
+                  val newAlias = Alias(
+                    ae.copy(aggregateFunction = First(preAlias.toAttribute, ignoreNulls = false)), al.name)(
                     exprId = al.exprId, qualifier = al.qualifier)
-                  Some(StructRewrite(al, newAlias, kept))
+                  Some(StructRewrite(al, newAlias, kept, preAlias))
                 }
               case _ => None
             }

@@ -37,9 +37,11 @@ class FirstStructPruningSpec extends SparkSpec {
       val on = withRule(on = true) {
         val out = dedupThenField(base)
         val plan = out.queryExecution.optimizedPlan.toString
-        // CollapseProject folds the extraction into the aggregate, so the
-        // rewrite is first(payload.s2): the buffer holds one int field
-        assert(plan.matches("(?s).*first\\(payload#\\d+\\.s2.*"), plan)  // rule fired
+        // CollapseProject folds the extraction into the aggregate; the
+        // rewrite aliases the field below the aggregate (__pf_s2) so the
+        // buffer holds one int field — and the built-in pruning then
+        // eliminates the struct from the child entirely
+        assert(plan.matches("(?s).*first\\(__pf_s2#\\d+.*"), plan)       // rule fired
         assert(!plan.matches("(?s).*first\\(payload#\\d+,.*"), plan)     // full-struct first gone
         out.collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
       }
@@ -72,8 +74,10 @@ class FirstStructPruningSpec extends SparkSpec {
         val out = base.dropDuplicates("k")
           .where(col("payload.s3") < 300)
           .select(col("k"), col("payload.s2").as("v")).orderBy("k")
-        assert(out.queryExecution.optimizedPlan.toString.contains("named_struct("),
-          out.queryExecution.optimizedPlan.toString)
+        val plan = out.queryExecution.optimizedPlan.toString
+        // the pruned struct materializes below the aggregate (__ps_*)
+        assert(plan.matches("(?s).*first\\(__ps_payload#\\d+.*"), plan)
+        assert(!plan.matches("(?s).*first\\(payload#\\d+,.*"), plan)
         out.collect().toSeq
       }, withRule(on = false) {
         base.dropDuplicates("k")

@@ -148,18 +148,18 @@ class PlanQualitySpec extends SparkSpec {
         filtered.sel("n", "n_name").as("n_name"),
         sum(filtered.sel("l", "l_extendedprice")).as("revenue"))
       val plan = out.queryExecution.executedPlan.toString
-      // the first() buffers aggregate pruned named_structs…
-      assert(plan.contains("first(named_struct("), plan.take(4000))
-      // …and none of them carries a full entity struct: no first() directly
-      // over a bound-alias attribute survives
+      // the first() buffers aggregate pruned structs materialized below
+      // the aggregate (__ps_*), never a full bound-entity struct
+      assert(plan.matches("(?s).*first\\(__ps___as_l#\\d+.*"), plan.take(4000))
       assert(!plan.matches("(?s).*first\\(__as_[a-z]+#\\d+.*"), plan.take(4000))
-      // nothing beyond the referenced fields rides the buffers (the
-      // map-side struct CREATION still packs all fields — it dies inside
-      // the same codegen stage; only the first() buffers hit the wire)
-      assert(plan.contains("named_struct(l_extendedprice, "), plan.take(4000))
-      val bufferDecls = "first\\(named_struct\\([^)]*\\)".r.findAllIn(plan).toSeq
-      assert(bufferDecls.nonEmpty && bufferDecls.forall(d => !d.contains("l_tax") && !d.contains("l_quantity")),
-        bufferDecls.mkString("\n"))
+      // nothing beyond the referenced fields rides the buffers: every
+      // __ps_* struct definition holds only consumer-referenced fields
+      val psDecls = "named_struct\\([^)]*\\) AS __ps_".r.findAllIn(plan).toSeq
+      assert(psDecls.nonEmpty && psDecls.exists(_.contains("l_extendedprice")), plan.take(4000))
+      assert(psDecls.forall(d => !d.contains("l_tax") && !d.contains("l_quantity")), psDecls.mkString("\n"))
+      // and the pruning cascaded to the fact scan: the lineitem read
+      // schema no longer carries fields only the full struct needed
+      assert(!plan.contains("l_tax"), "l_tax survived somewhere:\n" + plan.take(4000))
     }
 
     it("takes the shuffled-hash path for the salted skew join") {

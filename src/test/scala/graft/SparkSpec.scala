@@ -23,6 +23,7 @@ trait SparkSpec extends AnyFunSpec {
 
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions)
     .master("local[2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
