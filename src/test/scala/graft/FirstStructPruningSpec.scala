@@ -69,6 +69,40 @@ class FirstStructPruningSpec extends SparkSpec {
       assert(rows == Seq((1, false), (2, false), (3, true)))
     }
 
+    it("on/off equivalence across every consumer shape (field subsets × filter × whole-struct)") {
+      import spark.implicits._
+      // 24 rows with a mix of null fields and null whole structs
+      val data = (1 to 24).map { i =>
+        (i % 8, // dup-heavy keys so first() has real choices
+          if (i % 7 == 0) None else Some(i * 10),
+          if (i % 5 == 0) None else Some(i * 100),
+          if (i % 3 == 0) None else Some(i * 1000))
+      }.toDF("k", "s1", "s2", "s3")
+        .select(col("k"),
+          when(col("k") =!= 5, struct(col("s1"), col("s2"), col("s3"))).as("payload"))
+        // a deterministic order column so first() picks the same row on
+        // both runs (dropDuplicates over an unordered LocalRelation is
+        // otherwise free to differ between plans)
+        .orderBy("k", "s1").coalesce(1)
+      val fields = Seq("s1", "s2", "s3")
+      for {
+        subset <- fields.toSet.subsets.filter(_.nonEmpty)
+        withFilter <- Seq(false, true)
+        wholeRef <- Seq(false, true)
+      } {
+        def build() = {
+          val dd = data.dropDuplicates("k")
+          val filtered = if (withFilter) dd.where(col("payload.s3").isNull || col("payload.s3") < 20000) else dd
+          val cols = Seq(col("k")) ++ subset.toSeq.sorted.map(f => col(s"payload.$f").as(f)) ++
+            (if (wholeRef) Seq(col("payload").isNull.as("missing")) else Nil)
+          filtered.select(cols: _*).orderBy("k")
+        }
+        val on = withRule(on = true)(build().collect().map(_.toSeq).toSeq)
+        val off = withRule(on = false)(build().collect().map(_.toSeq).toSeq)
+        assert(on == off, s"subset=$subset filter=$withFilter whole=$wholeRef\non=$on\noff=$off")
+      }
+    }
+
     it("prunes through an intervening filter on a struct field (post-match predicate shape)") {
       val (rowsOn, rowsOff) = (withRule(on = true) {
         val out = base.dropDuplicates("k")
