@@ -223,33 +223,43 @@ object VectorQueries {
   private val idxCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private[graft] def partitionedIndex(s: SparkSession, dir: String): DataFrame =
     idxCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      import org.apache.hadoop.fs.Path
       // digest covers the SOURCE FILE's size+mtime, not just the dir name,
       // so regenerated data at the same path invalidates the index; a
       // finished index (Spark's _SUCCESS marker after the atomic rename)
       // is reused as-is — a second session or concurrent JVM never
       // re-runs mode("overwrite") under a path another session's cached
-      // DataFrame is reading.
-      val src = java.nio.file.Paths.get(dir, "embeddings.parquet").toAbsolutePath
-      val attrs = java.nio.file.Files.readAttributes(src, classOf[java.nio.file.attribute.BasicFileAttributes])
-      val stamp = s"ivfidx:$src:${attrs.size}:${attrs.lastModifiedTime.toMillis}"
+      // DataFrame is reading. All filesystem access resolves through the
+      // Hadoop FileSystem of the configured index root
+      // (spark.graft.ann.indexDir, default local tmp), so the same staged
+      // build works when the index root is HDFS or an object store —
+      // with the usual caveat that object-store rename is copy+delete,
+      // so the winner-takes-the-rename race window is wider there.
+      val conf = s.sparkContext.hadoopConfiguration
+      val srcPath = new Path(new Path(dir), "embeddings.parquet")
+      val srcFs = srcPath.getFileSystem(conf)
+      val st = srcFs.getFileStatus(srcPath)
+      val stamp = s"ivfidx:${srcFs.makeQualified(srcPath)}:${st.getLen}:${st.getModificationTime}"
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(stamp.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_ivf_idx_$digest")
-      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
-        // stage under a process-unique name, then atomically rename into
-        // place; if a concurrent writer won the rename, discard ours
-        val staging = path.resolveSibling(
-          path.getFileName.toString + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
+      val root = new Path(s.conf.get("spark.graft.ann.indexDir",
+        "file:" + System.getProperty("java.io.tmpdir")))
+      val fs = root.getFileSystem(conf)
+      val path = new Path(root, s"graft_ivf_idx_$digest")
+      if (!fs.exists(new Path(path, "_SUCCESS"))) {
+        // stage under a process-unique name, then rename into place; if a
+        // concurrent writer won the rename, discard ours and read theirs
+        val staging = new Path(root,
+          path.getName + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
         codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(staging.toString)
-        try java.nio.file.Files.move(staging, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.DirectoryNotEmptyException |
-              _: java.nio.file.AccessDeniedException =>
-            val st = java.nio.file.Files.walk(staging)
-            try st.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-            finally st.close()
+        if (!fs.rename(staging, path)) fs.delete(staging, true)
+        else {
+          // HDFS-style rename moves src INTO an existing destination dir;
+          // if another writer won the race our tree landed nested under
+          // the live index — remove it rather than corrupt partition
+          // discovery
+          val nested = new Path(path, staging.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
         }
       }
       s.read.parquet(path.toString)
