@@ -197,6 +197,11 @@ object StreamAgg {
     val ev = stagedEventsStream(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"))
     def versionPath(v: Long) = s"$stateRoot/v$v"
+    // the state chain is a production shape, so its bookkeeping (applied-
+    // batch markers, final cleanup) goes through the Hadoop FileSystem of
+    // the state root — a remote stateRoot (HDFS/S3A) works unchanged
+    val rootPath = new org.apache.hadoop.fs.Path(stateRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var version = 0L
     // seed: empty state (version 0)
     spark.createDataFrame(
@@ -214,8 +219,8 @@ object StreamAgg {
           // foreachBatch may redeliver a batch after a failure/restart —
           // an applied-batch marker makes the merge idempotent by batchId
           // (the contract the versioned MERGE shape requires)
-          val marker = java.nio.file.Paths.get(stateRoot, s"_applied_$batchId")
-          if (!java.nio.file.Files.exists(marker)) {
+          val marker = new org.apache.hadoop.fs.Path(rootPath, s"_applied_$batchId")
+          if (!fs.exists(marker)) {
             val incoming = batch.groupBy(col("user_id"), col("event_type"))
               .agg(count(lit(1)).as("cnt"))
             val merged = spark.read.parquet(versionPath(version))
@@ -224,7 +229,7 @@ object StreamAgg {
               .agg(sum(col("cnt")).cast("bigint").as("cnt"))
             merged.write.mode("overwrite").parquet(versionPath(version + 1))
             version += 1
-            java.nio.file.Files.createFile(marker)
+            fs.create(marker, false).close()
           }
           ()
         }
@@ -235,17 +240,8 @@ object StreamAgg {
     // up the scratch version chain; the sort stays lazily on top of the
     // checkpointed blocks
     val result = spark.read.parquet(versionPath(version)).localCheckpoint()
-    deleteRecursively(java.nio.file.Paths.get(stateRoot))
+    fs.delete(rootPath, true)
     result.orderBy("user_id", "event_type")
-  }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(root)) {
-      val stream = java.nio.file.Files.walk(root)
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally stream.close()
-    }
   }
 
   /** Stream-static join: events stream enriched against the (batch)
