@@ -81,5 +81,24 @@ class QueryRegistrySpec extends SparkSpec {
       val gq = global
       assert(gq.get(0) eq gq.get(0))
     }
+
+    it("merges public-property catalogs per label (reference publicProperties ++)") {
+      import graft.query.{Properties, PublicProperty}
+      import org.apache.spark.sql.functions._
+      // the base module publishes a computed property; the v1 module adds
+      // another — the merged executor must resolve BOTH through filters
+      val baseP = new QueryExecutor(g, QueryExecutor.defaultNamed(g),
+        Map("person" -> Properties(PublicProperty("ageDecade", (col("age") / 10).cast("int")))))
+      val v1P = new QueryExecutor(g, Map.empty,
+        Map("person" -> Properties(PublicProperty("nameLen", length(col("name"))))),
+        version = (1, 1))
+      val merged = new GlobalQueryExecutor(Seq(baseP, v1P)).get(1)
+      assert(merged.execute(
+        """[{"_name":"all_person"},{"_name":"filter","_query":{"_is":{"ageDecade":2}}},{"_name":"count"}]""")
+        .collect().head.getLong(0) == 3L) // vadas 27, franck 28, marko 29
+      assert(merged.execute(
+        """[{"_name":"all_person"},{"_name":"filter","_query":{"_is":{"nameLen":5}}},{"_name":"count"}]""")
+        .collect().head.getLong(0) == 3L) // marko, vadas, peter
+    }
   }
 }
