@@ -102,10 +102,9 @@ object TextQueries {
     * the table catalog: a production near-dup pipeline computes MinHash
     * signatures ONCE and stores them; the signature report (d08), the
     * banding (d09) and the verify (d10) all read the stored table. */
-  private val sigCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val sigCache = new graft.util.SessionCache[DataFrame]
   private def sigTable(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      signatures(docs(s, dir)).localCheckpoint())
+    sigCache.getOrElseUpdate(s, dir)(signatures(docs(s, dir)).localCheckpoint())
 
   /** doc_id exploded to (band, bkey) — B rows per doc; the LSH bucket key.
     * `sig` must be materialized (checkpointed) so the B band-key
@@ -129,9 +128,9 @@ object TextQueries {
     * artifact* — a production pipeline materializes it once and both the
     * candidate report (d09) and the Jaccard verify (d10) read the stored
     * table, exactly as `TestData.graph` caches the parquet catalog. */
-  private val candCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val candCache = new graft.util.SessionCache[DataFrame]
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
-    candCache.getOrElseUpdate((System.identityHashCode(s), dir), buildCandidatePairs(s, dir).localCheckpoint())
+    candCache.getOrElseUpdate(s, dir)(buildCandidatePairs(s, dir).localCheckpoint())
 
   private def buildCandidatePairs(s: SparkSession, dir: String): DataFrame =
     // banding reads the stored signature table restricted to the exact-dedup
@@ -167,9 +166,9 @@ object TextQueries {
   /** Jaccard-verified candidate pairs — cached like [[candidatePairs]]:
     * the verification scores are the final near-dup index artifact that
     * both the verify report (d10) and the removal pipeline (d20) read. */
-  private val verCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val verCache = new graft.util.SessionCache[DataFrame]
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    verCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    verCache.getOrElseUpdate(s, dir) {
       val pairs = candidatePairs(s, dir)
       val sh = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -186,20 +185,16 @@ object TextQueries {
         .select(col("a_id"), col("b_id"),
           (col("inter").cast("double") / (size(col("ssa")) + size(col("ssb")) - col("inter"))).as("jaccard"))
         .localCheckpoint()
-    })
+    }
 
   /** Drop this session's cached index artifacts (signatures, candidate
     * pairs, verified pairs) and free their checkpoint blocks. The bench
     * harness calls this between query families so one family's retained
     * blocks don't tax the next family's timings; the caches rebuild
     * lazily on next use. */
-  def releaseCaches(s: SparkSession): Unit = {
-    val k = System.identityHashCode(s)
-    Seq(sigCache, candCache, verCache).foreach { c =>
-      c.keys.filter(_._1 == k).toSeq
-        .foreach(key => c.remove(key).foreach(GraftBridge.unpersistLocalCheckpoint))
-    }
-  }
+  def releaseCaches(s: SparkSession): Unit =
+    Seq(sigCache, candCache, verCache).foreach(
+      _.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint))
 
   // ------------------------------------------------- DuckDB-side oracle SQL
 

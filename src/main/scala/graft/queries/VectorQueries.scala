@@ -94,13 +94,12 @@ object VectorQueries {
     * and partitioned/bucketed BY the code, so a probe is partition
     * pruning; the stored norm means cosine scoring costs one dot per
     * pair, not three). */
-  private val codedCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val codedCache = new graft.util.SessionCache[DataFrame]
   private def codedVectors(s: SparkSession, dir: String): DataFrame =
     // cached per (session, dir): this IS the stored index table — e02/e03/
     // e05/d12 all read it, as a production deployment reads the
     // materialized code table rather than re-quantizing the corpus
-    codedCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      codeVectors(emb(s, dir)).localCheckpoint())
+    codedCache.getOrElseUpdate(s, dir)(codeVectors(emb(s, dir)).localCheckpoint())
 
   /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
     * the same select [[codedVectors]] materializes; seam for the skew
@@ -220,9 +219,9 @@ object VectorQueries {
     * a scratch dir keyed by a strong digest of the data dir, once per
     * (session, dir); a 100 TB deployment keeps exactly this table (plus
     * the norm column) as its ANN index. */
-  private val idxCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val idxCache = new graft.util.SessionCache[DataFrame]
   private[graft] def partitionedIndex(s: SparkSession, dir: String): DataFrame =
-    idxCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    idxCache.getOrElseUpdate(s, dir) {
       import org.apache.hadoop.fs.Path
       // digest covers the SOURCE FILE's size+mtime, not just the dir name,
       // so regenerated data at the same path invalidates the index; a
@@ -263,7 +262,7 @@ object VectorQueries {
         }
       }
       s.read.parquet(path.toString)
-    })
+    }
 
   /** Drop this session's cached coded-vector table and free its
     * checkpoint blocks (bench inter-family release; rebuilds lazily).
@@ -271,10 +270,8 @@ object VectorQueries {
     * frees only driver references; the on-disk index is reused via its
     * _SUCCESS marker. */
   def releaseCaches(s: SparkSession): Unit = {
-    val k = System.identityHashCode(s)
-    codedCache.keys.filter(_._1 == k).toSeq
-      .foreach(key => codedCache.remove(key).foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint))
-    idxCache.keys.filter(_._1 == k).toSeq.foreach(idxCache.remove)
+    codedCache.removeAll(s).foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
+    idxCache.removeAll(s)
   }
 
   /** DuckDB mirrors of the three blocks above (CTE bodies/tails

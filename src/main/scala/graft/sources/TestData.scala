@@ -84,12 +84,12 @@ object TestData {
       .sum().toLong
   }
 
-  private val graphCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Graph]
+  private val graphCache = new graft.util.SessionCache[Graph]
 
   /** Cached per (session, dir): avoids re-reading parquet footers for every
     * query construction. */
   def graph(spark: SparkSession, dir: String): Graph =
-    graphCache.getOrElseUpdate((System.identityHashCode(spark), dir), buildGraph(spark, dir))
+    graphCache.getOrElseUpdate(spark, dir)(buildGraph(spark, dir))
 
   private def buildGraph(spark: SparkSession, dir: String): Graph = {
     import org.apache.spark.sql.functions.expr
