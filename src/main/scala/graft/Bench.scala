@@ -30,7 +30,11 @@ object Bench {
     "q88_skew_salted_join",
     "g01_connected_components",
     "g04_triangle_count", "m03_blob_chunk_roundtrip", "s02_stream_hourly_watermark",
-    "t05_executor_pipeline")
+    "t05_executor_pipeline",
+    // round-7 additions: the current top-cost queries, pinned so they stay
+    // comparable round-over-round even when they drop out of the top-5
+    "s06_stream_interval_join", "s03_stream_dedup", "e09_ann_partitioned_probe",
+    "e06b_ivf_lloyd_convergence", "d17_normalized_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
