@@ -30,11 +30,11 @@ object Bench {
     "q88_skew_salted_join",
     "g01_connected_components",
     "g04_triangle_count", "m03_blob_chunk_roundtrip", "s02_stream_hourly_watermark",
-    "t05_executor_pipeline",
-    // round-7 additions: the current top-cost queries, pinned so they stay
-    // comparable round-over-round even when they drop out of the top-5
-    "s06_stream_interval_join", "s03_stream_dedup", "e09_ann_partitioned_probe",
-    "e06b_ivf_lloyd_convergence", "d17_normalized_dedup")
+    "t05_executor_pipeline", "s06_stream_interval_join")
+  // NOT extended further: the emitted line must stay well inside the
+  // driver's ~2000-char tail capture, and the top-5 union already
+  // surfaces any query expensive enough to matter (bench_full.json keeps
+  // the complete map)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,12 +146,18 @@ object Bench {
     }
     val head = headKeys.map(k => k -> timings(k))
     val qs = jmap(scala.collection.immutable.ListMap(head.map { case (k, v) => k -> ms(v) }: _*))
-    val es = jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })
+    // the printed line must survive the driver's ~2000-char tail capture
+    // even on a bad run: cap each message and the number of entries (the
+    // complete error map is in bench_full.json)
+    val esLine = errors.take(5).map { case (k, v) => k -> ("\"" + esc(v.take(60)) + "\"") } ++
+      (if (errors.size > 5) Seq("_more_errors" -> ("\"" + (errors.size - 5) + "\"")) else Nil)
+    val es = jmap(scala.collection.mutable.LinkedHashMap(esLine.toSeq: _*))
+    val esFull = jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })
     // Full per-query detail → file (too long for the driver's tail
     // capture): first-pass values under "queries", headline min-of-2
-    // under "headline_min2", errors including any <name>#rerun entries.
+    // under "headline_min2", errors (untruncated) incl. <name>#rerun.
     val fw = new java.io.PrintWriter("bench_full.json")
-    try fw.println(s"""{"total":${ms(total)},"queries":${jmap(firstPass)},"headline_min2":$qs,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    try fw.println(s"""{"total":${ms(total)},"queries":${jmap(firstPass)},"headline_min2":$qs,"errors":$esFull,"sf":"${esc(sfDir)}"}""")
     finally fw.close()
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""

@@ -246,6 +246,11 @@ object VectorQueries {
       val fs = root.getFileSystem(conf)
       val path = new Path(root, s"graft_ivf_idx_$digest")
       if (!fs.exists(new Path(path, "_SUCCESS"))) {
+        // a leftover _SUCCESS-less dir (crash mid-rename — possible on
+        // object stores where rename is copy+delete) must be cleared
+        // FIRST: renaming onto an existing dir would nest the fresh build
+        // under the partial one and leave the partial data live forever
+        if (fs.exists(path)) fs.delete(path, true)
         // stage under a process-unique name, then rename into place; if a
         // concurrent writer won the rename, discard ours and read theirs
         val staging = new Path(root,
@@ -254,9 +259,9 @@ object VectorQueries {
         if (!fs.rename(staging, path)) fs.delete(staging, true)
         else {
           // HDFS-style rename moves src INTO an existing destination dir;
-          // if another writer won the race our tree landed nested under
-          // the live index — remove it rather than corrupt partition
-          // discovery
+          // if a concurrent writer completed between our delete and our
+          // rename, our tree landed nested under the live index — remove
+          // it rather than corrupt partition discovery
           val nested = new Path(path, staging.getName)
           if (fs.exists(nested)) fs.delete(nested, true)
         }

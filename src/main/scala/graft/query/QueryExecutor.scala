@@ -211,9 +211,16 @@ final class QueryExecutor(
     "dedup" -> ((t, _) => t.dedup())
   )
 
+  /** Returns a NEW executor with the registration added — registration is
+    * immutable on purpose: [[GlobalQueryExecutor]] caches merged
+    * snapshots per version, and in-place mutation after the first
+    * `get(v)` would be visible at some versions and silently invisible
+    * at already-served ones. */
   def withContinuation(name: String)(f: (Traversal, JValue) => Traversal): QueryExecutor = {
-    continuations = continuations + (name -> f)
-    this
+    val copy = new QueryExecutor(graph, namedQueries, propsByLabel, limitedCountThreshold, version)
+    copy.continuations = continuations + (name -> f)
+    copy.renderers = renderers
+    copy
   }
 
   /** Per-label entity renderers for [[executeJson]] (the analog of the
@@ -221,9 +228,13 @@ final class QueryExecutor(
     * core-test/.../ModernQuery.scala:22-29 OutputPerson). */
   private var renderers: Map[String, org.apache.spark.sql.Row => JValue] = Map.empty
 
+  /** Returns a NEW executor with the renderer added (immutable — see
+    * [[withContinuation]]). */
   def withRenderer(label: String)(f: org.apache.spark.sql.Row => JValue): QueryExecutor = {
-    renderers = renderers + (label -> f)
-    this
+    val copy = new QueryExecutor(graph, namedQueries, propsByLabel, limitedCountThreshold, version)
+    copy.continuations = continuations
+    copy.renderers = renderers + (label -> f)
+    copy
   }
 
   /** Streamed result delivery (reference: QueryExecutor.scala:39-45,

@@ -91,14 +91,23 @@ object TestData {
   def graph(spark: SparkSession, dir: String): Graph =
     graphCache.getOrElseUpdate(spark, dir)(buildGraph(spark, dir))
 
+  /** Release a retiring session's catalog entries (see SessionCache's
+    * lifetime note — entries hold their session reachable until removed). */
+  def releaseCache(spark: SparkSession): Unit = graphCache.removeAll(spark)
+
   private def buildGraph(spark: SparkSession, dir: String): Graph = {
     import org.apache.spark.sql.functions.expr
     // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     // rejects by default; read nanos as long and convert (floor) to micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // session-level optimizer extension: prune first(struct) dedup buffers
-    // to the fields downstream actually reads (match-pattern shuffles)
-    graft.plans.FirstStructPruningRule.install(spark)
+    // NOTE: FirstStructPruningRule is NOT installed here — every engine
+    // entry point builds its session with
+    // `.withExtensions(new GraftExtensions)`, which injects the rule into
+    // the main operator-optimization batch (where the pruning can cascade
+    // to the scans); a post-hoc extraOptimizations copy would run the
+    // same rule a second time per query in a too-late batch. Sessions
+    // built without the extensions can opt in via
+    // FirstStructPruningRule.install.
     val vs = vertexTables.map { case (name, id) =>
       val df0 = table(spark, dir, name)
       // TPC-H linenumber ∈ [1,7], so orderkey*8+linenumber is injective.

@@ -10,8 +10,16 @@ import org.apache.spark.sql.SparkSession
  * `System.identityHashCode(session)`: an identity hash can be reused by a
  * new session once the old one is garbage-collected, which would hand the
  * new session another session's cached DataFrames (dead plans, freed
- * checkpoint blocks). With weak keys the whole entry map dies with its
- * session, and a key collision is impossible by construction.
+ * checkpoint blocks). With object keys a collision is impossible by
+ * construction.
+ *
+ * Lifetime, honestly: the cached VALUES (DataFrames, Graphs) strongly
+ * reference their SparkSession, so while an entry map exists its weak
+ * key stays reachable through it — the weak keying prevents collisions,
+ * not automatic collection. Callers that retire a session release its
+ * entries explicitly via [[removeAll]] (the bench's family release, a
+ * service's session-close hook); after removeAll the session and its
+ * plans become collectable.
  *
  * Map lookup synchronizes on the WeakHashMap (it is not thread-safe);
  * entry builds run OUTSIDE that lock on the session's own concurrent map,
