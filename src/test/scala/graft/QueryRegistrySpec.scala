@@ -82,6 +82,25 @@ class QueryRegistrySpec extends SparkSpec {
       assert(gq.get(0) eq gq.get(0))
     }
 
+    it("registration is immutable: a post-merge withRenderer never mutates a cached snapshot") {
+      val baseExec = new QueryExecutor(g, Map(
+        "allPeople" -> ((_, gg) => gg.V("person"))))
+      val gq = new GlobalQueryExecutor(Seq(baseExec))
+      val before = gq.get(1).executeJson(
+        """[{"_name":"allPeople"},{"_name":"sort","_fields":[{"name":"incr"}]},{"_name":"page","from":0,"to":1}]""")
+      // "register" a renderer afterwards — returns a NEW executor; the
+      // cached merge must be unaffected (in-place mutation would make the
+      // renderer appear at never-served versions but not at v1)
+      val enriched = baseExec.withRenderer("person")(r => JString("late:" + r.getAs[String]("name")))
+      val after = gq.get(1).executeJson(
+        """[{"_name":"allPeople"},{"_name":"sort","_fields":[{"name":"incr"}]},{"_name":"page","from":0,"to":1}]""")
+      assert(before == after) // snapshot stable
+      // and the new executor carries the renderer without touching the old
+      val fresh = new GlobalQueryExecutor(Seq(enriched)).get(1).executeJson(
+        """[{"_name":"allPeople"},{"_name":"sort","_fields":[{"name":"incr"}]},{"_name":"page","from":0,"to":1}]""")
+      assert(fresh == JArray(List(JString("late:franck"))))
+    }
+
     it("merges public-property catalogs per label (reference publicProperties ++)") {
       import graft.query.{Properties, PublicProperty}
       import org.apache.spark.sql.functions._
