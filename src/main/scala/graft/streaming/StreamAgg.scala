@@ -62,7 +62,14 @@ object StreamAgg {
     * file stream source wants a directory): a scratch symlink dir keyed
     * by a strong digest of the absolute source path (a String.hashCode
     * collision between two data dirs would silently aggregate the wrong
-    * dataset). A stale link whose target differs is recreated. */
+    * dataset). A stale link whose target differs is recreated.
+    *
+    * HARNESS-ONLY, hence java.nio on local tmp deliberately: this staging
+    * exists to replay a local test parquet as a deterministic stream; a
+    * production deployment points readStream at Kafka or a real file/
+    * object-store path and never touches this. (The production-shaped
+    * pieces — s07's state chain, the migration store, the ANN index —
+    * all go through the Hadoop FileSystem API.) */
   private def stagedFileStream(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val target = java.nio.file.Paths.get(path).toAbsolutePath
