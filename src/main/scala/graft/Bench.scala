@@ -67,6 +67,23 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
+    // The s-family's bench runs use availableNow triggers with temp
+    // checkpoints (each run is a fresh replay by design — restart
+    // semantics are covered separately by StreamRestartSpec against a
+    // REAL checkpoint dir), and streaming always force-disables AQE.
+    // Both facts are WARN-logged per query: "Temporary checkpoint
+    // location created…" / "spark.sql.adaptive.enabled is not
+    // supported…" (ResolveWriteToStream) and "Disabling AQE since AQE
+    // is not supported in stateful workloads." (MicroBatchExecution).
+    // All three are statements of intended configuration, not problems;
+    // raise just those two loggers so the driver-captured stderr tail
+    // carries only real failures.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm up the JVM/codegen and the parquet footer cache so the first
     // measured query doesn't absorb several seconds of session start-up.
     try {

@@ -245,26 +245,56 @@ object VectorQueries {
         "file:" + System.getProperty("java.io.tmpdir")))
       val fs = root.getFileSystem(conf)
       val path = new Path(root, s"graft_ivf_idx_$digest")
-      if (!fs.exists(new Path(path, "_SUCCESS"))) {
-        // a leftover _SUCCESS-less dir (crash mid-rename — possible on
-        // object stores where rename is copy+delete) must be cleared
-        // FIRST: renaming onto an existing dir would nest the fresh build
-        // under the partial one and leave the partial data live forever
-        if (fs.exists(path)) fs.delete(path, true)
-        // stage under a process-unique name, then rename into place; if a
-        // concurrent writer won the rename, discard ours and read theirs
+      def live() = fs.exists(new Path(path, "_SUCCESS"))
+      if (!live()) {
+        // stage under a process-unique name FIRST (the expensive part,
+        // safe to run concurrently), then swap under a lock file: the
+        // round-7 lock-free swap had a TOCTOU (sampling '_SUCCESS
+        // absent' then deleting could tear down a rename landing right
+        // then) and its lost-race rename momentarily NESTED the loser's
+        // tree under the live index, poisoning concurrent partition
+        // discovery (caught by IndexRaceSpec). Atomic create-no-overwrite
+        // of the lock serializes writers on HDFS/local exactly; on object
+        // stores without atomic create it narrows the window to the
+        // create round-trip (documented best-effort, same caveat as the
+        // rename itself).
         val staging = new Path(root,
           path.getName + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
         codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(staging.toString)
-        if (!fs.rename(staging, path)) fs.delete(staging, true)
+        if (live()) fs.delete(staging, true) // a concurrent writer finished meanwhile
         else {
-          // HDFS-style rename moves src INTO an existing destination dir;
-          // if a concurrent writer completed between our delete and our
-          // rename, our tree landed nested under the live index — remove
-          // it rather than corrupt partition discovery
-          val nested = new Path(path, staging.getName)
-          if (fs.exists(nested)) fs.delete(nested, true)
+          val lock = new Path(root, path.getName + ".lock")
+          val staleMs = s.conf.get("spark.graft.ann.staleIndexMs", "600000").toLong
+          def tryLock(): Boolean =
+            try { fs.create(lock, false).close(); true }
+            catch { case _: java.io.IOException => false }
+          var locked = tryLock()
+          if (!locked && fs.exists(lock) &&
+            System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs) {
+            // lock holder crashed mid-swap; break the lock once
+            fs.delete(lock, false)
+            locked = tryLock()
+          }
+          if (locked) {
+            try {
+              if (live()) fs.delete(staging, true)
+              else {
+                // under the lock, a _SUCCESS-less destination can only be
+                // a crash leftover (every writer serializes here), so
+                // clearing it is safe — no age heuristic needed
+                if (fs.exists(path)) fs.delete(path, true)
+                if (!fs.rename(staging, path)) fs.delete(staging, true)
+              }
+            } finally fs.delete(lock, false)
+          } else fs.delete(staging, true) // another writer owns the swap
         }
+        // Never hand a partial tree to the reader: a lost race surfaces
+        // here as _SUCCESS absent while the winner's swap is in flight —
+        // poll briefly for the marker, then fail loudly instead of
+        // silently scanning half an index.
+        val deadline = System.currentTimeMillis() + 30000
+        while (!live() && System.currentTimeMillis() < deadline) Thread.sleep(200)
+        require(live(), s"ANN index at $path has no _SUCCESS marker after concurrent build")
       }
       s.read.parquet(path.toString)
     }

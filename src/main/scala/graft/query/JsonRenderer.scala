@@ -29,6 +29,27 @@ object JsonRenderer {
   def renderRows(df: DataFrame, renderer: Row => JValue): JValue =
     JArray(df.collect().iterator.map(renderer).toList)
 
+  /** A traversal result as a JSON array, bounded: rows stream to the
+    * driver one partition at a time (`toLocalIterator`, never a full
+    * `collect`) and rendering FAILS once `cap` rows have been drawn —
+    * an unpaginated list query large enough to hit the cap is an API
+    * misuse (the reference defaults list outputs to the streamed source,
+    * reference QueryExecutor.scala:39-45; the in-memory golden-JSON shape
+    * is for pages and aggregates). No silent truncation: a capped result
+    * rendered as-if-complete would be a wrong answer. */
+  def renderRowsBounded(df: DataFrame, renderer: Row => JValue, cap: Long): JValue = {
+    import scala.jdk.CollectionConverters._
+    val it = df.limit(math.addExact(cap, 1L).toInt).toLocalIterator().asScala
+    val buf = List.newBuilder[JValue]
+    var n = 0L
+    while (it.hasNext) {
+      require(n < cap,
+        s"list render exceeds $cap rows — page the query or use executeStream")
+      buf += renderer(it.next()); n += 1
+    }
+    JArray(buf.result())
+  }
+
   /** Default row renderer: every non-system column, in schema order. */
   def defaultRow(row: Row): JValue =
     JObject(row.schema.fields.iterator.zipWithIndex.collect {

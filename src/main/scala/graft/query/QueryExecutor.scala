@@ -99,17 +99,22 @@ final class QueryExecutor(
   def executeJson(json: String): JValue =
     executeValue(org.json4s.jackson.JsonMethods.parse(json)) match {
       case QVal.Trav(t) =>
+        // List-shaped outputs render BOUNDED (partition-at-a-time
+        // iterator, hard-capped at limitedCountThreshold): executeJson's
+        // in-memory JSON is for pages and aggregates; an unpaginated
+        // whole-table list belongs on executeStream, and used to
+        // collect() the full table here.
         t.element match {
           // a value traversal renders as bare JSON values, not row
           // objects (reference: Output of a value step serializes the
           // scalar itself — core-test/.../QueryTest golden arrays)
           case Element.Value(c) =>
-            JArray(t.toDF.collect().iterator
-              .map(r => JsonRenderer.toJson(r.get(r.fieldIndex(c)))).toList)
+            JsonRenderer.renderRowsBounded(t.toDF,
+              r => JsonRenderer.toJson(r.get(r.fieldIndex(c))), limitedCountThreshold)
           case _ =>
             // label-keyed renderer lookup serves vertex AND edge labels
             val r = renderers.getOrElse(labelOf(t), JsonRenderer.defaultRow _)
-            JsonRenderer.renderRows(t.toDF, r)
+            JsonRenderer.renderRowsBounded(t.toDF, r, limitedCountThreshold)
         }
       case QVal.AggResult(df, agg) => JsonRenderer.renderAggregation(df, agg)
       case QVal.Result(df) =>

@@ -81,13 +81,25 @@ object MigrationOp {
   * All filesystem access goes through the Hadoop `FileSystem` API resolved
   * from the root path's scheme, so the store works wherever a 100 TB
   * migration actually runs — HDFS, `file:`, or an object store via its
-  * Hadoop connector — not just local disk. Caveat, documented not hidden:
-  * on object stores (S3A/GCS) `rename` is a non-atomic copy+delete, so the
-  * swap window is wider there; HDFS and local `file:` renames are atomic.
-  * The crash-safety story is unchanged on every scheme: the stage write
-  * completes before any rename, so a crash at any point leaves either the
-  * old table, or the new table, or the old table plus a recoverable
-  * `__stage`/`__old` sibling — never a half-written live directory. */
+  * Hadoop connector — not just local disk.
+  *
+  * Commit protocol (round 8 — replaces the two-rename directory swap,
+  * whose window between `rename(dir→__old)` and `rename(stage→dir)` left
+  * NO live table and was wider on object stores where rename is
+  * copy+delete): table data lives in immutable VERSIONED directories
+  * (`<table>__v<n>`; the pre-first-rewrite seed layout is the flat
+  * `<table>` dir, version 0), and the live version is named by a tiny
+  * pointer file `_current/<table>`. A rewrite stages the new version to
+  * its own fresh directory — data directories are NEVER renamed — and
+  * commits by atomically replacing the pointer (FileContext
+  * rename-with-OVERWRITE where the scheme supports it — local, HDFS —
+  * else delete+rename of the one-line file). Every crash state is
+  * self-healing on the next read or rewrite ([[resolve]]): an
+  * uncommitted stage is invisible and garbage-collected, a torn pointer
+  * rolls forward from its validity-terminated `.tmp`, and the legacy
+  * `__old` layout from the retired protocol is restored automatically.
+  * The previous version directory is retained until the NEXT rewrite, so
+  * readers holding plans against it survive one swap. */
 final class MigrationStore(spark: SparkSession, root: String) {
   import org.apache.hadoop.fs.Path
 
@@ -95,23 +107,108 @@ final class MigrationStore(spark: SparkSession, root: String) {
   private val rootPath = new Path(root)
   private val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def versionFile(schema: String) = new Path(new Path(rootPath, "_version"), schema)
+  private def pointerFile(table: String) = new Path(new Path(rootPath, "_current"), table)
 
-  def read(table: String): DataFrame = spark.read.parquet(tableDir(table))
+  /** A pointer payload is one dir name terminated by '\n' — the
+    * terminator doubles as the torn-write validity marker on schemes
+    * where the fallback (non-atomic) pointer replace is in effect. */
+  private def readPointer(p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      if (raw.endsWith("\n")) Some(raw.trim) else None
+    }
 
-  /** Staged rewrite: write to `<table>__stage`, swap directories via
-    * `fs.rename`. Parquet cannot overwrite a directory it is reading from;
-    * the stage-and-swap also means a crash mid-write leaves the old table
-    * intact. Any `__old` leftover from a previous crashed swap is cleared
-    * first so the rename has a free target. */
+  private def writeFile(p: Path, content: String): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Atomic pointer replace where the scheme supports it; on schemes
+    * without a FileContext binding, delete+rename of the one-line file —
+    * the only non-atomic window left, recovered by [[resolve]] rolling
+    * forward from the still-present `.tmp`. */
+  private def commitPointer(table: String, dirName: String): Unit = {
+    val ptr = pointerFile(table)
+    val tmp = new Path(ptr.getParent, table + ".tmp")
+    writeFile(tmp, dirName + "\n")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, fs.getConf)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+           _: UnsupportedOperationException =>
+        if (fs.exists(ptr)) fs.delete(ptr, false)
+        require(fs.rename(tmp, ptr), s"pointer rename $tmp -> $ptr failed")
+    }
+  }
+
+  /** Resolve the live directory for `table`, repairing any documented
+    * crash state on the way (self-healing read path — a crashed swap
+    * never needs manual recovery):
+    *  1. valid pointer → its target;
+    *  2. missing/torn pointer but valid `.tmp` → re-commit from the tmp
+    *     (a crash fell between the fallback delete and rename);
+    *  3. no pointer: flat seed dir → itself, restoring it from the
+    *     legacy protocol's `__old` backup first if a pre-round-8 crash
+    *     left only that. */
+  private def resolve(table: String): Path = {
+    val ptr = pointerFile(table)
+    readPointer(ptr) match {
+      case Some(dir) =>
+        val p = new Path(rootPath, dir)
+        require(fs.exists(p), s"pointer $ptr names missing dir $dir")
+        p
+      case None =>
+        val tmp = new Path(ptr.getParent, table + ".tmp")
+        readPointer(tmp) match {
+          case Some(dir) if fs.exists(new Path(rootPath, dir)) =>
+            commitPointer(table, dir) // roll the torn commit forward
+            new Path(rootPath, dir)
+          case _ =>
+            val flat = new Path(tableDir(table))
+            val old = new Path(tableDir(table + "__old"))
+            if (!fs.exists(flat) && fs.exists(old))
+              require(fs.rename(old, flat), s"legacy recovery $old -> $flat failed")
+            require(fs.exists(flat), s"table $table has no live directory under $root")
+            flat
+        }
+    }
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(resolve(table).toString)
+
+  private def versionOf(table: String, dir: Path): Int = {
+    val suffix = dir.getName.stripPrefix(table + "__v")
+    if (dir.getName == table) 0 else suffix.toInt
+  }
+
+  /** Staged rewrite: write version n+1 to its own fresh directory, commit
+    * the pointer, then garbage-collect versions OLDER than the one just
+    * replaced (kept one round for readers with open plans) plus any
+    * leftover from the legacy swap protocol. Parquet cannot overwrite a
+    * directory it is reading from; writing a NEW immutable directory per
+    * version sidesteps that and never renames data. */
   def rewrite(table: String)(f: DataFrame => DataFrame): Unit = {
-    val stage = tableDir(table + "__stage")
-    f(read(table)).write.mode("overwrite").parquet(stage)
-    val dir = new Path(tableDir(table))
-    val old = new Path(tableDir(table + "__old"))
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(dir, old), s"rename $dir -> $old failed")
-    require(fs.rename(new Path(stage), dir), s"rename $stage -> $dir failed")
-    fs.delete(old, true)
+    val src = resolve(table)
+    val n = versionOf(table, src)
+    val stage = new Path(tableDir(s"${table}__v${n + 1}"))
+    if (fs.exists(stage)) fs.delete(stage, true) // uncommitted crashed stage
+    f(spark.read.parquet(src.toString)).write.mode("overwrite").parquet(stage.toString)
+    commitPointer(table, stage.getName)
+    // GC: every version strictly older than the just-replaced one, and
+    // legacy-protocol leftovers
+    val stale = fs.globStatus(new Path(rootPath, s"${table}__v*")).toSeq.map(_.getPath)
+      .filter(p => versionOf(table, p) < n) ++
+      Seq(new Path(tableDir(table + "__old")), new Path(tableDir(table + "__stage")))
+        .filter(fs.exists) ++
+      // the flat seed dir is version 0: collectable once v2 commits
+      (if (n >= 1 && fs.exists(new Path(tableDir(table)))) Seq(new Path(tableDir(table))) else Nil)
+    stale.foreach(fs.delete(_, true))
   }
 
   def version(schema: String): Int = {

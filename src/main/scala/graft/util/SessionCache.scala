@@ -25,28 +25,47 @@ import org.apache.spark.sql.SparkSession
  * entry builds run OUTSIDE that lock on the session's own concurrent map,
  * so one session materializing an index (a Spark job) never blocks
  * another session's cache.
+ *
+ * Builds are deduplicated per (session, key): values are stored behind a
+ * lazy holder, so when two threads race on `TrieMap.getOrElseUpdate`
+ * (which may evaluate its default argument in both — it is
+ * getOrElse + putIfAbsent underneath) only cheap holder objects are
+ * created twice; both threads then force the SAME stored holder, whose
+ * `lazy val` runs the expensive build (a Spark job materializing a
+ * localCheckpoint) exactly once. Without this, the losing build's
+ * checkpointed blocks would leak — discarded unreferenced, but never
+ * unpersisted, and invisible to [[removeAll]].
  */
 final class SessionCache[V] {
 
-  private val bySession =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, V]]
+  private final class Holder(build: () => V) {
+    @volatile var forced = false
+    lazy val value: V = { val v = build(); forced = true; v }
+  }
 
-  private def mapFor(s: SparkSession): scala.collection.concurrent.TrieMap[String, V] =
+  private val bySession =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Holder]]
+
+  private def mapFor(s: SparkSession): scala.collection.concurrent.TrieMap[String, Holder] =
     bySession.synchronized {
       var m = bySession.get(s)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, V]
+        m = scala.collection.concurrent.TrieMap.empty[String, Holder]
         bySession.put(s, m)
       }
       m
     }
 
   def getOrElseUpdate(s: SparkSession, key: String)(build: => V): V =
-    mapFor(s).getOrElseUpdate(key, build)
+    mapFor(s).getOrElseUpdate(key, new Holder(() => build)).value
 
-  /** Remove and return this session's entries (cache release path). */
+  /** Remove and return this session's entries (cache release path).
+    * Unbuilt holders are NOT forced: an entry whose build never ran has
+    * nothing to release, and forcing it here would launch a Spark job
+    * just to throw the result away. */
   def removeAll(s: SparkSession): Seq[V] = {
     val m = bySession.synchronized(bySession.remove(s))
-    if (m == null) Nil else m.values.toSeq
+    if (m == null) Nil
+    else m.values.toSeq.collect { case h if h.forced => h.value }
   }
 }

@@ -98,6 +98,42 @@ class JsonRenderSpec extends SparkSpec {
     }
   }
 
+  describe("bounded list rendering (round-8: executeJson must not collect unpaginated tables)") {
+    it("a list render past limitedCountThreshold fails loudly instead of collecting") {
+      // threshold 3 against the 6-person fixture = the over-cap case;
+      // counting renderer invocations proves the render drew at most
+      // cap rows off the iterator — no whole-table collect() happened
+      val rendered = new java.util.concurrent.atomic.AtomicInteger(0)
+      val small = new QueryExecutor(g, Map(
+        "allPeople" -> ((_: JValue, g) => g.V("person"))),
+        limitedCountThreshold = 3L)
+        .withRenderer("person") { row =>
+          rendered.incrementAndGet()
+          JObject(List("name" -> JString(row.getAs[String]("name"))))
+        }
+      val e = intercept[IllegalArgumentException](
+        small.executeJson("""[{"_name":"allPeople"}]"""))
+      assert(e.getMessage.contains("page the query or use executeStream"))
+      assert(rendered.get() <= 3, s"rendered ${rendered.get()} rows past the cap")
+      // a paged query through the same executor still renders fine
+      val ok = JsonRenderer.compact(small.executeJson(
+        """[{"_name":"allPeople"},
+          |  {"_name":"sort","_fields":[{"age":"incr"}]},
+          |  {"_name":"page","from":0,"to":2}]""".stripMargin))
+      assert(ok == """[{"name":"vadas"},{"name":"franck"}]""")
+    }
+
+    it("a value-traversal list render respects the same cap") {
+      val small = new QueryExecutor(g, Map(
+        "allPeople" -> ((_: JValue, g) => g.V("person"))),
+        limitedCountThreshold = 3L)
+        .withContinuation("names")((t, _) => t.value("name"))
+      val e = intercept[IllegalArgumentException](
+        small.executeJson("""[{"_name":"allPeople"},{"_name":"names"}]"""))
+      assert(e.getMessage.contains("page the query or use executeStream"))
+    }
+  }
+
   describe("aggregation rendering shapes (reference Aggregation.scala:201-330)") {
     it("scalar aggregation over empty input renders JsNull") {
       val out = run(

@@ -28,7 +28,10 @@ import duckdb, pyarrow.parquet as pq
 con = duckdb.connect()
 for t in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(t)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+    # a table is either a single parquet file (driver layout) or a
+    # directory of part files (DataGen / Spark-written layout)
+    src = f"{t}/*.parquet" if os.path.isdir(t) else t
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
