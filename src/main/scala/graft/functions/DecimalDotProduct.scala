@@ -11,20 +11,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 /**
  * Decimal-exact dot product of two float vectors, emitted as double:
  * per element the product is quantized to 12 fractional digits by
- * replicating DuckDB's `CAST(double AS DECIMAL(38,12))` —
- * `nearbyint(v * 1e12)` on the binary-scaled double (`Math.rint`, same
- * round-half-even-to-nearest) converted EXACTLY to decimal
- * (`new BigDecimal(double)`, not the shortest-repr `valueOf`) — then
- * summed exactly, order- and partitioning-independent. Validated
- * empirically against DuckDB at 0/100k random products across
- * magnitude ranges, including all representation-tie cases and
- * products above 2^53/1e12 where the shortest decimal repr of the
- * rounded double no longer equals its binary value. Spark's own
- * double→decimal Cast rounds the shortest repr HALF_UP, which diverges
- * from the oracle at representation ties — a real mismatch hit by
- * centroid products whose operands carry short decimal reprs — so the
- * declarative `aggregate(zip_with(CAST …))` form is NOT equivalent and
- * must not be substituted for this expression.
+ * replicating DuckDB's `CAST(double AS DECIMAL(38,12))` — the
+ * binary-scaled double `v * 1e12` rounded with the oracle's measured
+ * piecewise tie rule ([[DecimalDotProduct.duckRound]]: ties away from
+ * zero below 2^24, to even above — round 7 shipped plain `Math.rint`,
+ * which random-product validation could not distinguish; sf1-generated
+ * vectors promptly hit real `.5` ties in both regimes) — converted
+ * EXACTLY to decimal (`new BigDecimal(double)`, not the shortest-repr
+ * `valueOf`) — then summed exactly, order- and partitioning-
+ * independent. Also validated at 0 mismatches over 100k+ random
+ * products across magnitude ranges plus constructed ties straddling
+ * the 2^24 boundary. Spark's own double→decimal Cast rounds the EXACT
+ * binary expansion HALF_UP, which diverges from the oracle's
+ * scale-in-double-then-round pipeline — a real mismatch hit by
+ * centroid products — so the declarative `aggregate(zip_with(CAST …))`
+ * form is NOT equivalent and must not be substituted for this
+ * expression.
  *
  * Why native: Spark's higher-order functions (`transform`, `zip_with`,
  * `aggregate`) have no codegen — each lambda application is interpreted
@@ -64,7 +66,7 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
       val prod = x.getFloat(i).toDouble * y.getFloat(i).toDouble
       // 1e12 is exact in double, so the scaled multiply is DuckDB's own;
       // new JBigDecimal(double) keeps the rounded double's exact binary value
-      acc = acc.add(new JBigDecimal(Math.rint(prod * 1e12)).movePointLeft(12))
+      acc = acc.add(new JBigDecimal(DecimalDotProduct.duckRound(prod * 1e12)).movePointLeft(12))
       i += 1
     }
     Double.box(acc.doubleValue())
@@ -86,4 +88,27 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DecimalDotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+object DecimalDotProduct {
+  /** DuckDB's double→integer rounding as MEASURED against the oracle
+    * binary on constructed exact-tie inputs (the only inputs where
+    * rounding modes differ): ties round AWAY FROM ZERO below 2^24 and
+    * TO EVEN at or above it — a piecewise rule found by probing even-k
+    * ties across magnitudes (even k+0.5 → k+1 up to 16777215, → k from
+    * 16777216 on; boundary located by bisection). Neither `std::round`
+    * nor `nearbyint` alone reproduces it; no claim about mechanism,
+    * only the measured contract. The half-away branch avoids
+    * `floor(v+0.5)` (whose `+0.5` itself rounds, famously promoting
+    * 0.49999999999999994 to 1); `|v| - floor(|v|)` is exact for all
+    * finite doubles (Sterbenz for |v| ≥ 1, trivially below), so the
+    * tie comparison is exact. Values ≥ 2^53 are integral and pass
+    * through unchanged. */
+  def duckRound(v: Double): Double = {
+    val a = Math.abs(v)
+    if (a < 16777216.0) {
+      val f = Math.floor(a)
+      Math.copySign(if (a - f >= 0.5) f + 1.0 else f, v)
+    } else Math.rint(v)
+  }
 }

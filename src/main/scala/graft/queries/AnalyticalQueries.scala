@@ -16,8 +16,8 @@ import CoreQueries.Q
 object AnalyticalQueries {
 
   private def dsum(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-      .cast(org.apache.spark.sql.types.DoubleType)
+    graft.functions.DuckDecimalCast.duckDouble(
+      sum(graft.functions.DuckDecimalCast.duckDecimal6(c.cast("double"))))
 
   val all: Seq[Q] = Seq(
     Q("q70_shipping_priority",

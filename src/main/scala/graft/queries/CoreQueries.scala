@@ -29,8 +29,8 @@ object CoreQueries {
 
   /** sum(x) via exact decimal accumulation, emitted as double. */
   private def dsum(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-      .cast(org.apache.spark.sql.types.DoubleType)
+    graft.functions.DuckDecimalCast.duckDouble(
+      sum(graft.functions.DuckDecimalCast.duckDecimal6(c.cast("double"))))
 
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- scans

@@ -108,8 +108,9 @@ object JoinQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         TestData.graph(s, dir).V("orders").df
           .select(col("o_custkey"), col("o_orderkey"),
-            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-              .over(w).cast("double").as("running"))
+            graft.functions.DuckDecimalCast.duckDouble(
+              sum(graft.functions.DuckDecimalCast.duckDecimal6(col("o_totalprice")))
+                .over(w)).as("running"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
@@ -163,8 +164,9 @@ object JoinQueries {
         val S = 8
         val ev = TestData.graph(s, dir).V("events").toDF
         val dim = ev.groupBy(col("event_type"))
-          .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-            .cast("double") / count(lit(1))).as("tavg"))
+          .agg((graft.functions.DuckDecimalCast.duckDouble(
+            sum(graft.functions.DuckDecimalCast.duckDecimal6(col("value"))))
+            / count(lit(1))).as("tavg"))
         val fact = ev.withColumn("salt", pmod(col("event_id"), lit(S.toLong)).cast("int"))
         val saltedDim = dim.withColumn("salt", explode(array((0 until S).map(lit): _*)))
         fact.join(saltedDim.hint("shuffle_hash"), Seq("event_type", "salt"))

@@ -340,7 +340,8 @@ object VectorQueries {
     coded.join(a, "vec_id")
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
-      .agg(sum(col("v").cast(DecimalType(38, 6))).cast("double").as("sv"))
+      .agg(graft.functions.DuckDecimalCast.duckDouble(
+        sum(graft.functions.DuckDecimalCast.duckDecimal6(col("v").cast("double")))).as("sv"))
   }
 
   private def centsFromSums(sums: DataFrame): DataFrame =
@@ -593,17 +594,26 @@ object VectorQueries {
         // centroid table
         val sums1 = lloydSums(coded, seedCentroids(coded)).localCheckpoint()
         val sums2 = lloydSums(coded, centsFromSums(sums1))
-        val dec = DecimalType(18, 6)
-        val j = sums1.select(col("cid"), col("pos"), col("sv").cast(dec).as("d1"))
-          .join(sums2.select(col("cid"), col("pos"), col("sv").cast(dec).as("d2")), Seq("cid", "pos"))
+        // duck-exact quantization at width 18: (18,6)×(18,6) products are
+        // (37,12) — still lossless in a 38-digit decimal, which a (38,6)
+        // input would not be (Spark would shrink the product scale)
+        val q6 = (c: org.apache.spark.sql.Column) =>
+          graft.functions.DuckDecimalCast.duckDecimal6(c, precision = 18)
+        val j = sums1.select(col("cid"), col("pos"), q6(col("sv")).as("d1"))
+          .join(sums2.select(col("cid"), col("pos"), q6(col("sv")).as("d2")), Seq("cid", "pos"))
         j.groupBy(col("cid"))
           .agg(
             sum(col("d1") * col("d2")).as("dot12"),
             sum(col("d1") * col("d1")).as("dot11"),
             sum(col("d2") * col("d2")).as("dot22"))
           .select(col("cid"),
-            (lit(1d) - col("dot12").cast("double") /
-              (sqrt(col("dot11").cast("double")) * sqrt(col("dot22").cast("double")))).as("movement"))
+            // duckDouble, not .cast("double"): these dots carry unscaled
+            // values ≈ 2e17 > 2^53, exactly where the engines' decimal→
+            // double conversions drift one ulp apart (sf1 caught three
+            // clusters' movements off by 1 ulp of the cosine)
+            (lit(1d) - graft.functions.DuckDecimalCast.duckDouble(col("dot12")) /
+              (sqrt(graft.functions.DuckDecimalCast.duckDouble(col("dot11"))) *
+                sqrt(graft.functions.DuckDecimalCast.duckDouble(col("dot22"))))).as("movement"))
           .orderBy("cid")
       },
       Some(s"""WITH codes AS ($codesSql),
@@ -722,11 +732,12 @@ object VectorQueries {
       }),
 
     Q("e04_vector_norms",
+      // the NATIVE decimal dot, not the declarative aggregate/transform
+      // CAST form: Spark's Cast quantizes the exact binary expansion
+      // (HALF_UP) where the oracle scales in double first — the two
+      // disagree at exact `.5` ties (first hit live by sf1 vectors)
       (s, dir) => emb(s, dir)
-        .select(col("vec_id"),
-          sqrt(expr(
-            """CAST(aggregate(transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))),
-              |  CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin)).as("l2_norm"))
+        .select(col("vec_id"), sqrt(dotNative("embedding", "embedding")).as("l2_norm"))
         .orderBy("vec_id"),
       Some("""SELECT vec_id, sqrt(CAST(list_sum(list_transform(embedding,
              |  x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)) AS l2_norm

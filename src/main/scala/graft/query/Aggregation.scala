@@ -213,9 +213,12 @@ object AggCompiler {
       case _ => false
     }
     val result = s.kind match {
-      case "sum" if isFloating => sum(inner.cast(DecimalType(38, 6))).cast(DoubleType)
+      case "sum" if isFloating =>
+        graft.functions.DuckDecimalCast.duckDouble(
+          sum(graft.functions.DuckDecimalCast.duckDecimal6(inner.cast(DoubleType))))
       case "avg" if isFloating =>
-        (sum(inner.cast(DecimalType(38, 6))).cast(DoubleType) / count(inner))
+        (graft.functions.DuckDecimalCast.duckDouble(
+          sum(graft.functions.DuckDecimalCast.duckDecimal6(inner.cast(DoubleType)))) / count(inner))
       case "sum" => sum(inner)
       case "avg" => avg(inner)
       case "min" => min(inner)

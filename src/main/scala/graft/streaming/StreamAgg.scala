@@ -58,11 +58,16 @@ object StreamAgg {
     try body finally spark.conf.set(key, old)
   }
 
-  /** A single parquet file staged as a streaming source directory (the
-    * file stream source wants a directory): a scratch symlink dir keyed
-    * by a strong digest of the absolute source path (a String.hashCode
-    * collision between two data dirs would silently aggregate the wrong
-    * dataset). A stale link whose target differs is recreated.
+  /** A parquet table staged as a streaming source directory (the file
+    * stream source wants a flat directory of data files): a scratch
+    * symlink dir keyed by a strong digest of the absolute source path (a
+    * String.hashCode collision between two data dirs would silently
+    * aggregate the wrong dataset). The source is either one parquet FILE
+    * (the driver's testdata layout) or a DIRECTORY of part files (any
+    * Spark-written table, e.g. DataGen's sf1); each data file gets its
+    * own link — the file stream source does not recurse through a
+    * directory symlink, which would silently replay zero rows. Stale
+    * links are recreated.
     *
     * HARNESS-ONLY, hence java.nio on local tmp deliberately: this staging
     * exists to replay a local test parquet as a deterministic stream; a
@@ -71,6 +76,7 @@ object StreamAgg {
     * pieces — s07's state chain, the migration store, the ANN index —
     * all go through the Hadoop FileSystem API.) */
   private def stagedFileStream(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val schema = spark.read.parquet(path).schema
     val target = java.nio.file.Paths.get(path).toAbsolutePath
     val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -78,25 +84,37 @@ object StreamAgg {
     val streamDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream_" + digest)
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve(target.getFileName)
-    if (java.nio.file.Files.isSymbolicLink(link) &&
-        java.nio.file.Files.readSymbolicLink(link) != target)
-      java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, target)
+    // the data files to replay: the file itself, or the directory's
+    // part files (metadata like _SUCCESS carries no rows and is skipped)
+    val sources =
+      if (java.nio.file.Files.isDirectory(target)) {
+        val st = java.nio.file.Files.list(target)
+        try st.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toList.sorted
+        finally st.close()
+      } else List(target)
+    require(sources.nonEmpty, s"no parquet data files under $target")
+    val links = sources.map { src =>
+      val link = streamDir.resolve(src.getFileName)
+      if (java.nio.file.Files.isSymbolicLink(link) &&
+          java.nio.file.Files.readSymbolicLink(link) != src)
+        java.nio.file.Files.delete(link)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, src)
+      link
+    }
     // INVARIANT the single-batch oracles depend on (e.g. s09's
     // global-DISTINCT oracle for dropDuplicatesWithinWatermark): the
-    // staged dir holds exactly ONE file, so an AvailableNow replay is
-    // exactly ONE micro-batch. A second file here (stale link from a
-    // renamed source, outside interference) would silently turn the
-    // replay multi-batch and invalidate those oracles.
+    // staged dir holds exactly the source's data files and the
+    // AvailableNow replay runs with no maxFilesPerTrigger cap, so ALL
+    // of them drain in ONE micro-batch. A stray extra file (stale link
+    // from a renamed source, outside interference) would silently
+    // change the replayed dataset and invalidate those oracles.
     val staged = {
       val st = java.nio.file.Files.list(streamDir)
-      try { import scala.jdk.CollectionConverters._; st.iterator().asScala.toList }
-      finally st.close()
+      try st.iterator().asScala.toList finally st.close()
     }
-    require(staged == List(link),
-      s"staged stream dir $streamDir must hold exactly the one source file, found: $staged")
+    require(staged.toSet == links.toSet,
+      s"staged stream dir $streamDir must hold exactly the source's data files, found: $staged")
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
@@ -139,12 +157,19 @@ object StreamAgg {
     * delay after its first sighting would legitimately be re-emitted
     * after state expiry, and the global-DISTINCT oracle would no longer
     * apply. */
+  /** The s09 plan shape on an arbitrary events stream — seam shared by
+    * the oracle replay and the state-bound spec (StreamingSpec drives it
+    * through a MemoryStream across many micro-batches and asserts
+    * `stateOperators.numRowsTotal` plateaus: eviction observed, not
+    * assumed). */
+  private[graft] def dedupWithinWatermarkPlan(ev: DataFrame): DataFrame = ev
+    .withWatermark("ts", "1 day")
+    .select(col("user_id"), col("event_type"), col("ts"))
+    .dropDuplicatesWithinWatermark("user_id", "event_type")
+    .select(col("user_id"), col("event_type"))
+
   def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
-    val dd = stagedEventsStream(spark, dir)
-      .withWatermark("ts", "1 day")
-      .select(col("user_id"), col("event_type"), col("ts"))
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
+    val dd = dedupWithinWatermarkPlan(stagedEventsStream(spark, dir))
     replayToMemory(spark, dd, "stream_ddww_", "append")(_.orderBy("user_id", "event_type"))
   }
 
@@ -155,8 +180,8 @@ object StreamAgg {
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-          .cast("double").as("val_sum"))
+        graft.functions.DuckDecimalCast.duckDouble(
+          sum(graft.functions.DuckDecimalCast.duckDecimal6(col("value")))).as("val_sum"))
       .select(unix_millis(col("w.start")).as("bucket_ms"), col("cnt"), col("val_sum"))
     replayToMemory(spark, agg, "stream_daily_", "complete")(_.orderBy("bucket_ms"))
   }
@@ -182,13 +207,16 @@ object StreamAgg {
     * than the watermark is evicted — the shape that survives an unbounded
     * stream. Only key columns are emitted (first-sight append), so the
     * output SET equals `SELECT DISTINCT user_id, event_type, day`. */
+  /** The s04 plan shape on an arbitrary events stream (state-bound spec
+    * seam, see [[dedupWithinWatermarkPlan]]). */
+  private[graft] def windowedDistinctPlan(ev: DataFrame): DataFrame = ev
+    .withWatermark("ts", "1 day")
+    .withColumn("w", window(col("ts"), "1 day"))
+    .dropDuplicates("user_id", "event_type", "w")
+    .select(col("user_id"), col("event_type"), unix_millis(col("w.start")).as("day_ms"))
+
   def streamWindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val ev = stagedEventsStream(spark, dir)
-    val dd = ev
-      .withWatermark("ts", "1 day")
-      .withColumn("w", window(col("ts"), "1 day"))
-      .dropDuplicates("user_id", "event_type", "w")
-      .select(col("user_id"), col("event_type"), unix_millis(col("w.start")).as("day_ms"))
+    val dd = windowedDistinctPlan(stagedEventsStream(spark, dir))
     replayToMemory(spark, dd, "stream_wdedup_", "append")(_.orderBy("user_id", "event_type", "day_ms"))
   }
 
@@ -284,15 +312,22 @@ object StreamAgg {
     * folds it straight back into the join condition. The bench harness
     * raises that one logger to ERROR so the driver-read stderr tail stays
     * meaningful. */
-  def streamIntervalSelfJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e1 = stagedEventsStream(spark, dir).withWatermark("ts", "1 hour")
+  /** The s06 plan shape over two event streams (state-bound spec seam,
+    * see [[dedupWithinWatermarkPlan]]). */
+  private[graft] def intervalSelfJoinPlan(s1: DataFrame, s2: DataFrame): DataFrame = {
+    val e1 = s1.withWatermark("ts", "1 hour")
       .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
-    val e2 = stagedEventsStream(spark, dir).withWatermark("ts", "1 hour")
+    val e2 = s2.withWatermark("ts", "1 hour")
       .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
-    val joined = e1.join(e2,
+    e1.join(e2,
       col("a_user") === col("b_user") && col("a_id") < col("b_id") &&
         col("b_ts") >= col("a_ts") && col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
       .select(col("a_id"), col("b_id"))
+  }
+
+  def streamIntervalSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val joined = intervalSelfJoinPlan(
+      stagedEventsStream(spark, dir), stagedEventsStream(spark, dir))
     replayToMemory(spark, joined, "stream_ssj_", "append")(_.orderBy("a_id", "b_id"))
   }
 

@@ -41,4 +41,76 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed == batch)
   }
+
+  /** Drive a plan through a MemoryStream for `chunks` micro-batches of
+    * time-advancing events and return each non-empty batch's total state
+    * rows (`StreamingQueryProgress.stateOperators.numRowsTotal` summed
+    * over operators). Each chunk carries the SAME `keys` key set stamped
+    * into a new time period, so unbounded state would grow ≈ linearly in
+    * the batch number while watermark-evicted state plateaus. */
+  private def stateRowsPerBatch(
+      plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      chunks: Int, keys: Int, stepSeconds: Long): Seq[Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val name = "state_bound_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = plan(df).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      var eventId = 0L
+      (0 until chunks).foreach { c =>
+        val rows = (0 until keys).map { k =>
+          eventId += 1
+          (eventId, new java.sql.Timestamp(t0 + c * stepSeconds * 1000 + k),
+            k.toLong, "t", 1.0)
+        }
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.stateOperators.nonEmpty)
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+    } finally { q.stop(); spark.sql(s"DROP TABLE IF EXISTS $name") }
+  }
+
+  /** Plateau assertion: by the end of the run the state must sit at a
+    * small multiple of ONE chunk's key count (the watermark horizon),
+    * nowhere near `chunks × keys` (what unbounded accumulation gives —
+    * streamDistinctPairs' documented shape). */
+  private def assertPlateau(state: Seq[Long], keys: Int, chunks: Int, horizon: Int): Unit = {
+    assert(state.size >= chunks - 1, s"expected ~$chunks measured batches, got ${state.size}: $state")
+    val tail = state.takeRight(3)
+    assert(tail.max <= keys.toLong * horizon,
+      s"state did not plateau: tail ${tail.max} > ${keys * horizon} (horizon $horizon × $keys keys); all: $state")
+    assert(state.max < keys.toLong * chunks,
+      s"state grew like total input (${state.max} of ${keys * chunks}): $state")
+  }
+
+  describe("watermark eviction observed via stateOperators.numRowsTotal (round 8)") {
+
+    it("s04 windowedDistinct state plateaus across daily chunks") {
+      // same 200 keys restamped into a new day × 12 chunks: distinct
+      // (key, window) pairs grow 12×, but state holds only the windows
+      // the 1-day watermark still allows (~2 days + in-flight)
+      val state = stateRowsPerBatch(StreamAgg.windowedDistinctPlan, 12, 200, 86400L)
+      assertPlateau(state, 200, 12, horizon = 3)
+    }
+
+    it("s09 dropDuplicatesWithinWatermark state plateaus across daily chunks") {
+      val state = stateRowsPerBatch(StreamAgg.dedupWithinWatermarkPlan, 12, 200, 86400L)
+      assertPlateau(state, 200, 12, horizon = 3)
+    }
+
+    it("s06 interval self-join state plateaus across hourly chunks") {
+      // 1-hour watermark, 5-minute join interval, chunks 1 hour apart:
+      // both sides' state hold ~2.5 chunks of rows (measured plateau:
+      // exactly 1001 rows, constant from batch 3 on — horizon 6 leaves
+      // the bound meaningfully below the 2400-row unbounded trajectory)
+      val state = stateRowsPerBatch(
+        df => StreamAgg.intervalSelfJoinPlan(df, df), 12, 200, 3600L)
+      assertPlateau(state, 200, 12, horizon = 6)
+    }
+  }
 }
