@@ -127,49 +127,8 @@ class PlanQualitySpec extends SparkSpec {
       }
     }
 
-    it("prunes match-pattern dedup shuffles to the referenced struct fields (q71 shape)") {
-      // FirstStructPruningRule: the binding-dedup Aggregate must carry
-      // first(named_struct(<needed fields>)) buffers, not the full bound
-      // entity structs — at 100 TB the dedup shuffle's width is its cost.
-      // q71 references exactly l_extendedprice, l_discount (revenue),
-      // n_name (group key), r_name + o_orderdate (post-match filter).
-      val t = graft.sources.TestData.graph(spark, sfDir).V("lineitem").matchPattern("l",
-        ("l", _.out("of_order"), "o"),
-        ("o", _.out("placed_by"), "c"),
-        ("c", _.out("cust_nation"), "n"),
-        ("l", _.out("of_supplier"), "s"),
-        ("s", _.out("supp_nation"), "n"),
-        ("n", _.out("of_region"), "r"))
-      val filtered = t.where(
-        t.sel("r", "r_name") === "ASIA" &&
-          t.sel("o", "o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
-          t.sel("o", "o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
-      val out = filtered.group(
-        filtered.sel("n", "n_name").as("n_name"),
-        sum(filtered.sel("l", "l_extendedprice")).as("revenue"))
-      val plan = out.queryExecution.executedPlan.toString
-      // the first() buffers aggregate pruned structs materialized below
-      // the aggregate (__ps_*), never a full bound-entity struct
-      assert(plan.matches("(?s).*first\\(__ps___as_l#\\d+.*"), plan.take(4000))
-      assert(!plan.matches("(?s).*first\\(__as_[a-z]+#\\d+.*"), plan.take(4000))
-      // nothing beyond the referenced fields rides the buffers: every
-      // __ps_* struct definition holds only consumer-referenced fields
-      val psDecls = "named_struct\\([^)]*\\) AS __ps_".r.findAllIn(plan).toSeq
-      assert(psDecls.nonEmpty && psDecls.exists(_.contains("l_extendedprice")), plan.take(4000))
-      assert(psDecls.forall(d => !d.contains("l_tax") && !d.contains("l_quantity")), psDecls.mkString("\n"))
-      // and the pruning cascaded to the fact scan: the lineitem read
-      // schema no longer carries fields only the full struct needed
-      assert(!plan.contains("l_tax"), "l_tax survived somewhere:\n" + plan.take(4000))
-    }
-
-    it("takes the shuffled-hash path for the salted skew join") {
-      // q88's whole point is spreading a hot key across partitions — a
-      // silently re-planned broadcast join would make the salt a no-op
-      val df = graft.queries.JoinQueries.all.find(_.name == "q88_skew_salted_join").get
-        .fn(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("ShuffledHashJoin"), plan)
-    }
+    // q71/q88/e09 gates are registered below, parameterized over AQE
+    // (round-8 hardening: AQE re-plans could resurrect pruned exchanges)
 
     it("keeps the trained-IVF centroid passes broadcast") {
       // e06: both assignment passes and the probe join must broadcast the
@@ -196,6 +155,95 @@ class PlanQualitySpec extends SparkSpec {
         case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
       }
       assert(spans.nonEmpty, df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  /** Run `body` with AQE forced on (including skew-join and partition
+    * coalescing, the re-planners most likely to disturb a gated shape)
+    * or forced off; session conf restored afterwards. */
+  private def withAqe[T](on: Boolean)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, on.toString))
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  /** The FINAL physical plan: under AQE the pre-execution executedPlan is
+    * only the initial plan inside AdaptiveSparkPlanExec — drive the query
+    * to completion first so re-optimized stages are what gets asserted. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  describe("plan gates hold with AQE re-planning active AND with AQE off (round 8)") {
+    Seq(true, false).foreach { aqe =>
+
+      it(s"prunes match-pattern dedup shuffles to referenced struct fields (q71, aqe=$aqe)") {
+        withAqe(aqe) {
+          // FirstStructPruningRule: the binding-dedup Aggregate must carry
+          // first(named_struct(<needed fields>)) buffers, not the full
+          // bound entity structs — at 100 TB the dedup shuffle's width is
+          // its cost. q71 references exactly l_extendedprice, l_discount
+          // (revenue), n_name (group key), r_name + o_orderdate (filter).
+          val t = graft.sources.TestData.graph(spark, sfDir).V("lineitem").matchPattern("l",
+            ("l", _.out("of_order"), "o"),
+            ("o", _.out("placed_by"), "c"),
+            ("c", _.out("cust_nation"), "n"),
+            ("l", _.out("of_supplier"), "s"),
+            ("s", _.out("supp_nation"), "n"),
+            ("n", _.out("of_region"), "r"))
+          val filtered = t.where(
+            t.sel("r", "r_name") === "ASIA" &&
+              t.sel("o", "o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              t.sel("o", "o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+          val out = filtered.group(
+            filtered.sel("n", "n_name").as("n_name"),
+            sum(filtered.sel("l", "l_extendedprice")).as("revenue"))
+          val plan = finalPlan(out)
+          // the first() buffers aggregate pruned structs materialized below
+          // the aggregate (__ps_*), never a full bound-entity struct
+          assert(plan.matches("(?s).*first\\(__ps___as_l#\\d+.*"), plan.take(4000))
+          assert(!plan.matches("(?s).*first\\(__as_[a-z]+#\\d+.*"), plan.take(4000))
+          // nothing beyond the referenced fields rides the buffers
+          val psDecls = "named_struct\\([^)]*\\) AS __ps_".r.findAllIn(plan).toSeq
+          assert(psDecls.nonEmpty && psDecls.exists(_.contains("l_extendedprice")), plan.take(4000))
+          assert(psDecls.forall(d => !d.contains("l_tax") && !d.contains("l_quantity")), psDecls.mkString("\n"))
+          // and the pruning cascaded to the fact scan
+          assert(!plan.contains("l_tax"), "l_tax survived somewhere:\n" + plan.take(4000))
+        }
+      }
+
+      it(s"takes the shuffled-hash path for the salted skew join (q88, aqe=$aqe)") {
+        withAqe(aqe) {
+          // q88's whole point is spreading a hot key across partitions — a
+          // silently re-planned broadcast join would make the salt a no-op
+          val df = graft.queries.JoinQueries.all.find(_.name == "q88_skew_salted_join").get
+            .fn(spark, sfDir)
+          val plan = finalPlan(df)
+          assert(plan.contains("ShuffledHashJoin"), plan)
+          assert(!plan.contains("BroadcastHashJoin"), plan)
+        }
+      }
+
+      it(s"e09's probe prunes the partitioned ANN index (aqe=$aqe)") {
+        withAqe(aqe) {
+          val idx = graft.queries.VectorQueries.partitionedIndex(spark, sfDir)
+          val probed = idx.where(col("code").isin(0L, 3L, 5L))
+          val plan = finalPlan(probed)
+          assert(plan.contains("PartitionFilters") && plan.contains("code"), plan)
+          val files = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+          }.getOrElse(fail("no FileSourceScanExec leaf in\n" + plan))
+          assert(files < idx.inputFiles.length.toLong,
+            s"probed=$files full=${idx.inputFiles.length}")
+        }
+      }
     }
   }
 }
