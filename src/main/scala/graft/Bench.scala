@@ -84,6 +84,20 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
       org.apache.logging.log4j.Level.ERROR)
+    // Two more benign size/perf advisories that land in the driver's
+    // captured tail: DAGScheduler's "Broadcasting large task binary"
+    // (match-pattern plans legitimately carry ~1-2 MB of codegen; job
+    // FAILURES surface as exceptions into the errors map regardless of
+    // log level) and GraphX's "Joining two VertexPartitions with
+    // different indexes is slow" (g-family runs on derived vertex sets
+    // by construction; the advisory is inherent to aggregateMessages
+    // over a filtered graph, not a regression signal).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.graphx.impl.ShippableVertexPartitionOps",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm up the JVM/codegen and the parquet footer cache so the first
     // measured query doesn't absorb several seconds of session start-up.
     try {

@@ -18,32 +18,59 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object StreamAgg {
 
-  /** Drain a memory-sink table: materialize the (small, bounded) replay
-    * result and DROP the backing temp view — without this every streaming
-    * query invocation would pin its full result in driver memory for the
-    * session lifetime (Bench/Verify run all queries in one session). */
-  /** The shared memory-sink replay harness: run `df` to completion with
-    * Trigger.AvailableNow into a uniquely-named in-memory table (8 state
-    * partitions), then drain it through `order`. ONE definition of the
-    * sink boilerplate — a harness fix lands in every streaming query at
-    * once. The temp view is dropped in a finally: a failed replay or
-    * drain must not leak the registered view into the shared session
-    * (dropTempView is a no-op false if the view never registered). */
+  /** The shared replay harness: run `df` to completion with
+    * Trigger.AvailableNow (8 state partitions), then return the result
+    * through `order`. ONE definition of the sink boilerplate — a harness
+    * fix lands in every streaming query at once.
+    *
+    * Append-mode replays sink to PARQUET and read the files back: a
+    * memory sink holds the entire result as a driver-side LocalRelation,
+    * which is a collect() in disguise — at sf1 the re-parallelization
+    * shipped 7.5 MB tasks (the result rode inside every task closure),
+    * and at production scale it would OOM the driver. The parquet
+    * round-trip keeps rows executor-side end to end, exactly how a
+    * production job lands a stream into a table. Complete-mode replays
+    * (already-reduced aggregates, a few dozen rows) keep the memory sink
+    * — the parquet sink does not support complete mode. The result is
+    * localCheckpoint()ed so the scratch files can be deleted eagerly;
+    * the temp view/dir cleanup runs in a finally so a failed replay
+    * leaks nothing into the shared session. */
   private def replayToMemory(spark: SparkSession, df: DataFrame, prefix: String,
-      outputMode: String)(order: DataFrame => DataFrame): DataFrame = {
-    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    try {
-      withStatePartitions(spark, 8) {
-        val q = df.writeStream
-          .format("memory").queryName(name)
-          .outputMode(outputMode)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      outputMode: String)(order: DataFrame => DataFrame): DataFrame =
+    if (outputMode == "append") {
+      val base = java.nio.file.Files.createTempDirectory("graft_replay_" + prefix)
+      try {
+        withStatePartitions(spark, 8) {
+          val q = df.writeStream
+            .format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        order(spark.read.schema(df.schema).parquet(s"$base/out")).localCheckpoint()
+      } finally {
+        val st = java.nio.file.Files.walk(base)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally st.close()
       }
-      order(spark.table(name)).localCheckpoint()
-    } finally spark.catalog.dropTempView(name)
-  }
+    } else {
+      val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        withStatePartitions(spark, 8) {
+          val q = df.writeStream
+            .format("memory").queryName(name)
+            .outputMode(outputMode)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        order(spark.table(name)).localCheckpoint()
+      } finally spark.catalog.dropTempView(name)
+    }
 
   /** Run a synchronous streaming query with a reduced state-partition
     * count: each shuffle partition becomes a state-store directory with
