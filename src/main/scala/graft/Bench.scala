@@ -98,6 +98,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.graphx.impl.ShippableVertexPartitionOps",
       org.apache.logging.log4j.Level.ERROR)
+    // Column WARNs "Constructing trivially true equals predicate" on the
+    // cross-alias self-join comparisons (q10 compares the same column
+    // under two aliases of one table — Spark disambiguates by plan id
+    // and the oracle verifies the join is NOT trivially true; the
+    // warning is a known false positive for self-joins).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.Column",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm up the JVM/codegen and the parquet footer cache so the first
     // measured query doesn't absorb several seconds of session start-up.
     try {

@@ -198,10 +198,15 @@ object VectorQueries {
     * exact-rescore only inside them (bucket pruning on the stored index). */
   private def probeAndRescore(coded: DataFrame, cents: DataFrame, assign: DataFrame): DataFrame = {
     val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    // top-NProbe via orderBy+limit (TakeOrderedAndProject), not a global
+    // row_number window: same deterministic result over the K-row
+    // centroid table, but no WindowExec single-partition move — the
+    // global-window WARN it fired on every probe was noise here (K=8
+    // rows) yet the shape would be real at a large K
     val qprobe = cents.crossJoin(broadcast(q))
       .withColumn("qcos", dotNative("cvec", "qvec") / col("cnorm"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("qcos").desc, col("cid").asc)))
-      .where(col("rn") <= NProbe)
+      .orderBy(col("qcos").desc, col("cid").asc)
+      .limit(NProbe)
       .select(col("cid"))
     assign.join(broadcast(qprobe), "cid")
       .where(col("vec_id") =!= 0)
