@@ -57,9 +57,9 @@ case class DuckDecimalCast(child: Expression, precision: Int = 38) extends Unary
 
 object DuckDecimalCast {
   /** 2^53 / 10^6: above this, `v * 1e6` no longer lands on an exactly
-    * representable integer and DuckDB's double→int128 conversion takes
-    * engine-specific rounding paths (measured: ±1-ulp deviations from
-    * both the pure-double and the long-double pipeline above ~2.7e11) —
+    * representable integer, integer-rounding identities stop holding,
+    * and the model is unverified against the oracle (the parquet-path
+    * validation covers [0, 9e9] exhaustively-sampled; nothing above) —
     * refuse rather than silently diverge. Every discipline call site
     * casts PER-ROW values (prices, quantities, balances — all < 10^6)
     * and lets the DECIMAL sum carry the magnitude, so this bound is
