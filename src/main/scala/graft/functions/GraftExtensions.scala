@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // metadata-only count rewrite (opt-in via its conf flag)
     ext.injectOptimizerRule(session => graft.plans.MetadataCountRule(session))
+    // superkey-proven dedup removal (on by default) — before the struct
+    // pruner so an aggregate it eliminates is never also pruned
+    ext.injectOptimizerRule(session => graft.plans.RedundantDistinctRule(session))
     // nested pruning through first(struct) dedup buffers (on by default)
     ext.injectOptimizerRule(session => graft.plans.FirstStructPruningRule(session))
   }

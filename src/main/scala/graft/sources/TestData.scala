@@ -110,6 +110,11 @@ object TestData {
     // FirstStructPruningRule.install.
     val vs = vertexTables.map { case (name, id) =>
       val df0 = table(spark, dir, name)
+      // declare the natural unique keys to the optimizer
+      // (RedundantDistinctRule) — every table except lineitem, whose
+      // identity is the COMPUTED `_rowid` below (a projection, not a
+      // relation attribute, so it is not a scan-level key)
+      if (name != "lineitem") graft.plans.DistinctKeys.registerTableKey(spark, s"$dir/$name.parquet", id)
       // TPC-H linenumber ∈ [1,7], so orderkey*8+linenumber is injective.
       val df =
         if (name == "lineitem")

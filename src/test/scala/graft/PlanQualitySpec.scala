@@ -219,6 +219,28 @@ class PlanQualitySpec extends SparkSpec {
         }
       }
 
+      it(s"eliminates the superkey-proven match dedup entirely (q54, aqe=$aqe)") {
+        withAqe(aqe) {
+          // RedundantDistinctRule: q54's three single-hop patterns over
+          // key-registered tables cannot duplicate binding tuples, so the
+          // executed plan must carry NO dedup aggregate at all — at sf10
+          // that aggregate was a 600 M-row zero-reduction shuffle (254×
+          // the sf1 time; THE super-linear outlier of the scale step-up)
+          val t0 = graft.sources.TestData.graph(spark, sfDir).V("customer")
+            .where(col("c_acctbal") > 9000)
+            .matchPattern("c",
+              ("c", _.out("cust_nation"), "n"),
+              ("n", _.in("supp_nation"), "s"),
+              ("s", _.out("supp_nation"), "n"))
+          val out = t0.where(t0.sel("c", "c_acctbal") < t0.sel("s", "s_acctbal"))
+            .project("c_custkey" -> t0.sel("c", "c_custkey"), "s_suppkey" -> t0.sel("s", "s_suppkey"))
+            .sortBy(col("c_custkey"), col("s_suppkey")).toDF
+          val plan = finalPlan(out)
+          assert(!plan.contains("Aggregate"), plan.take(4000))
+          assert(!plan.contains("first("), plan.take(4000))
+        }
+      }
+
       it(s"takes the shuffled-hash path for the salted skew join (q88, aqe=$aqe)") {
         withAqe(aqe) {
           // q88's whole point is spreading a hot key across partitions — a
