@@ -124,15 +124,54 @@ object DistinctKeys {
     * root has one schema, so the mapping is session-independent. */
   private val tableKeys = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def registerTableKey(spark: SparkSession, path: String, keyColumn: String): Unit = {
+  /** Qualified table root path → normalized EXPRESSION that is unique over
+    * the table's rows — for identities that are computed, not stored
+    * (lineitem's surrogate `_rowid`: an injective concat of six columns).
+    * A projection computing a semantically-equal expression over that
+    * relation's attributes is a key of its rows. */
+  private val derivedKeys = new java.util.concurrent.ConcurrentHashMap[String, Expression]()
+
+  private def qualify(spark: SparkSession, path: String): String = {
     val p = new Path(path)
-    val q = p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
-    tableKeys.put(q.toString, keyColumn)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+  }
+
+  def registerTableKey(spark: SparkSession, path: String, keyColumn: String): Unit =
+    tableKeys.put(qualify(spark, path), keyColumn)
+
+  /** Declare `keyColumn` of `df` (a computed column over a single scan of
+    * `path`) unique over that table's rows. The OPTIMIZED expression is
+    * captured — the optimizer's normal form (implicit casts resolved AND
+    * simplified, e.g. the no-op `CAST(FLOOR(x) AS BIGINT)` dropped) is
+    * what later plans carry, so comparing anything less cooked would
+    * never match — with attribute identity reduced to column names. */
+  def registerDerivedKey(spark: SparkSession, path: String, df: org.apache.spark.sql.DataFrame, keyColumn: String): Unit = {
+    val expr = df.queryExecution.optimizedPlan.collectFirst {
+      case p: Project => p.projectList.collectFirst {
+        case al @ Alias(child, name) if name == keyColumn => child
+      }
+    }.flatten.getOrElse(throw new IllegalArgumentException(
+      s"registerDerivedKey: no computed column '$keyColumn' in the frame's top projection"))
+    derivedKeys.put(qualify(spark, path), normalize(expr))
+  }
+
+  /** Attribute identity reduced to (lower-cased) column names, so trees
+    * captured at registration compare equal to the same computation inside
+    * any later plan regardless of ExprIds. */
+  private[plans] def normalize(e: Expression): Expression = e.transformUp {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name.toLowerCase(java.util.Locale.ROOT)))
   }
 
   private[plans] def keyFor(rel: HadoopFsRelation): Option[String] =
     rel.location.rootPaths match {
       case Seq(single) => Option(tableKeys.get(single.toString))
+      case _ => None
+    }
+
+  private[plans] def derivedKeyFor(rel: HadoopFsRelation): Option[Expression] =
+    rel.location.rootPaths match {
+      case Seq(single) => Option(derivedKeys.get(single.toString))
       case _ => None
     }
 
@@ -145,6 +184,9 @@ object DistinctKeys {
     private val parent = mutable.Map.empty[ExprId, ExprId]
     // struct attr → field ordinal → attr the field carries
     private val fields = mutable.Map.empty[ExprId, Map[Int, ExprId]]
+    // derived-key expressions whose source relation appears in this
+    // subtree: (normalized tree, the relation's output ExprIds)
+    private val derivedPending = mutable.Buffer.empty[(Expression, Set[ExprId])]
 
     def find(x: ExprId): ExprId = {
       val p = parent.getOrElse(x, x)
@@ -192,6 +234,9 @@ object DistinctKeys {
       case lr: LogicalRelation =>
         lr.relation match {
           case h: HadoopFsRelation =>
+            derivedKeyFor(h).foreach { ne =>
+              derivedPending += ne -> lr.output.map(_.exprId).toSet
+            }
             keyFor(h).flatMap(n => lr.output.find(_.name == n))
               .map(a => Set(a.exprId)).toSeq
           case _ => Nil
@@ -202,6 +247,7 @@ object DistinctKeys {
         k
       case pr: Project =>
         val k = walk(pr.child)
+        val derived = mutable.Buffer.empty[Set[ExprId]]
         pr.projectList.foreach {
           case al @ Alias(child, _) =>
             child match {
@@ -212,11 +258,25 @@ object DistinctKeys {
                 val m = cns.valExprs.zipWithIndex
                   .flatMap { case (e, i) => asAttr(e).map(i -> _) }.toMap
                 if (m.nonEmpty) fields(al.exprId) = m
-              case _ => ()
+              case e =>
+                // a projection recomputing a registered derived key over
+                // ITS OWN relation's attributes is a key of these rows
+                // (reference scoping via equivalence classes keeps a
+                // same-named column of another scan from matching)
+                if (derivedPending.nonEmpty && e.references.nonEmpty) {
+                  val n = normalize(e)
+                  val matches = derivedPending.exists { case (ne, srcIds) =>
+                    n == ne && {
+                      val reps = srcIds.map(find)
+                      e.references.forall(r => reps.contains(find(r.exprId)))
+                    }
+                  }
+                  if (matches) derived += Set(al.exprId)
+                }
             }
           case _ => ()
         }
-        k
+        k ++ derived.toSeq
       case j: Join =>
         j.joinType match {
           case Inner | Cross =>

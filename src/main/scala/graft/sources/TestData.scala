@@ -113,7 +113,7 @@ object TestData {
       // declare the natural unique keys to the optimizer
       // (RedundantDistinctRule) — every table except lineitem, whose
       // identity is the COMPUTED `_rowid` below (a projection, not a
-      // relation attribute, so it is not a scan-level key)
+      // relation attribute), registered as a derived key further down
       if (name != "lineitem") graft.plans.DistinctKeys.registerTableKey(spark, s"$dir/$name.parquet", id)
       // TPC-H linenumber ∈ [1,7], so orderkey*8+linenumber is injective.
       val df =
@@ -126,6 +126,11 @@ object TestData {
         else if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           df0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         else df0
+      // lineitem's identity is that computed injective concat — declare it
+      // as a DERIVED key so match/dedup over lineitem bindings can prove
+      // superkey coverage like every attribute-keyed table
+      if (name == "lineitem")
+        graft.plans.DistinctKeys.registerDerivedKey(spark, s"$dir/$name.parquet", df, id)
       name -> VertexTable(name, df, id)
     }.toMap
     // one REAL edge table (distinct supplier→part supply relationships

@@ -115,9 +115,28 @@ class DistinctKeysSpec extends SparkSpec {
       assert(rows === withRuleOff(chain().collect().toSeq))
     }
 
-    it("does not touch tables with no registered key (lineitem's computed _rowid)") {
+    it("proves lineitem's DERIVED key (_rowid, an injective concat projection)") {
+      // dedup() on the computed identity: provably a no-op
       def li(): DataFrame = graph.V("lineitem").dedup().toDF
-      assert(aggCount(li()) === 1, li().queryExecution.optimizedPlan.treeString)
+      assert(aggCount(li()) === 0, li().queryExecution.optimizedPlan.treeString)
+      val (offAggs, offCnt) = withRuleOff {
+        val off = graph.V("lineitem").dedup().toDF
+        (aggCount(off), off.count())
+      }
+      assert(offAggs === 1)
+      assert(li().count() === offCnt)
+      // but a NON-key projection of the same table keeps its dedup —
+      // (l_orderkey, l_linenumber) pairs are genuinely duplicated
+      val nonKey = graph.V("lineitem").df.dropDuplicates("l_orderkey", "l_linenumber")
+      assert(aggCount(nonKey) === 1, nonKey.queryExecution.optimizedPlan.treeString)
+    }
+
+    it("does not touch tables with no registered key") {
+      withScratchDir("graft_dk") { dir =>
+        spark.range(100).selectExpr("id", "id % 7 AS g").write.parquet(s"$dir/t.parquet")
+        val dd = spark.read.parquet(s"$dir/t.parquet").dropDuplicates("id")
+        assert(aggCount(dd) === 1, dd.queryExecution.optimizedPlan.treeString)
+      }
     }
 
     it("never fires on a streaming plan — cross-batch dedup state is semantic") {

@@ -184,13 +184,15 @@ class PlanQualitySpec extends SparkSpec {
   describe("plan gates hold with AQE re-planning active AND with AQE off (round 8)") {
     Seq(true, false).foreach { aqe =>
 
-      it(s"prunes match-pattern dedup shuffles to referenced struct fields (q71, aqe=$aqe)") {
+      it(s"eliminates q71's six-way match dedup via lineitem's derived key (aqe=$aqe)") {
         withAqe(aqe) {
-          // FirstStructPruningRule: the binding-dedup Aggregate must carry
-          // first(named_struct(<needed fields>)) buffers, not the full
-          // bound entity structs — at 100 TB the dedup shuffle's width is
-          // its cost. q71 references exactly l_extendedprice, l_discount
-          // (revenue), n_name (group key), r_name + o_orderdate (filter).
+          // RedundantDistinctRule + the derived `_rowid` key: the binding
+          // dedup of the six-way match is provably a no-op, so the final
+          // plan carries NO first() buffers at all — and with the dedup
+          // gone, the `_rowid` concat itself is dead code, so the columns
+          // only IT consumed (l_quantity, l_linestatus) drop out of the
+          // fact scan. At 100 TB this removes the match's only
+          // data-sized shuffle.
           val t = graft.sources.TestData.graph(spark, sfDir).V("lineitem").matchPattern("l",
             ("l", _.out("of_order"), "o"),
             ("o", _.out("placed_by"), "c"),
@@ -206,16 +208,31 @@ class PlanQualitySpec extends SparkSpec {
             filtered.sel("n", "n_name").as("n_name"),
             sum(filtered.sel("l", "l_extendedprice")).as("revenue"))
           val plan = finalPlan(out)
-          // the first() buffers aggregate pruned structs materialized below
-          // the aggregate (__ps_*), never a full bound-entity struct
-          assert(plan.matches("(?s).*first\\(__ps___as_l#\\d+.*"), plan.take(4000))
-          assert(!plan.matches("(?s).*first\\(__as_[a-z]+#\\d+.*"), plan.take(4000))
-          // nothing beyond the referenced fields rides the buffers
-          val psDecls = "named_struct\\([^)]*\\) AS __ps_".r.findAllIn(plan).toSeq
-          assert(psDecls.nonEmpty && psDecls.exists(_.contains("l_extendedprice")), plan.take(4000))
-          assert(psDecls.forall(d => !d.contains("l_tax") && !d.contains("l_quantity")), psDecls.mkString("\n"))
-          // and the pruning cascaded to the fact scan
+          assert(!plan.contains("first("), plan.take(4000))
           assert(!plan.contains("l_tax"), "l_tax survived somewhere:\n" + plan.take(4000))
+          assert(!plan.contains("l_quantity"),
+            "_rowid's private columns must die with the eliminated dedup:\n" + plan.take(4000))
+        }
+      }
+
+      it(s"prunes RETAINED match-dedup buffers to referenced struct fields (aqe=$aqe)") {
+        withAqe(aqe) {
+          // FirstStructPruningRule still owns the dedups that survive the
+          // superkey proof — an unbound-intermediate pattern duplicates
+          // bindings, so its dedup stays, and its first() buffers must
+          // carry pruned structs (the consumers' fields), never full rows.
+          val t = graft.sources.TestData.graph(spark, sfDir).V("customer").matchPattern("c",
+            ("c", _.in("placed_by").out("placed_by"), "c2"))
+          val out = t.project(
+            "a" -> t.sel("c", "c_custkey"), "a_name" -> t.sel("c", "c_name"),
+            "b" -> t.sel("c2", "c_custkey")).toDF
+          val plan = finalPlan(out)
+          assert(plan.matches("(?s).*first\\(__ps___as_c#\\d+.*"), plan.take(4000))
+          assert(!plan.matches("(?s).*first\\(__as_[a-z0-9]+#\\d+.*"), plan.take(4000))
+          val psDecls = "named_struct\\([^)]*\\) AS __ps_".r.findAllIn(plan).toSeq
+          assert(psDecls.nonEmpty && psDecls.exists(_.contains("c_custkey")), plan.take(4000))
+          assert(psDecls.forall(d => !d.contains("c_mktsegment") && !d.contains("c_acctbal")),
+            psDecls.mkString("\n"))
         }
       }
 
