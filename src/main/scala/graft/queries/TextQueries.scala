@@ -392,8 +392,13 @@ object TextQueries {
           .select(col("vid").as("doc_id"), col("component").as("cluster"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE jac AS ($jacSql),
-              |e AS (SELECT a_id AS a, b_id AS b FROM jac WHERE jaccard >= $JaccardThreshold
+      // MATERIALIZED (DuckDB planner hint, no semantic change): `e` is
+      // referenced by every iteration of the recursive CTE and `jac` twice
+      // by `e`; left inline, DuckDB re-expands the whole minhash+LSH+verify
+      // pipeline per reference and the sf10 oracle run exceeds 100 GB.
+      // Materialized once, it completes in ~77 s at sf10.
+      Some(s"""WITH RECURSIVE jac AS MATERIALIZED ($jacSql),
+              |e AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM jac WHERE jaccard >= $JaccardThreshold
               |      UNION ALL SELECT b_id, a_id FROM jac WHERE jaccard >= $JaccardThreshold),
               |nodes AS (SELECT DISTINCT a AS doc FROM e),
               |r AS (SELECT doc AS src, doc AS dst FROM nodes

@@ -41,7 +41,14 @@ object VectorQueries {
 
   // -------------------------------------------------- SRP coarse quantizer
   private val Dim = 64
-  private val NBits = 6
+  /** Hyperplane count — THE corpus-scale knob (buckets = 2^NBits, expected
+    * occupancy = N/2^NBits). Deployment sizes it when building the code
+    * table; overridable here via GRAFT_SRP_NBITS (default 6, the shipped
+    * demo setting) so the scale path is measurable, not just documented.
+    * Everything downstream — hyperplanes, probe masks, the generated
+    * DuckDB oracle SQL — derives from this one constant, so the oracle
+    * gate holds at ANY setting (verified at 6 and 9; see SCALE_sf10.md). */
+  private val NBits = sys.env.getOrElse("GRAFT_SRP_NBITS", "6").toInt
   private val ProbeRadius = 2
   /** IVF quantizer (e05): centroid count and probed buckets per query. */
   private val KCent = 8
@@ -601,7 +608,13 @@ object VectorQueries {
         val sums2 = lloydSums(coded, centsFromSums(sums1))
         // duck-exact quantization at width 18: (18,6)×(18,6) products are
         // (37,12) — still lossless in a 38-digit decimal, which a (38,6)
-        // input would not be (Spark would shrink the product scale)
+        // input would not be (Spark would shrink the product scale).
+        // The ORACLE side declares the same values at DECIMAL(24,6)
+        // instead: DuckDB's multiply keeps precision at max(p1,p2)
+        // (probed: (18,6)×(18,6) → DECIMAL(18,12)), so width 18 overflows
+        // there once a product's unscaled value passes 10^18 — which
+        // sf10's movement dots do (~1.6e18). (24,6)×(24,6) → (38,12):
+        // identical exact values on both engines at every tested scale.
         val q6 = (c: org.apache.spark.sql.Column) =>
           graft.functions.DuckDecimalCast.duckDecimal6(c, precision = 18)
         val j = sums1.select(col("cid"), col("pos"), q6(col("sv")).as("d1"))
@@ -625,7 +638,7 @@ object VectorQueries {
               |cents0 AS ($seedCentsSqlBody),
               |${lloydSqlCtes("cents0", "a0", "sums0", "cents1")},
               |${lloydSqlCtes("cents1n", "a1", "sums1", "cents2")},
-              |j AS (SELECT s1.cid, CAST(s1.sv AS DECIMAL(18,6)) AS d1, CAST(s2.sv AS DECIMAL(18,6)) AS d2
+              |j AS (SELECT s1.cid, CAST(s1.sv AS DECIMAL(24,6)) AS d1, CAST(s2.sv AS DECIMAL(24,6)) AS d2
               |      FROM sums0 s1 JOIN sums1 s2 ON s1.cid = s2.cid AND s1.pos = s2.pos),
               |m AS (SELECT cid, SUM(d1*d2) AS dot12, SUM(d1*d1) AS dot11, SUM(d2*d2) AS dot22
               |      FROM j GROUP BY cid)

@@ -107,6 +107,30 @@ class NativeExprPropertySpec extends SparkSpec {
     assert(got == cases.map(_._3))
   }
 
+  it("DuckDecimalToDouble matches the measured hugeint golden file bit-for-bit") {
+    // duck_decimal38_12_to_double.csv: 2556 (unscaled, double-bits) pairs
+    // measured through DuckDB's parquet vectorized path (tools note: the
+    // VALUES / constant-fold paths behave differently and must not be
+    // used) — ±int128 values spanning 2^50..10^38−1, every 2^k±3
+    // boundary for k in {53,54,62,63,64,65,70,80,100,120,126}, and
+    // e06b's live sf10 sum 24213004132582506019, whose >2^63 magnitude
+    // the pre-round-8 model refused. Asserts the split-combine model
+    // (double(lower) + double(upper)·2^64) reproduces every bit.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/duck_decimal38_12_to_double.csv"))
+    val rows = try src.getLines().drop(1).map { line =>
+      val Array(u, b) = line.split(','); (BigInt(u), b.toLong)
+    }.toVector finally src.close()
+    assert(rows.size == 2556)
+    val bad = rows.filterNot { case (unscaled, bits) =>
+      val dec = org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(unscaled.bigInteger, 12), 38, 12)
+      java.lang.Double.doubleToLongBits(
+        graft.functions.DuckDecimalToDouble.compute(dec, 12)) == bits
+    }
+    assert(bad.isEmpty, s"${bad.size} mismatches, first: ${bad.take(3)}")
+  }
+
   // contract scope: ≥1 non-null hash per row — the engine only signs
   // shingle arrays of filtered documents (≥3 tokens), and on an empty /
   // all-null array the declarative array_min yields null where the native
