@@ -106,6 +106,21 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.Column",
       org.apache.logging.log4j.Level.ERROR)
+    // Two benign one-liners that can land mid-run: SparkStringUtils
+    // truncates PLAN STRINGS for logging (display only — execution uses
+    // the full plan), and BlockManager's "Block already exists; not
+    // re-adding" fires when two tasks race to cache the same
+    // localCheckpoint partition (idempotent by design — the block IS the
+    // content either task would write). NativeCodeLoader's builtin-java
+    // note is NOT silenced: it logs during session construction, before
+    // any level set here applies (Spark re-initializes log4j at startup,
+    // wiping earlier programmatic levels), and being the first stderr
+    // line it cannot reach the driver's captured tail.
+    Seq("org.apache.spark.util.SparkStringUtils",
+        "org.apache.spark.storage.BlockManager").foreach { l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR)
+    }
     // Warm up the JVM/codegen and the parquet footer cache so the first
     // measured query doesn't absorb several seconds of session start-up.
     try {
