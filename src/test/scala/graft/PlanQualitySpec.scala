@@ -270,6 +270,19 @@ class PlanQualitySpec extends SparkSpec {
         }
       }
 
+      it(s"hash-joins the band join without sorting the exploded side (q77, aqe=$aqe)") {
+        withAqe(aqe) {
+          // sorting the 3×-exploded probe stream for a sort-merge join is
+          // wasted work at any scale (measured: the sf100 spill knee,
+          // SCALE_sf100.md) — the hint must hold the shuffled-hash path
+          val df = graft.queries.JoinQueries.all.find(_.name == "q77_range_join_bucketed").get
+            .fn(spark, sfDir)
+          val plan = finalPlan(df)
+          assert(plan.contains("ShuffledHashJoin"), plan)
+          assert(!plan.contains("SortMergeJoin"), plan)
+        }
+      }
+
       it(s"e09's probe prunes the partitioned ANN index (aqe=$aqe)") {
         withAqe(aqe) {
           val idx = graft.queries.VectorQueries.partitionedIndex(spark, sfDir)
