@@ -97,8 +97,9 @@ object TestData {
 
   private def buildGraph(spark: SparkSession, dir: String): Graph = {
     import org.apache.spark.sql.functions.expr
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects by default; read nanos as long and convert (floor) to micros.
+    // Some writer generations emit events.ts as TIMESTAMP(NANOS), which
+    // Spark's parquet reader rejects by default; read nanos as long (then
+    // Conform floors to micros). Inert for micro/NTZ writers.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NOTE: FirstStructPruningRule is NOT installed here — every engine
     // entry point builds its session with
@@ -123,9 +124,11 @@ object TestData {
             // while DuckDB rounds, so the bare cast would diverge on any
             // non-integral quantity. floor is identical in both engines.
             "concat_ws('-', l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(floor(l_quantity) AS BIGINT), l_linestatus)"))
-        else if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          df0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else df0
+        else
+          // Mapping-layer conformance (graft.model.Conform): project the
+          // scan onto the catalog's declared types — e.g. events.ts →
+          // TIMESTAMP from int64-nanos / TIMESTAMP(NANOS) / NTZ alike
+          graft.model.Conform(name, df0)
       // lineitem's identity is that computed injective concat — declare it
       // as a DERIVED key so match/dedup over lineitem bindings can prove
       // superkey coverage like every attribute-keyed table

@@ -35,7 +35,7 @@ object StreamAgg {
     * localCheckpoint()ed so the scratch files can be deleted eagerly;
     * the temp view/dir cleanup runs in a finally so a failed replay
     * leaks nothing into the shared session. */
-  private def replayToMemory(spark: SparkSession, df: DataFrame, prefix: String,
+  private[graft] def replayToMemory(spark: SparkSession, df: DataFrame, prefix: String,
       outputMode: String)(order: DataFrame => DataFrame): DataFrame =
     if (outputMode == "append") {
       val base = java.nio.file.Files.createTempDirectory("graft_replay_" + prefix)
@@ -145,13 +145,12 @@ object StreamAgg {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
-  /** The events file staged as a streaming source, with `ts` normalized. */
+  /** The events file staged as a streaming source, with `ts` conformed to
+    * the catalog's declared TIMESTAMP type (graft.model.Conform — covers
+    * int64-nanos, TIMESTAMP(NANOS) and NTZ writer generations alike). */
   private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = stagedFileStream(spark, s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    graft.model.Conform("events", stagedFileStream(spark, s"$dir/events.parquet"))
   }
 
   /** The MinHash signature index built INCREMENTALLY over a documents
@@ -200,18 +199,22 @@ object StreamAgg {
     replayToMemory(spark, dd, "stream_ddww_", "append")(_.orderBy("user_id", "event_type"))
   }
 
-  /** Daily count+sum buckets over a parquet events stream, processed with
-    * Trigger.AvailableNow into an in-memory table (batch-equivalent run). */
-  def dailyBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val agg = stagedEventsStream(spark, dir)
+  /** The s01 plan shape on an arbitrary events stream (seam shared by the
+    * oracle replay and the encoding-conformance spec, see
+    * [[dedupWithinWatermarkPlan]]). */
+  private[graft] def dailyBucketsPlan(ev: DataFrame): DataFrame = ev
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(
         count(lit(1)).as("cnt"),
         graft.functions.DuckDecimalCast.duckDouble(
           sum(graft.functions.DuckDecimalCast.duckDecimal6(col("value")))).as("val_sum"))
       .select(unix_millis(col("w.start")).as("bucket_ms"), col("cnt"), col("val_sum"))
-    replayToMemory(spark, agg, "stream_daily_", "complete")(_.orderBy("bucket_ms"))
-  }
+
+  /** Daily count+sum buckets over a parquet events stream, processed with
+    * Trigger.AvailableNow into an in-memory table (batch-equivalent run). */
+  def dailyBuckets(spark: SparkSession, dir: String): DataFrame =
+    replayToMemory(spark, dailyBucketsPlan(stagedEventsStream(spark, dir)),
+      "stream_daily_", "complete")(_.orderBy("bucket_ms"))
 
   /** Streaming exact deduplication: the distinct (user_id, event_type)
     * pairs seen on the stream via dropDuplicates state, emitted on first
@@ -377,11 +380,7 @@ object StreamAgg {
   def hourlyWatermarked(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val raw0 = spark.read.parquet(path)
-    val ev0 =
-      if (raw0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw0
+    val ev0 = graft.model.Conform("events", spark.read.parquet(path))
     // deterministic two-way split at the midpoint of the time range
     val Array(lo, hi) = ev0.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
