@@ -48,6 +48,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the registered-query manifest: lets the compare side assert
+    // "every registered query was checked" instead of trusting the oracle
+    // map's key set — a query that ERRORS (writes no output dir) must
+    // surface as a failure, not silently vanish from a green-looking
+    // report (the round-8 143/143 illusion).
+    Files.writeString(Paths.get(s"$outDir/registered.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

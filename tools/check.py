@@ -34,7 +34,19 @@ for t in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
-fails = []
+
+# registered-vs-checked guard: every query in SparkEntry.queries must be
+# BOTH oracle-covered and present in the output -- an erroring query (no
+# output dir) or a missing oracle entry is a FAIL, never a silent omission.
+registered, no_oracle = [], []
+reg_path = f"{out}/registered.json"
+if os.path.exists(reg_path):
+    registered = json.load(open(reg_path))
+    no_oracle = sorted(set(registered) - set(oracle))
+    if no_oracle and not only:
+        print(f"REGISTERED-WITHOUT-ORACLE ({len(no_oracle)}): {no_oracle}")
+
+fails = list(no_oracle) if not only else []
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
@@ -71,5 +83,6 @@ for name, sql in sorted(oracle.items()):
                 print(merged.head(5))
     else:
         print(f"{name}: ok ({len(s)} rows)")
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} ok; fails: {fails}")
+reg_note = f" (registered: {len(registered)})" if registered else ""
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} ok{reg_note}; fails: {fails}")
 sys.exit(1 if fails else 0)
