@@ -103,6 +103,25 @@ class StreamingSpec extends SparkSpec {
       assertPlateau(state, 200, 12, horizon = 3)
     }
 
+    it("s01 dailyBuckets window-agg state plateaus across daily chunks under a watermark") {
+      // the s01 aggregation shape deployed the unbounded-stream way
+      // (append + 1-day watermark instead of the replay's complete mode):
+      // every chunk lands in a NEW day window, so unbounded window state
+      // would hold all 12 windows, while the watermark keeps only the
+      // still-open horizon (~2 days + in-flight)
+      val state = stateRowsPerBatch(
+        df => StreamAgg.dailyBucketsPlan(df.withWatermark("ts", "1 day")), 12, 200, 86400L)
+      assertPlateau(state, keys = 1, chunks = 12, horizon = 3)
+    }
+
+    it("s02 hourlyAppend window-agg state plateaus across hourly chunks") {
+      // 1-hour windows, 2-hour watermark, chunks 1 hour apart: open-window
+      // state holds ~3-4 windows; unbounded accumulation would hold all 12
+      val state = stateRowsPerBatch(
+        df => StreamAgg.hourlyAppend(spark, df), 12, 200, 3600L)
+      assertPlateau(state, keys = 1, chunks = 12, horizon = 4)
+    }
+
     it("s06 interval self-join state plateaus across hourly chunks") {
       // 1-hour watermark, 5-minute join interval, chunks 1 hour apart:
       // both sides' state hold ~2.5 chunks of rows (measured plateau:
