@@ -111,11 +111,12 @@ object Bench {
     // the full plan), and BlockManager's "Block already exists; not
     // re-adding" fires when two tasks race to cache the same
     // localCheckpoint partition (idempotent by design — the block IS the
-    // content either task would write). NativeCodeLoader's builtin-java
-    // note is NOT silenced: it logs during session construction, before
-    // any level set here applies (Spark re-initializes log4j at startup,
-    // wiping earlier programmatic levels), and being the first stderr
-    // line it cannot reach the driver's captured tail.
+    // content either task would write). Startup-time noise (BlockManager
+    // INFO registration, NativeCodeLoader's builtin-java note) is handled
+    // by the classpath log4j2.properties, which sets WARN from the first
+    // line — programmatic levels here only land after session start. The
+    // levels are still re-asserted here so a deployment overriding the
+    // logging config keeps a meaningful bench tail.
     Seq("org.apache.spark.util.SparkStringUtils",
         "org.apache.spark.storage.BlockManager").foreach { l =>
       org.apache.logging.log4j.core.config.Configurator.setLevel(
@@ -203,8 +204,19 @@ object Bench {
     // the printed line must survive the driver's ~2000-char tail capture
     // even on a bad run: cap each message and the number of entries (the
     // complete error map is in bench_full.json)
+    // every failed query's IDENTITY stays in the line (round-8's count-only
+    // "_more_errors" lost 8 of 13 names from the permanent round record);
+    // only the MESSAGES are capped/dropped past the first 5, and the names
+    // list itself is bounded so a catastrophic run still fits the tail
     val esLine = errors.take(5).map { case (k, v) => k -> ("\"" + esc(v.take(60)) + "\"") } ++
-      (if (errors.size > 5) Seq("_more_errors" -> ("\"" + (errors.size - 5) + "\"")) else Nil)
+      (if (errors.size > 5) {
+        val rest = errors.keys.drop(5).mkString(",")
+        val capped =
+          if (rest.length <= 1000) rest
+          else rest.take(1000).reverse.dropWhile(_ != ',').reverse.stripSuffix(",") +
+            s",(+${errors.size - 5 - rest.take(1000).count(_ == ',')} more)"
+        Seq("_more_error_names" -> ("\"" + esc(capped) + "\""))
+      } else Nil)
     val es = jmap(scala.collection.mutable.LinkedHashMap(esLine.toSeq: _*))
     val esFull = jmap(errors.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })
     // Full per-query detail → file (too long for the driver's tail

@@ -30,7 +30,11 @@ object Conform {
     * Event-time columns MUST be TimestampType — watermarks and the
     * epoch-millis bucket math reject TIMESTAMP_NTZ. */
   val declared: Map[String, Map[String, DataType]] = Map(
-    "events" -> Map("ts" -> TimestampType)
+    "events" -> Map("ts" -> TimestampType),
+    // the vector family's native expressions (DecimalDotProduct) require
+    // array<float>: a writer generation emitting list<double> would break
+    // every ANN query the same way NTZ broke the time family
+    "embeddings" -> Map("embedding" -> ArrayType(FloatType))
   )
 
   /** Conform one column to TimestampType from any encoding this lake has

@@ -69,6 +69,19 @@ class ConformSpec extends SparkSpec {
     }
   }
 
+  it("conforms a double-encoded embedding column to the declared float vectors") {
+    withScratchDir("graft_conform_e_") { dir =>
+      val f = Seq((1L, Array(1.0f, 2.5f, -0.125f)), (2L, Array(0.5f, -1.25f, 3.75f)))
+        .toDF("vec_id", "embedding")
+      f.withColumn("embedding", col("embedding").cast("array<double>"))
+        .write.parquet(s"$dir/events.parquet")
+      val back = Conform("embeddings", spark.read.parquet(s"$dir/events.parquet"))
+      assert(back.schema("embedding").dataType === ArrayType(FloatType))
+      assert(back.orderBy("vec_id").collect().map(_.getSeq[Float](1)).toSeq ===
+        f.orderBy("vec_id").collect().map(_.getSeq[Float](1)).toSeq)
+    }
+  }
+
   it("streams all three encodings through the s01-shaped windowed agg identically") {
     withScratchDir("graft_conform_s_") { dir =>
       val encs = Seq("long_nanos", "ntz_micros", "tz_micros")
