@@ -95,12 +95,37 @@ object TestData {
     * lifetime note — entries hold their session reachable until removed). */
   def releaseCache(spark: SparkSession): Unit = graphCache.removeAll(spark)
 
+  /** Size AQE's initial shuffle-partition count to the catalog's input
+    * volume: one post-shuffle partition per ~32 MB of compressed input,
+    * floored at the session's parallelism and capped at 2048. Small
+    * inputs keep their configured partitioning (AQE coalesces right back
+    * down), but at 100×-1000× the shipped scale a fixed 32-partition
+    * shuffle makes every big sort/aggregate spill — measured at sf100
+    * (600 M-row lineitem): q70 102 s → 41 s, q09 194 s → 107 s just from
+    * this setting. The cluster analog is sizing `shuffle.partitions` to
+    * the data, which AQE then trims per-stage; only the INITIAL count is
+    * raised here, so the sf0.1 bench plans are unchanged. */
+  private def sizeShufflePartitions(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes =
+      try fs.getContentSummary(p).getLength
+      catch { case _: java.io.IOException => 0L }
+    val floor = spark.sparkContext.defaultParallelism.toLong
+    val target = math.min(2048L, math.max(floor, bytes / (32L << 20)))
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val current = spark.conf.getOption(key).flatMap(_.toLongOption).getOrElse(0L)
+    if (target > current) spark.conf.set(key, target.toString)
+  }
+
   private def buildGraph(spark: SparkSession, dir: String): Graph = {
     import org.apache.spark.sql.functions.expr
     // Some writer generations emit events.ts as TIMESTAMP(NANOS), which
     // Spark's parquet reader rejects by default; read nanos as long (then
     // Conform floors to micros). Inert for micro/NTZ writers.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // partitioning follows the data (see above)
+    sizeShufflePartitions(spark, dir)
     // NOTE: FirstStructPruningRule is NOT installed here — every engine
     // entry point builds its session with
     // `.withExtensions(new GraftExtensions)`, which injects the rule into
