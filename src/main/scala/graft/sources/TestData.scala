@@ -105,14 +105,19 @@ object TestData {
     * this setting. The cluster analog is sizing `shuffle.partitions` to
     * the data, which AQE then trims per-stage; only the INITIAL count is
     * raised here, so the sf0.1 bench plans are unchanged. */
+  /** One post-shuffle partition per ~32 MB of compressed input, floored
+    * at the session's parallelism, capped at 2048 (pure math — spec'd in
+    * TestDataSpec). */
+  private[graft] def partitionTarget(inputBytes: Long, floor: Long): Long =
+    math.min(2048L, math.max(floor, inputBytes / (32L << 20)))
+
   private def sizeShufflePartitions(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes =
       try fs.getContentSummary(p).getLength
       catch { case _: java.io.IOException => 0L }
-    val floor = spark.sparkContext.defaultParallelism.toLong
-    val target = math.min(2048L, math.max(floor, bytes / (32L << 20)))
+    val target = partitionTarget(bytes, spark.sparkContext.defaultParallelism.toLong)
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val current = spark.conf.getOption(key).flatMap(_.toLongOption).getOrElse(0L)
     if (target > current) spark.conf.set(key, target.toString)
