@@ -69,6 +69,19 @@ class ConformSpec extends SparkSpec {
     }
   }
 
+  it("refuses an undeclared ts encoding instead of passing it through") {
+    val bad = Seq(("2024-01-01", 1L)).toDF("ts", "event_id")
+    val e = intercept[IllegalArgumentException](Conform("events", bad))
+    assert(e.getMessage.contains("cannot conform"))
+  }
+
+  it("is a no-op for tables and columns with no declaration") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(Conform("documents", df) eq df)
+    val noTs = Seq((1L, 2L)).toDF("event_id", "user_id")
+    assert(Conform("events", noTs).collect().toSeq === noTs.collect().toSeq)
+  }
+
   it("conforms a double-encoded embedding column to the declared float vectors") {
     withScratchDir("graft_conform_e_") { dir =>
       val f = Seq((1L, Array(1.0f, 2.5f, -0.125f)), (2L, Array(0.5f, -1.25f, 3.75f)))
