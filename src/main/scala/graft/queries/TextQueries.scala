@@ -623,6 +623,129 @@ object TextQueries {
              |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS bit) bits
              |      GROUP BY 1, 2)
              |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
-             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("d24_cdc_chunk_dedup",
+      // Content-defined chunking (CDC) dedup: sub-document exact dedup at
+      // chunk granularity — the "shared boilerplate / quoted paragraph"
+      // detector that whole-document fingerprints (d01/d07) cannot see.
+      // Chunk boundaries are CONTENT-defined (a token is a boundary when
+      // its 32-bit hash ≡ 0 mod G), so an insertion early in a document
+      // shifts no boundary after the next cut point — the same chunks
+      // re-align and still dedup, unlike fixed-size splitting. Per-row
+      // fold builds the chunk list inside whole-stage codegen (chunking is
+      // row-local: NO shuffle, no explode-then-window); only
+      // (doc_id, chunk_md5, n_tok) ever shuffles — chunk text is hashed
+      // before the exchange and never moves.
+      (s, dir) => chunkOccurrences(docs(s, dir))
+        .groupBy("chunk_md5")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("min_doc"),
+          min(col("n_tok")).as("n_tokens"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("chunk_md5")),
+      Some(s"""$chunksCte
+              |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+              |  min(doc_id) AS min_doc, min(n_tok) AS n_tokens
+              |FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+              |ORDER BY n_docs DESC, chunk_md5""".stripMargin)),
+
+    Q("d25_chunk_dup_ratio",
+      // Per-document duplicate-content ratio over the CDC chunks — the
+      // removal statistic of substring-level dedup (Lee et al. 2022,
+      // "Deduplicating Training Data Makes Language Models Better"): a
+      // chunk occurrence is duplicate content when the chunk first appears
+      // in an EARLIER document (cross-doc only; a doc repeating its own
+      // chunk is not penalized). Docs whose duplicated-token share is
+      // reported feed the curation gate. Two narrow shuffles on the
+      // 16-byte chunk hash (first-doc agg + back-join); token text never
+      // moves.
+      (s, dir) => {
+        val occ = chunkOccurrences(docs(s, dir))
+        val firstDoc = occ.groupBy("chunk_md5").agg(min(col("doc_id")).as("first_doc"))
+        occ.join(firstDoc, "chunk_md5")
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("first_doc") < col("doc_id"), col("n_tok")).otherwise(lit(0L))).as("dup_tokens"),
+            sum(col("n_tok")).as("total_tokens"))
+          .withColumn("dup_ratio", col("dup_tokens").cast("double") / col("total_tokens"))
+          .where(col("dup_tokens") > 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""$chunksCte,
+              |occ AS (SELECT doc_id, chunk_md5, n_tok FROM chunks),
+              |fd AS (SELECT chunk_md5, min(doc_id) AS first_doc FROM occ GROUP BY 1)
+              |SELECT doc_id,
+              |  CAST(SUM(CASE WHEN first_doc < doc_id THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+              |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+              |  CAST(SUM(CASE WHEN first_doc < doc_id THEN n_tok ELSE 0 END) AS DOUBLE) / SUM(n_tok) AS dup_ratio
+              |FROM occ JOIN fd USING (chunk_md5)
+              |GROUP BY 1 HAVING dup_tokens > 0 ORDER BY doc_id""".stripMargin))
   )
+
+  // --------------------------------------- content-defined chunking (CDC)
+
+  /** Boundary gear: a token closes its chunk when its 32-bit hash ≡ 0
+    * (mod ChunkGear) — expected chunk length = ChunkGear tokens.
+    * `final val` (compile-time constant): `all` above interpolates this
+    * into its oracle SQL during object init, BEFORE later-declared
+    * plain vals are assigned. */
+  private final val ChunkGear = 8
+
+  /** The per-document chunk list as ONE codegen'd fold over the token
+    * array: accumulator = (finished chunks, current chunk | NULL). NULL
+    * (not '') marks "no open chunk" so empty tokens from repeated spaces
+    * chunk identically to the oracle's string_agg reconstruction.
+    * Invariant (spec'd in [[graft.ChunkingSpec]]): the chunks partition
+    * the token stream — `array_join(chunks, ' ') == text`. */
+  private[graft] def chunksOf(textCol: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(
+       |  split($textCol, ' '),
+       |  named_struct('done', CAST(array() AS ARRAY<STRING>), 'cur', CAST(NULL AS STRING)),
+       |  (acc, t) -> CASE
+       |    WHEN CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % $ChunkGear = 0 THEN
+       |      named_struct(
+       |        'done', array_append(acc.done, CASE WHEN acc.cur IS NULL THEN t ELSE concat(acc.cur, ' ', t) END),
+       |        'cur', CAST(NULL AS STRING))
+       |    ELSE
+       |      named_struct(
+       |        'done', acc.done,
+       |        'cur', CASE WHEN acc.cur IS NULL THEN t ELSE concat(acc.cur, ' ', t) END)
+       |    END,
+       |  acc -> CASE WHEN acc.cur IS NULL THEN acc.done ELSE array_append(acc.done, acc.cur) END)""".stripMargin)
+
+  /** (doc_id, chunk_md5, n_tok) occurrence table — the hash is computed
+    * BEFORE any exchange so downstream group-bys shuffle 16-byte digests,
+    * never chunk text. */
+  private[graft] def chunkOccurrences(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), explode(chunksOf("text")).as("chunk"))
+      .select(
+        col("doc_id"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"),
+        size(split(col("chunk"), " ")).cast("bigint").as("n_tok"))
+
+  /** The oracle's chunk table: same boundaries via an explicit
+    * position/prefix-sum reconstruction (DuckDB has no struct-accumulator
+    * fold; SUM OVER preceding rows assigns the chunk ids instead). */
+  private def chunksCte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |tk AS (
+       |  SELECT doc_id, pos, toks[pos] AS t,
+       |    CASE WHEN CAST(concat('0x', substr(md5(toks[pos]), 1, 8)) AS BIGINT) % $ChunkGear = 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM tok),
+       |ck AS (
+       |  SELECT doc_id, pos, t,
+       |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+       |  FROM tk),
+       |chunks AS (
+       |  SELECT doc_id, cid, md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_md5,
+       |    CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM ck GROUP BY 1, 2)""".stripMargin
 }
