@@ -344,14 +344,18 @@ object CoreQueries {
              |GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""".stripMargin)),
 
     Q("q36_dedup_keep_first",
-      (s, dir) => {
-        val w = Window.partitionBy(col("l_orderkey"), col("l_suppkey")).orderBy(col("l_linenumber"))
-        G(s, dir).V("lineitem").df
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
-          .select("l_orderkey", "l_suppkey", "l_linenumber")
-          .orderBy("l_orderkey", "l_suppkey")
-      },
+      // keep-first where the kept payload IS the ordering column reduces
+      // to a hash aggregate: min(order) per key ≡ row_number()=1 under
+      // that order. The aggregate form gets map-side partial aggregation
+      // and no per-partition sort — at sf100 the sort-window form was
+      // CPU-bound at 107 s while shuffling the same bytes (SCALE_sf100).
+      // Keep-first of a FULL row is min_by(struct, order) — same hash-agg
+      // shape; the window form survives in Integrity.splitDuplicateLinks,
+      // which must return the REMOVED rows too.
+      (s, dir) => G(s, dir).V("lineitem").df
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(min(col("l_linenumber")).as("l_linenumber"))
+        .orderBy("l_orderkey", "l_suppkey"),
       Some("""SELECT l_orderkey, l_suppkey, l_linenumber FROM (
              |  SELECT l_orderkey, l_suppkey, l_linenumber,
              |         row_number() OVER (PARTITION BY l_orderkey, l_suppkey ORDER BY l_linenumber) AS rn
