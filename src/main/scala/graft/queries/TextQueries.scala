@@ -59,13 +59,15 @@ object TextQueries {
     * ids back to whatever payload they need. */
   private def repDocIds(s: SparkSession, dir: String): DataFrame = repIdsOf(docs(s, dir))
 
-  private[graft] def repIdsOf(docsDf: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+  private[graft] def repIdsOf(docsDf: DataFrame): DataFrame =
+    // keep-first with only the id projected = min(doc_id) per hash: hash
+    // aggregate with map-side partial, no per-partition sort (same
+    // rewrite as q36; the window form pays a sort for ordering it then
+    // throws away)
     docsDf
       .select(col("doc_id"), md5(col("text").cast("binary")).as("__h"))
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-  }
 
   /** doc_id + 32-bit hashes of the word-3-shingles, via the native
     * [[graft.functions.ShingleHashes]] expression (one compiled pass;
@@ -247,14 +249,14 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup_keep_first",
-      (s, dir) => {
-        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-        docs(s, dir)
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select("doc_id").orderBy("doc_id")
-      },
+      // keep-first per content hash with only the id projected reduces to
+      // min(doc_id) per md5(text): hash aggregate (map-side partial, no
+      // sort) instead of the row_number window — see q36 for the general
+      // rule; full-row keep-first is min_by(struct, id), same shape
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").orderBy("doc_id"),
       Some("""SELECT doc_id FROM (
              |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
              |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
