@@ -195,7 +195,7 @@ object TextQueries {
     * blocks don't tax the next family's timings; the caches rebuild
     * lazily on next use. */
   def releaseCaches(s: SparkSession): Unit =
-    Seq(sigCache, candCache, verCache).foreach(
+    Seq(sigCache, candCache, verCache, chunkCache).foreach(
       _.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint))
 
   // ------------------------------------------------- DuckDB-side oracle SQL
@@ -639,7 +639,7 @@ object TextQueries {
       // row-local: NO shuffle, no explode-then-window); only
       // (doc_id, chunk_md5, n_tok) ever shuffles — chunk text is hashed
       // before the exchange and never moves.
-      (s, dir) => chunkOccurrences(docs(s, dir))
+      (s, dir) => chunkTable(s, dir)
         .groupBy("chunk_md5")
         .agg(
           countDistinct(col("doc_id")).as("n_docs"),
@@ -665,7 +665,7 @@ object TextQueries {
       // 16-byte chunk hash (first-doc agg + back-join); token text never
       // moves.
       (s, dir) => {
-        val occ = chunkOccurrences(docs(s, dir))
+        val occ = chunkTable(s, dir)
         val firstDoc = occ.groupBy("chunk_md5").agg(min(col("doc_id")).as("first_doc"))
         occ.join(firstDoc, "chunk_md5")
           .groupBy("doc_id")
@@ -717,6 +717,16 @@ object TextQueries {
        |        'cur', CASE WHEN acc.cur IS NULL THEN t ELSE concat(acc.cur, ' ', t) END)
        |    END,
        |  acc -> CASE WHEN acc.cur IS NULL THEN acc.done ELSE array_append(acc.done, acc.cur) END)""".stripMargin)
+
+  /** The materialized chunk-occurrence table — cached per (session, dir)
+    * like the MinHash signature table: a production pipeline chunks the
+    * corpus ONCE and stores (doc_id, chunk_md5, n_tok); the dup report
+    * (d24) and the removal statistic (d25, which reads it twice — the
+    * first-doc aggregate and the back-join) consume the stored artifact
+    * instead of re-folding 100 TB of text per reference. */
+  private val chunkCache = new graft.util.SessionCache[DataFrame]
+  private def chunkTable(s: SparkSession, dir: String): DataFrame =
+    chunkCache.getOrElseUpdate(s, dir)(chunkOccurrences(docs(s, dir)).localCheckpoint())
 
   /** (doc_id, chunk_md5, n_tok) occurrence table — the hash is computed
     * BEFORE any exchange so downstream group-bys shuffle 16-byte digests,
