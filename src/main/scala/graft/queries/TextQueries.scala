@@ -743,12 +743,16 @@ object TextQueries {
     * position/prefix-sum reconstruction (DuckDB has no struct-accumulator
     * fold; SUM OVER preceding rows assigns the chunk ids instead). */
   private def chunksCte: String =
+    // parallel unnests zip in DuckDB: (token, position) pairs come out
+    // aligned WITHOUT carrying the whole token list on every row -- the
+    // toks[pos] indexing form materializes the full array per token row
+    // and OOMs the oracle at sf10 (500 k docs × ~50-token lists)
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+       |  SELECT doc_id, unnest(toks) AS t, unnest(generate_series(1, len(toks))) AS pos
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
        |tk AS (
-       |  SELECT doc_id, pos, toks[pos] AS t,
-       |    CASE WHEN CAST(concat('0x', substr(md5(toks[pos]), 1, 8)) AS BIGINT) % $ChunkGear = 0
+       |  SELECT doc_id, pos, t,
+       |    CASE WHEN CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % $ChunkGear = 0
        |         THEN 1 ELSE 0 END AS b
        |  FROM tok),
        |ck AS (

@@ -25,13 +25,25 @@ if not skip_verify:
 
 import duckdb, pyarrow.parquet as pq
 
-con = duckdb.connect()
-for t in glob.glob(f"{sf}/*.parquet"):
-    name = os.path.basename(t)[:-len(".parquet")]
-    # a table is either a single parquet file (driver layout) or a
-    # directory of part files (DataGen / Spark-written layout)
-    src = f"{t}/*.parquet" if os.path.isdir(t) else t
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+# One FRESH connection per compared query (made in the loop below):
+# DuckDB 1.0 accumulates buffer-pool state across heavy queries on one
+# connection and eventually fails allocation even though each query runs
+# fine alone. Spill must be enabled explicitly (temp_directory), else
+# big-SF window/sort oracles die with "Failed to allocate" instead of
+# spilling. Local-harness-only settings -- the driver's own gate runs at
+# sf0.01 where neither triggers.
+os.makedirs("/tmp/duck_spill", exist_ok=True)
+def make_con():
+    c = duckdb.connect()
+    c.execute("SET temp_directory='/tmp/duck_spill'")
+    c.execute("SET memory_limit='80GB'")
+    for t in glob.glob(f"{sf}/*.parquet"):
+        name = os.path.basename(t)[:-len(".parquet")]
+        # a table is either a single parquet file (driver layout) or a
+        # directory of part files (DataGen / Spark-written layout)
+        src = f"{t}/*.parquet" if os.path.isdir(t) else t
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    return c
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
@@ -54,9 +66,13 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(pdir):
         fails.append(name); print(f"{name}: MISSING spark output"); continue
     try:
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetchdf()
-        ora_df = con.execute(sql).fetchdf()
+        con = make_con()
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetchdf()
+            ora_df = con.execute(sql).fetchdf()
+        finally:
+            con.close()
     except Exception as e:
         fails.append(name); print(f"{name}: ERROR {e}"); continue
     def norm(df):
