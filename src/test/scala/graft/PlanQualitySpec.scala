@@ -147,6 +147,26 @@ class PlanQualitySpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan)
     }
 
+    it("never ships document or chunk text through an exchange (d24/d25)") {
+      // the CDC discipline: chunking is row-local, digests are computed
+      // BEFORE the shuffle — a plan regression that exchanges 'text',
+      // 'chunk' or the token array would move the corpus at 100 TB
+      val saved = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try Seq("d24_cdc_chunk_dedup", "d25_chunk_dup_ratio").foreach { q =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val exchanged = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.child.output.map(_.name)
+        }
+        assert(exchanged.nonEmpty, s"$q: expected at least one shuffle")
+        exchanged.foreach { cols =>
+          assert(!cols.exists(Set("text", "chunk", "toks")),
+            s"$q shuffles a text-bearing column: $cols")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    }
+
     it("keeps per-row pipeline expressions inside whole-stage codegen") {
       val df = graft.sources.TestData.graph(spark, sfDir)
         .V("documents").df
