@@ -32,8 +32,14 @@ object Explain {
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         println(s"\n=== $name ===")
-        try println(fn(spark, sfDir).queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
+        try {
+          val qe = fn(spark, sfDir).queryExecution
+          // GRAFT_EXPLAIN_LOGICAL=1 → also dump the optimized logical plan
+          // (rule development: see the tree optimizer rules actually match)
+          if (sys.env.get("GRAFT_EXPLAIN_LOGICAL").contains("1"))
+            println(qe.optimizedPlan.treeString)
+          println(qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+        } catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
       }
     spark.stop()
   }

@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => graft.plans.RedundantDistinctRule(session))
     // nested pruning through first(struct) dedup buffers (on by default)
     ext.injectOptimizerRule(session => graft.plans.FirstStructPruningRule(session))
+    // count-aggregation pushdown below joins (on by default)
+    ext.injectOptimizerRule(session => graft.plans.EagerCountAggregation(session))
   }
 }
 
