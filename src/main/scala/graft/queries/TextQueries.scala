@@ -684,7 +684,60 @@ object TextQueries {
               |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
               |  CAST(SUM(CASE WHEN first_doc < doc_id THEN n_tok ELSE 0 END) AS DOUBLE) / SUM(n_tok) AS dup_ratio
               |FROM occ JOIN fd USING (chunk_md5)
-              |GROUP BY 1 HAVING dup_tokens > 0 ORDER BY doc_id""".stripMargin))
+              |GROUP BY 1 HAVING dup_tokens > 0 ORDER BY doc_id""".stripMargin)),
+
+    Q("d26_mixture_sample",
+      // Deterministic token-budget mixture sampling — the data-mixing step
+      // of a pretraining pipeline: per language, documents are ranked by a
+      // hash "shuffle" (md5(doc_id) — reproducible across runs and
+      // engines) and taken in that order until the language's cumulative
+      // token count reaches 30% of its total (integer math: cum*10 <=
+      // tot*3, no float budget drift). The cumulative sum is the
+      // TWO-LEVEL distributed prefix sum: level 1 cumsums within
+      // (lang, shard) where shard = the first hex char of the hash — 16-way
+      // parallel per language, and shard blocks are contiguous in hash
+      // order so the per-shard cumsum composes exactly; level 2 adds the
+      // running offset of preceding shards' totals (a 16-rows-per-language
+      // window). A single window PARTITION BY lang would serialize a
+      // 100 TB language onto one task; this shape never materializes a
+      // partition larger than 1/16th of a language, and widening the
+      // shard prefix scales the fan-out. Totals join is a 5-row broadcast.
+      (s, dir) => {
+        val t = docs(s, dir).select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("sh", substring(col("h"), 1, 1))
+        val tot = t.groupBy("lang").agg(sum(col("n_tok")).as("tot"))
+        val wIn = Window.partitionBy(col("lang"), col("sh")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val shardTot = t.groupBy(col("lang"), col("sh")).agg(sum(col("n_tok")).as("stot"))
+        val wOff = Window.partitionBy(col("lang")).orderBy(col("sh"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = shardTot
+          .withColumn("off", coalesce(sum(col("stot")).over(wOff), lit(0L)))
+          .select(col("lang"), col("sh"), col("off"))
+        t.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+          .join(broadcast(offs), Seq("lang", "sh"))
+          .join(broadcast(tot), "lang")
+          .where((col("cum_in") + col("off")) * 10 <= col("tot") * 3)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs_sampled"), sum(col("n_tok")).as("tokens_sampled"),
+            max(col("tot")).as("tokens_total"))
+          .orderBy("lang")
+      },
+      // oracle: the mathematically-equivalent SINGLE-window form — an
+      // independent derivation of the same sample, so a composition bug in
+      // the two-level prefix sum cannot cancel out
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |c AS (SELECT lang, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(n_tok) OVER (PARTITION BY lang) AS tot FROM t)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS docs_sampled,
+             |  CAST(sum(n_tok) AS BIGINT) AS tokens_sampled,
+             |  CAST(max(tot) AS BIGINT) AS tokens_total
+             |FROM c WHERE cum * 10 <= tot * 3 GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   // --------------------------------------- content-defined chunking (CDC)

@@ -180,11 +180,11 @@ object VectorQueries {
   // variant at once instead of silently breaking cross-engine bit-parity
   // in one of four hand-copied blocks.
 
-  /** Deterministic hash-sample seed centroids: the KCent vectors with the
+  /** Deterministic hash-sample seed centroids: the `k` vectors with the
     * smallest md5(vec_id). */
-  private def seedCentroids(coded: DataFrame): DataFrame =
+  private def seedCentroids(coded: DataFrame, k: Int = KCent): DataFrame =
     coded.orderBy(expr("md5(cast(vec_id AS STRING))"), col("vec_id"))
-      .limit(KCent)
+      .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
 
   /** Nearest-centroid assignment: map-side cosine scores against the
@@ -759,6 +759,91 @@ object VectorQueries {
         .orderBy("vec_id"),
       Some("""SELECT vec_id, sqrt(CAST(list_sum(list_transform(embedding,
              |  x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)) AS l2_norm
-             |FROM embeddings ORDER BY vec_id""".stripMargin))
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    semDedupQ
   )
+
+  // ------------------------------------------------------------ SemDeDup
+  /** Semantic-duplicate cluster count (e10): SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540) — k-means-style clusters over the embedding space,
+    * pairwise cosine INSIDE each cluster only, and the keep policy that
+    * retains the member FARTHEST from the cluster centroid (lowest
+    * centroid-cosine; deterministic id tie-break). A member is removed
+    * when any same-cluster neighbor with cosine ≥ [[SemTau]] wins the
+    * keep comparison. Output: per-cluster member/removed counts.
+    *
+    * Scale shape: the quantizer is the shared hash-seeded centroid table
+    * ([[seedCentroids]] at [[SemK]]; a production run trains it with the
+    * e06 Lloyd iterations and sizes K with the corpus so clusters stay
+    * bounded) — assignment is one broadcast map-side pass, the pair join
+    * shuffles once on `cid`, and the d12-style [2, cap] cluster-size gate
+    * plus an observed hot-cluster metric keep a degenerate quantizer from
+    * ever going quadratic. The keep-policy predicate is applied BEFORE
+    * the exact dot, so each unordered pair is scored once. Reference
+    * analog: DedupCheck-style duplicate resolution
+    * (/root/reference/core/src/main/scala/org/thp/scalligraph/services/IntegrityCheck.scala)
+    * lifted to embedding space. */
+  // final-val literals: constant-folded at compile time, so the eager
+  // `all` registry above can interpolate them during object init
+  private final val SemK = 16
+  private final val SemTau = 0.30
+  private def semDedupQ: Q =
+    Q("e10_semdedup",
+      (s, dir) => {
+        val coded = codedVectors(s, dir)
+        val cents = seedCentroids(coded, SemK)
+        // assignment with the true centroid cosine (the keep score): same
+        // argmax as assignToCentroids (norm > 0 is constant per vec_id),
+        // but ccos is comparable ACROSS vectors, which the keep policy needs
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+        val assign = coded.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            (dotNative("embedding", "cvec") / (col("norm") * col("cnorm"))).as("ccos"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("ccos"))
+        val members = coded.select(col("vec_id"), col("embedding"), col("norm"))
+          .join(assign, "vec_id")
+        val sized = members
+          .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cid"))))
+          .observe("e10_cluster_cap",
+            sum(when(col("cn") > VecBucketCap, 1L).otherwise(0L)).as("rows_in_capped_clusters"),
+            max(col("cn")).as("max_cluster_size"))
+          .where(col("cn").between(2L, VecBucketCap))
+        val a = sized.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("norm").as("na"), col("cid"), col("ccos").as("ca"))
+        val b = sized.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("norm").as("nb"), col("cid").as("cid_b"), col("ccos").as("cb"))
+        val removed = a.join(b, col("cid") === col("cid_b") && col("a_id") =!= col("b_id") &&
+            (col("cb") < col("ca") || (col("cb") === col("ca") && col("b_id") < col("a_id"))))
+          .where(dotNative("ea", "eb") / (col("na") * col("nb")) >= SemTau)
+          .select(col("a_id").as("vec_id")).distinct()
+          .withColumn("rm", lit(1L))
+        members.join(removed, Seq("vec_id"), "left")
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("members"), sum(coalesce(col("rm"), lit(0L))).as("removed"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH codes AS ($codesSql),
+              |cents AS (SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm FROM codes
+              |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SemK),
+              |assign AS (SELECT vec_id, cid, ccos FROM (
+              |  SELECT v.vec_id, c.cid,
+              |    ${dotSqlOf("v.embedding", "c.cvec")} / (v.norm * c.cnorm) AS ccos,
+              |    row_number() OVER (PARTITION BY v.vec_id
+              |      ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / (v.norm * c.cnorm) DESC, c.cid) AS rn
+              |  FROM codes v CROSS JOIN cents c) t WHERE rn = 1),
+              |members AS (SELECT v.vec_id, v.embedding, v.norm, a.cid, a.ccos
+              |  FROM codes v JOIN assign a USING (vec_id)),
+              |sized AS (SELECT *, count(*) OVER (PARTITION BY cid) AS cn FROM members),
+              |ok AS (SELECT * FROM sized WHERE cn BETWEEN 2 AND $VecBucketCap),
+              |removed AS (SELECT DISTINCT a.vec_id FROM ok a JOIN ok b
+              |  ON a.cid = b.cid AND a.vec_id <> b.vec_id
+              |    AND ((b.ccos < a.ccos) OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+              |  WHERE ${dotSqlOf("a.embedding", "b.embedding")} / (a.norm * b.norm) >= $SemTau)
+              |SELECT m.cid, CAST(count(*) AS BIGINT) AS members,
+              |  CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed
+              |FROM members m LEFT JOIN removed r ON m.vec_id = r.vec_id
+              |GROUP BY m.cid ORDER BY m.cid""".stripMargin))
 }
