@@ -803,26 +803,33 @@ object VectorQueries {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("ccos"))
+        // materialized once (the stored cluster-assignment table of a
+        // production run): the N×K assignment dots would otherwise be
+        // re-planned into each of the three consumers below
         val members = coded.select(col("vec_id"), col("embedding"), col("norm"))
           .join(assign, "vec_id")
-        val sized = members
-          .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cid"))))
+          .localCheckpoint()
+        // cluster sizes are a K-row table — the cap gate is a broadcast
+        // semi-join on it, not a per-row count window over the corpus
+        val csize = members.groupBy(col("cid")).agg(count(lit(1)).as("members"))
           .observe("e10_cluster_cap",
-            sum(when(col("cn") > VecBucketCap, 1L).otherwise(0L)).as("rows_in_capped_clusters"),
-            max(col("cn")).as("max_cluster_size"))
-          .where(col("cn").between(2L, VecBucketCap))
+            sum(when(col("members") > VecBucketCap, col("members")).otherwise(0L))
+              .as("rows_in_capped_clusters"),
+            max(col("members")).as("max_cluster_size"))
+          .localCheckpoint()
+        val inCap = csize.where(col("members").between(2L, VecBucketCap)).select(col("cid"))
+        val sized = members.join(broadcast(inCap), "cid")
         val a = sized.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
           col("norm").as("na"), col("cid"), col("ccos").as("ca"))
         val b = sized.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
           col("norm").as("nb"), col("cid").as("cid_b"), col("ccos").as("cb"))
-        val removed = a.join(b, col("cid") === col("cid_b") && col("a_id") =!= col("b_id") &&
+        val removedPerCluster = a.join(b, col("cid") === col("cid_b") && col("a_id") =!= col("b_id") &&
             (col("cb") < col("ca") || (col("cb") === col("ca") && col("b_id") < col("a_id"))))
           .where(dotNative("ea", "eb") / (col("na") * col("nb")) >= SemTau)
-          .select(col("a_id").as("vec_id")).distinct()
-          .withColumn("rm", lit(1L))
-        members.join(removed, Seq("vec_id"), "left")
           .groupBy(col("cid"))
-          .agg(count(lit(1)).as("members"), sum(coalesce(col("rm"), lit(0L))).as("removed"))
+          .agg(count_distinct(col("a_id")).as("removed"))
+        csize.join(removedPerCluster, Seq("cid"), "left")
+          .select(col("cid"), col("members"), coalesce(col("removed"), lit(0L)).as("removed"))
           .orderBy("cid")
       },
       Some(s"""WITH codes AS ($codesSql),
