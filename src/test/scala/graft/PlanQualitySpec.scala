@@ -37,6 +37,31 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), plan)
     }
 
+    it("e10's final plan reads the materialized assignment: no cross joins, no corpus windows") {
+      // the N×K assignment dots run ONCE (checkpoint); the query plan the
+      // executors see is the pair join on cid plus the K-row broadcast
+      // cap gate — a re-planned assignment subtree (3 corpus passes) or a
+      // per-row cluster-count window would both regress 100 TB cost
+      val df = SparkEntry.queries("e10_semdedup")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+
+    it("d26's corpus cumsum windows on (lang, shard), never a whole language") {
+      // a PARTITION BY lang window over the corpus would serialize a
+      // 100 TB language onto one task; the two-level prefix sum keeps the
+      // corpus-sized window keyed by (lang, sh)
+      val df = SparkEntry.queries("d26_mixture_sample")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(winLines.nonEmpty, plan)
+      assert(winLines.exists(l => l.contains("lang#") && l.contains("sh#")), plan)
+      // the per-shard offset table and the 5-row totals join are broadcasts
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+
     it("e09's probe prunes the partitioned ANN index to the probed buckets") {
       // the production ANN story: the stored index is partitioned by
       // bucket code, so a probe never opens non-probed bucket files
