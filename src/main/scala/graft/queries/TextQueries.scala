@@ -737,8 +737,126 @@ object TextQueries {
              |SELECT lang, CAST(count(*) AS BIGINT) AS docs_sampled,
              |  CAST(sum(n_tok) AS BIGINT) AS tokens_sampled,
              |  CAST(max(tot) AS BIGINT) AS tokens_total
-             |FROM c WHERE cum * 10 <= tot * 3 GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM c WHERE cum * 10 <= tot * 3 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("d27_incremental_batch_dedup",
+      // Incremental ingest dedup — the daily-batch path that makes dedup
+      // affordable at 100 TB: a NEW batch (doc_id ≡ 0 mod 10 stands in for
+      // "today's crawl") is deduped against the existing corpus WITHOUT
+      // re-scanning or re-shuffling the corpus text. The corpus side reads
+      // only its stored index artifacts — the md5 content-hash set, the
+      // MinHash signature table, and the banded LSH buckets (capped, as in
+      // d09) — all narrow key columns; per-run work is proportional to the
+      // BATCH size. Decisions per batch doc: `exact_dup` (content hash hit,
+      // matched to the corpus keeper), `near_dup` (band-bucket candidate
+      // whose verified 3-shingle Jaccard ≥ 0.8, best match by (jaccard
+      // desc, id)), else `keep`. Shingle verification fetches text only for
+      // the candidate ids (semi-join pruning) — never the whole corpus.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val isBatch = col("doc_id") % 10 === 0
+        val corpus = d.where(!isBatch)
+        val batch = d.where(isBatch)
+        val sig = sigTable(s, dir)
+        // corpus index artifacts (stored once in production, reused per batch)
+        val corpusHashes = corpus
+          .select(md5(col("text").cast("binary")).as("__h"), col("doc_id"))
+          .groupBy("__h").agg(min(col("doc_id")).as("exact_id"))
+        val cb = bandsFromSig(sig.join(repIdsOf(corpus), "doc_id")).localCheckpoint()
+        val ok = cb.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+          .where(col("n") <= BucketCap).select("band", "bkey")
+        val member = cb.join(ok, Seq("band", "bkey"))
+          .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+        // batch-side per-run work
+        val bb = bandsFromSig(sig.join(batch.select("doc_id"), "doc_id"))
+        val cand = bb.join(member, Seq("band", "bkey"))
+          .select(col("doc_id").as("b_id"), col("corpus_id")).distinct()
+        val candIds = cand.select(col("b_id").as("doc_id"))
+          .union(cand.select(col("corpus_id").as("doc_id"))).distinct()
+        val sh = d.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            expr("""array_distinct(transform(sequence(1, size(toks) - 2),
+                   |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin)
+              .as("ss"))
+          .localCheckpoint()
+        val ver = cand
+          .join(sh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")
+          .join(sh.select(col("doc_id").as("corpus_id"), col("ss").as("ssc")), "corpus_id")
+          .withColumn("inter", size(array_intersect(col("ssb"), col("ssc"))))
+          .select(col("b_id"), col("corpus_id"),
+            (col("inter").cast("double") / (size(col("ssb")) + size(col("ssc")) - col("inter"))).as("jaccard"))
+        val wBest = Window.partitionBy(col("b_id")).orderBy(col("jaccard").desc, col("corpus_id"))
+        val best = ver.withColumn("rn", row_number().over(wBest))
+          .where(col("rn") === 1 && col("jaccard") >= JaccardThreshold)
+          .select(col("b_id").as("doc_id"), col("corpus_id").as("near_id"), col("jaccard"))
+        val exact = batch.select(col("doc_id"), md5(col("text").cast("binary")).as("__h"))
+          .join(corpusHashes, "__h").select("doc_id", "exact_id")
+        batch.select(col("doc_id"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_id").isNotNull, lit("exact_dup"))
+              .when(col("near_id").isNotNull, lit("near_dup"))
+              .otherwise(lit("keep")).as("decision"),
+            coalesce(col("exact_id"), col("near_id")).as("match_id"),
+            when(col("exact_id").isNull, col("jaccard")).as("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+              |batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+              |creps AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |          FROM corpus) WHERE rn = 1),
+              |cbands AS (${bandsSql("SELECT * FROM creps")}),
+              |ok AS (SELECT band, bkey FROM cbands GROUP BY 1, 2 HAVING count(*) <= $BucketCap),
+              |member AS (SELECT b.doc_id AS corpus_id, b.band, b.bkey FROM cbands b JOIN ok USING (band, bkey)),
+              |bbands AS (${bandsSql("SELECT * FROM batch")}),
+              |cand AS (SELECT DISTINCT bb.doc_id AS b_id, m.corpus_id
+              |         FROM bbands bb JOIN member m USING (band, bkey)),
+              |sh AS (${shingleSetSql("SELECT * FROM documents")}),
+              |ver AS (SELECT c.b_id, c.corpus_id,
+              |    CAST(len(list_intersect(sb.ss, sc.ss)) AS DOUBLE) /
+              |      (len(sb.ss) + len(sc.ss) - len(list_intersect(sb.ss, sc.ss))) AS jaccard
+              |  FROM cand c JOIN sh sb ON sb.doc_id = c.b_id JOIN sh sc ON sc.doc_id = c.corpus_id),
+              |best AS (SELECT b_id, corpus_id, jaccard FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY jaccard DESC, corpus_id) AS rn FROM ver)
+              |  WHERE rn = 1 AND jaccard >= $JaccardThreshold),
+              |ch AS (SELECT md5(text) AS h, min(doc_id) AS exact_id FROM corpus GROUP BY 1),
+              |ex AS (SELECT b.doc_id, ch.exact_id FROM batch b JOIN ch ON md5(b.text) = ch.h)
+              |SELECT b.doc_id,
+              |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+              |       WHEN best.corpus_id IS NOT NULL THEN 'near_dup'
+              |       ELSE 'keep' END AS decision,
+              |  COALESCE(ex.exact_id, best.corpus_id) AS match_id,
+              |  CASE WHEN ex.exact_id IS NULL THEN best.jaccard END AS jaccard
+              |FROM batch b LEFT JOIN ex USING (doc_id) LEFT JOIN best ON best.b_id = b.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("d28_source_cap_sample",
+      // Per-source document cap (the RefinedWeb/CCNet host-level curation
+      // step): keep at most SourceCap docs per source, best first by a
+      // deterministic quality order (longest n_chars, id tie-break). The
+      // rank-≤-N filter compiles to Spark's WindowGroupLimit: every map
+      // task keeps only its LOCAL top-N per source before the exchange, so
+      // a 100 TB source contributes tasks×N rows to the shuffle, never its
+      // full row set — gated on the physical plan in PlanQualitySpec.
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+        docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rk", row_number().over(w).cast("bigint"))
+          .where(col("rk") <= SourceCap)
+          .orderBy("source", "rk")
+      },
+      Some(s"""SELECT doc_id, source, n_chars, rk FROM (
+              |  SELECT doc_id, source, n_chars,
+              |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+              |  FROM documents) t WHERE rk <= $SourceCap ORDER BY source, rk""".stripMargin))
   )
+
+  /** d28's per-source keep budget. */
+  private final val SourceCap = 10
 
   // --------------------------------------- content-defined chunking (CDC)
 

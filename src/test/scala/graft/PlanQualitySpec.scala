@@ -192,6 +192,38 @@ class PlanQualitySpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
     }
 
+    it("pushes d28's per-source cap to a map-side window group limit") {
+      // the rank-≤-N filter must compile to WindowGroupLimit (Partial
+      // before the exchange): each task ships at most N rows per source
+      // into the shuffle — without it, a 100 TB source moves whole
+      val df = graft.SparkEntry.queries("d28_source_cap_sample")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), plan)
+      assert(plan.contains("Partial"), plan)
+    }
+
+    it("d27's batch dedup never ships raw text through an exchange") {
+      // the incremental-ingest discipline: content hashes and band keys
+      // are computed BEFORE any shuffle, and candidate shingle sets are
+      // semi-join-pruned and checkpointed at build time — the executed
+      // plan may exchange digests, band keys and candidate shingle SETS,
+      // but never the raw corpus text or token arrays
+      val saved = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = graft.SparkEntry.queries("d27_incremental_batch_dedup")(spark, sfDir)
+        val exchanged = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.child.output.map(_.name)
+        }
+        assert(exchanged.nonEmpty, "expected at least one shuffle")
+        exchanged.foreach { cols =>
+          assert(!cols.exists(Set("text", "toks")),
+            s"d27 shuffles a text-bearing column: $cols")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    }
+
     it("keeps per-row pipeline expressions inside whole-stage codegen") {
       val df = graft.sources.TestData.graph(spark, sfDir)
         .V("documents").df
