@@ -236,16 +236,31 @@ object VectorQueries {
     idxCache.getOrElseUpdate(s, dir) {
       import org.apache.hadoop.fs.Path
       // digest covers the SOURCE FILE's size+mtime, not just the dir name,
-      // so regenerated data at the same path invalidates the index; a
-      // finished index (Spark's _SUCCESS marker after the atomic rename)
-      // is reused as-is — a second session or concurrent JVM never
-      // re-runs mode("overwrite") under a path another session's cached
-      // DataFrame is reading. All filesystem access resolves through the
-      // Hadoop FileSystem of the configured index root
-      // (spark.graft.ann.indexDir, default local tmp), so the same staged
-      // build works when the index root is HDFS or an object store —
-      // with the usual caveat that object-store rename is copy+delete,
-      // so the winner-takes-the-rename race window is wider there.
+      // so regenerated data at the same path invalidates the index. All
+      // filesystem access resolves through the Hadoop FileSystem of the
+      // configured index root (spark.graft.ann.indexDir, default local
+      // tmp), so the same build works when the root is HDFS or an object
+      // store.
+      //
+      // Publish protocol (round 9 — replaces the lock-file + directory
+      // rename swap): VERSIONED index dirs + an atomic pointer file, the
+      // same commit shape as services/Migration.scala. The retired lock
+      // relied on Hadoop create(overwrite=false) being exclusive, but on
+      // the local filesystem that check is check-then-act — two racing
+      // JVM threads both "acquired" it, and the loser's rename landed
+      // NESTED inside the live index (dst existed), poisoning partition
+      // discovery for every concurrent reader (CONFLICTING_DIRECTORY_
+      // STRUCTURES, caught ~1-in-5 by IndexRaceSpec). Under the pointer
+      // protocol data directories are NEVER renamed: each writer stages
+      // its own immutable version dir, publication is a whole-file
+      // pointer replace (FileContext rename-with-OVERWRITE — atomic on
+      // local and HDFS), and because every version of one digest is
+      // built from the same source bytes, WHICHEVER competing pointer
+      // lands last names a complete, equivalent index. Losing trees are
+      // garbage-collected once older than spark.graft.ann.staleIndexMs
+      // (never the referenced dir, never a young possibly-in-flight
+      // stage), so a reader that resolved the pointer moments before a
+      // competing re-publish still has its tree on disk.
       val conf = s.sparkContext.hadoopConfiguration
       val srcPath = new Path(new Path(dir), "embeddings.parquet")
       val srcFs = srcPath.getFileSystem(conf)
@@ -256,59 +271,106 @@ object VectorQueries {
       val root = new Path(s.conf.get("spark.graft.ann.indexDir",
         "file:" + System.getProperty("java.io.tmpdir")))
       val fs = root.getFileSystem(conf)
-      val path = new Path(root, s"graft_ivf_idx_$digest")
-      def live() = fs.exists(new Path(path, "_SUCCESS"))
-      if (!live()) {
-        // stage under a process-unique name FIRST (the expensive part,
-        // safe to run concurrently), then swap under a lock file: the
-        // round-7 lock-free swap had a TOCTOU (sampling '_SUCCESS
-        // absent' then deleting could tear down a rename landing right
-        // then) and its lost-race rename momentarily NESTED the loser's
-        // tree under the live index, poisoning concurrent partition
-        // discovery (caught by IndexRaceSpec). Atomic create-no-overwrite
-        // of the lock serializes writers on HDFS/local exactly; on object
-        // stores without atomic create it narrows the window to the
-        // create round-trip (documented best-effort, same caveat as the
-        // rename itself).
-        val staging = new Path(root,
-          path.getName + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
-        codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(staging.toString)
-        if (live()) fs.delete(staging, true) // a concurrent writer finished meanwhile
-        else {
-          val lock = new Path(root, path.getName + ".lock")
-          val staleMs = s.conf.get("spark.graft.ann.staleIndexMs", "600000").toLong
-          def tryLock(): Boolean =
-            try { fs.create(lock, false).close(); true }
-            catch { case _: java.io.IOException => false }
-          var locked = tryLock()
-          if (!locked && fs.exists(lock) &&
-            System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs) {
-            // lock holder crashed mid-swap; break the lock once
-            fs.delete(lock, false)
-            locked = tryLock()
-          }
-          if (locked) {
-            try {
-              if (live()) fs.delete(staging, true)
-              else {
-                // under the lock, a _SUCCESS-less destination can only be
-                // a crash leftover (every writer serializes here), so
-                // clearing it is safe — no age heuristic needed
-                if (fs.exists(path)) fs.delete(path, true)
-                if (!fs.rename(staging, path)) fs.delete(staging, true)
-              }
-            } finally fs.delete(lock, false)
-          } else fs.delete(staging, true) // another writer owns the swap
-        }
-        // Never hand a partial tree to the reader: a lost race surfaces
-        // here as _SUCCESS absent while the winner's swap is in flight —
-        // poll briefly for the marker, then fail loudly instead of
-        // silently scanning half an index.
-        val deadline = System.currentTimeMillis() + 30000
-        while (!live() && System.currentTimeMillis() < deadline) Thread.sleep(200)
-        require(live(), s"ANN index at $path has no _SUCCESS marker after concurrent build")
+      val ptr = new Path(root, s"graft_ivf_idx_$digest.ptr")
+      // a valid pointer names a version dir whose Spark _SUCCESS marker
+      // is present; anything else (missing, torn, poisoned target) reads
+      // as "no live index" and self-heals via a rebuild
+      // The pointer is replaced whole-file; ALL pointer I/O goes through
+      // the RAW filesystem when the root is checksummed — a
+      // ChecksumFileSystem file is really a (data, .crc-sidecar) PAIR
+      // whose rename is two steps, so concurrent pointer replaces tear
+      // (stress-observed: checksum mismatches, half-renamed tmps).
+      // Without the sidecar, a POSIX rename onto an existing file is one
+      // atomic replace — the pointer commit is then genuinely atomic on
+      // local FS; HDFS (whose checksums are internal, not sidecar files)
+      // takes the FileContext OVERWRITE rename; schemes with neither get
+      // delete+rename, whose window a reader survives by rebuilding.
+      val pfs = fs match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case other => other
       }
-      s.read.parquet(path.toString)
+      def resolveLive(): Option[Path] = {
+        // Any unreadable pointer — missing or torn (no newline
+        // terminator) — reads as "no live index"; the caller rebuilds
+        // and re-commits. Self-healing beats trusting a torn commit.
+        val name =
+          try {
+            if (!pfs.exists(ptr)) None
+            else {
+              val in = pfs.open(ptr)
+              val raw = try new String(
+                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+              finally in.close()
+              if (raw.endsWith("\n")) Some(raw.trim) else None
+            }
+          } catch { case _: java.io.IOException => None }
+        name.map(new Path(root, _)).filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      }
+      def commitPointer(dirName: String): Unit = {
+        // per-writer unique tmp: concurrent committers never share a tmp
+        // file, so a torn mix of two payloads cannot be renamed into place
+        val tmp = new Path(root, ptr.getName + ".tmp." +
+          java.util.UUID.randomUUID().toString.take(8))
+        val out = pfs.create(tmp, true)
+        try out.write((dirName + "\n").getBytes("UTF-8")) finally out.close()
+        // Losing the pointer race is FINE: every competitor's payload
+        // names a complete equivalent index (same digest ⇒ same source
+        // bytes), so whichever single-file replace lands last is valid.
+        try {
+          if (!pfs.rename(tmp, ptr)) {
+            // dst-exists rejection (HDFS semantics): atomic overwrite
+            // rename via FileContext, else the documented non-atomic
+            // fallback — a reader in the window rebuilds, never reads a
+            // partial tree
+            try {
+              val fc = org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, pfs.getConf)
+              fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            } catch {
+              case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+                   _: UnsupportedOperationException =>
+                if (pfs.exists(ptr)) pfs.delete(ptr, false)
+                if (!pfs.rename(tmp, ptr)) pfs.delete(tmp, false)
+            }
+          }
+        } catch {
+          case _: java.io.IOException =>
+            // collided with a competing commit: accept any valid
+            // survivor, else leave "no pointer" for self-healing readers
+            try pfs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        }
+      }
+      val target = resolveLive().getOrElse {
+        // stage to a fresh immutable version dir (the expensive part, safe
+        // to run concurrently — competitors build equivalent content)
+        val staging = new Path(root, s"graft_ivf_idx_${digest}_v_" +
+          java.util.UUID.randomUUID().toString.take(8))
+        codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(staging.toString)
+        resolveLive() match {
+          case Some(p) => fs.delete(staging, true); p // lost: a competitor published first
+          case None =>
+            commitPointer(staging.getName)
+            // read through the pointer: a competing commit may have
+            // overwritten ours, but its tree is complete and equivalent;
+            // if the fallback window left no valid pointer, our own
+            // staged tree is complete and serves this session
+            resolveLive().getOrElse(staging)
+        }
+      }
+      // opportunistic GC: unreferenced version dirs of this digest older
+      // than the stale horizon (crash leftovers and lost-race losers)
+      val staleMs = s.conf.get("spark.graft.ann.staleIndexMs", "600000").toLong
+      val liveName = Some(target.getName)
+      fs.globStatus(new Path(root, s"graft_ivf_idx_${digest}_v_*")).foreach { vst =>
+        if (!liveName.contains(vst.getPath.getName) &&
+            System.currentTimeMillis() - vst.getModificationTime > staleMs)
+          fs.delete(vst.getPath, true)
+      }
+      // crashed committers' tmp pointer files age out the same way
+      pfs.globStatus(new Path(root, s"graft_ivf_idx_$digest.ptr.tmp.*")).foreach { tst =>
+        if (System.currentTimeMillis() - tst.getModificationTime > staleMs)
+          pfs.delete(tst.getPath, false)
+      }
+      s.read.parquet(target.toString)
     }
 
   /** Drop this session's cached coded-vector table and free its

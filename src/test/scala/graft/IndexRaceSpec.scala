@@ -6,20 +6,38 @@ import org.apache.spark.sql.Row
 
 /** Concurrent-session safety of the production ANN index build
   * ([[graft.queries.VectorQueries.partitionedIndex]]): two live sessions
-  * racing to build the same `spark.graft.ann.indexDir` must leave exactly
-  * ONE valid `_SUCCESS` index (the loser discards its staged tree or its
-  * nested rename) and both must read identical, complete index content.
-  * Also pins the stale-dir policy that closes the round-7 TOCTOU: a
-  * young `_SUCCESS`-less destination dir (a possibly-in-flight concurrent
-  * rename) is NOT deleted; a stale one (crash leftover) is.
+  * racing to build the same `spark.graft.ann.indexDir` must both read a
+  * complete, identical index. Under the round-9 pointer protocol data
+  * directories are never renamed, so the historical failure mode — the
+  * loser's tree nested inside the live index, poisoning partition
+  * discovery with CONFLICTING_DIRECTORY_STRUCTURES (the lock-file
+  * protocol's create(overwrite=false) is check-then-act on local FS, so
+  * both racers "held" the lock) — is structurally impossible: the spec
+  * pins that no version dir ever contains another, the pointer names a
+  * _SUCCESS-complete tree, and a poisoned (marker-less) live target is
+  * rebuilt and garbage-collected once stale.
   */
 class IndexRaceSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  private def versionDirs(root: String): Seq[java.io.File] =
+    new java.io.File(root).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.contains("_v_"))
+
+  private def liveTarget(root: String): java.io.File = {
+    val ptr = new java.io.File(root).listFiles()
+      .find(_.getName.endsWith(".ptr"))
+      .getOrElse(fail("no pointer file published"))
+    val content = new String(
+      java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8")
+    assert(content.endsWith("\n"), "pointer payload missing validity terminator")
+    new java.io.File(root, content.trim)
+  }
+
   describe("partitionedIndex under concurrent sessions") {
 
-    it("two racing sessions leave exactly one live index and agree on content") {
+    it("two racing sessions read one complete index; no nested trees") {
       withScratchDir("graft_idx_race") { root =>
         val s1 = spark.newSession()
         val s2 = spark.newSession()
@@ -42,35 +60,39 @@ class IndexRaceSpec extends SparkSpec {
           assert(r1.map(_.getLong(0)).sameElements(r2.map(_.getLong(0))),
             "sessions read different index content")
         } finally pool.shutdownNow()
-        val dirs = new java.io.File(root).listFiles().toSeq
-        val idxDirs = dirs.filter(_.getName.startsWith("graft_ivf_idx_"))
-        val stages = idxDirs.filter(_.getName.contains("_stage_"))
-        assert(stages.isEmpty, s"staging leftovers: ${stages.map(_.getName)}")
-        assert(idxDirs.size == 1, s"expected one index dir, got ${idxDirs.map(_.getName)}")
-        assert(new java.io.File(idxDirs.head, "_SUCCESS").exists(), "winner has no _SUCCESS")
-        // no nested lost-race tree under the live index
-        val nested = idxDirs.head.listFiles().filter(_.getName.contains("_stage_"))
-        assert(nested.isEmpty, s"nested lost-race tree: ${nested.map(_.getName).toSeq}")
+        // the pointer names a complete tree
+        val live = liveTarget(root)
+        assert(new java.io.File(live, "_SUCCESS").exists(), "live target has no _SUCCESS")
+        // version dirs are flat siblings: none may contain another index
+        // tree (the nesting that poisoned partition discovery), and each
+        // holds only Spark's partitioned layout (code=*/ + markers)
+        val vdirs = versionDirs(root)
+        assert(vdirs.nonEmpty && vdirs.size <= 2, s"unexpected version dirs: ${vdirs.map(_.getName)}")
+        vdirs.foreach { d =>
+          val foreign = d.listFiles().filter(f =>
+            f.isDirectory && !f.getName.startsWith("code="))
+          assert(foreign.isEmpty, s"nested tree inside ${d.getName}: ${foreign.map(_.getName).toSeq}")
+        }
       }
     }
 
-    it("a young _SUCCESS-less dir is preserved; a stale one is replaced") {
+    it("a poisoned live target is rebuilt; the stale leftover is collected") {
       withScratchDir("graft_idx_stale") { root =>
         val s = spark.newSession()
         s.conf.set("spark.graft.ann.indexDir", "file:" + root)
         s.conf.set("spark.graft.ann.staleIndexMs", "0") // everything is stale
-        // plant a crash leftover: the destination dir with partial junk
-        // and no _SUCCESS, under the digest the build will compute
         graft.queries.VectorQueries.partitionedIndex(s, sfDir) // builds clean
-        val idx = new java.io.File(root).listFiles()
-          .find(_.getName.startsWith("graft_ivf_idx_")).get
-        new java.io.File(idx, "_SUCCESS").delete() // poison: live → crash leftover
+        val first = liveTarget(root)
+        new java.io.File(first, "_SUCCESS").delete() // poison: live → crash leftover
         val s3 = spark.newSession()
         s3.conf.set("spark.graft.ann.indexDir", "file:" + root)
         s3.conf.set("spark.graft.ann.staleIndexMs", "0")
         val rebuilt = graft.queries.VectorQueries.partitionedIndex(s3, sfDir)
         assert(rebuilt.count() == spark.read.parquet(s"$sfDir/embeddings.parquet").count())
-        assert(new java.io.File(idx, "_SUCCESS").exists(), "stale dir not rebuilt")
+        val live = liveTarget(root)
+        assert(live.getName != first.getName, "pointer still names the poisoned dir")
+        assert(new java.io.File(live, "_SUCCESS").exists(), "rebuilt target has no _SUCCESS")
+        assert(!first.exists(), "stale poisoned dir not garbage-collected")
       }
     }
   }
