@@ -152,6 +152,31 @@ object PipelineQueries {
       (s, dir) => StreamAgg.minhashIndexStream(s, dir),
       TextQueries.all.find(_.name == "d08_minhash_signature").get.oracle),
 
+    Q("s10_stream_sessionize",
+      // custom-state streaming: flatMapGroupsWithState sessionization
+      // with event-time timeout — emitted sessions are those closed by an
+      // in-batch gap (all but each user's last) or whose timeout (last
+      // event + 30 min) fell strictly below the final watermark (max
+      // event time − 1 h); the still-open tail sessions stay in state
+      (s, dir) => StreamAgg.streamSessionize(s, dir),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS gap
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, sum(gap) OVER (
+             |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, sid, min(epoch_ms(ts)) AS start_ms,
+             |    max(epoch_ms(ts)) AS end_ms, CAST(count(*) AS BIGINT) AS n_events
+             |  FROM s GROUP BY 1, 2),
+             |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
+             |SELECT user_id, start_ms, end_ms, n_events FROM sess, wm
+             |WHERE sid < (SELECT max(s2.sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+             |   OR end_ms + 1800000 < w
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
     Q("s07_stream_foreachbatch_upsert",
       // streaming write path: per-batch MERGE of key aggregates into a
       // versioned state table via foreachBatch (the insert/upsert sink)

@@ -361,6 +361,79 @@ object StreamAgg {
     replayToMemory(spark, joined, "stream_ssj_", "append")(_.orderBy("a_id", "b_id"))
   }
 
+  // ------------------------------------------------------ custom state (s10)
+
+  /** Open-session state carried per user by [[sessionizePlan]]. */
+  private[graft] case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  private[graft] val SessionGapMs = 1800000L // 30 min inactivity closes a session
+
+  /** Per-user event sessionization with CUSTOM state —
+    * `flatMapGroupsWithState` + event-time timeout, the Structured
+    * Streaming shape for stateful logic the built-in operators can't
+    * express (a session has no fixed window: its extent depends on the
+    * data). Semantics match the batch sessionization (q74): a >30-minute
+    * silence closes a session. Sessions closed by an in-batch gap are
+    * emitted immediately; the trailing open session per user is emitted
+    * when its event-time timeout (last event + gap) falls strictly below
+    * the watermark (max event time − 1 h) — Spark fires timed-out state
+    * on the post-data batch the watermark advance triggers. Sessions the
+    * final watermark has not passed remain open (unemitted), exactly as
+    * a live deployment would hold them for the next batch.
+    *
+    * Scale notes: state is one 24-byte triple per ACTIVE user (bounded by
+    * the timeout eviction, asserted in StreamingSpec), grouped state
+    * shuffles only (user_id, ts) pairs, and late events beyond the
+    * watermark are dropped before the operator. Within-watermark disorder
+    * folds into the open session (min/max guards below); it can never
+    * reopen an already-emitted session — the timeout only fires once the
+    * watermark proves no such event can arrive. */
+  private[graft] def sessionizePlan(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = ev.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single((userId, s.startMs, s.lastMs, s.n))
+          } else {
+            // Timestamp.getTime floors to epoch-millis — the same
+            // precision the watermark machinery and the epoch_ms oracle
+            // use, so gap comparisons agree across engines
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption
+            for (t <- ts) cur = cur match {
+              case Some(s) if t - s.lastMs <= SessionGapMs =>
+                Some(OpenSession(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
+              case Some(s) =>
+                out += ((userId, s.startMs, s.lastMs, s.n))
+                Some(OpenSession(t, t, 1))
+              case None => Some(OpenSession(t, t, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + SessionGapMs)
+            }
+            out.iterator
+          }
+      }
+      .toDF("user_id", "start_ms", "end_ms", "n_events")
+  }
+
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionizePlan(spark, stagedEventsStream(spark, dir))
+    replayToMemory(spark, sessions, "stream_sess_", "append")(_.orderBy("user_id", "start_ms"))
+  }
+
   /** Watermarked append-mode variant (the unbounded-stream shape): 1-hour
     * tumbling windows, 2-hour watermark. Used by the streaming spec. */
   def hourlyAppend(spark: SparkSession, events: DataFrame): DataFrame =

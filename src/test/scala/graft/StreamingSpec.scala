@@ -50,7 +50,8 @@ class StreamingSpec extends SparkSpec {
     * the batch number while watermark-evicted state plateaus. */
   private def stateRowsPerBatch(
       plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      chunks: Int, keys: Int, stepSeconds: Long): Seq[Long] = {
+      chunks: Int, keys: Int, stepSeconds: Long,
+      userIdOf: (Int, Int) => Long = (_, k) => k.toLong): Seq[Long] = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
     val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -64,7 +65,7 @@ class StreamingSpec extends SparkSpec {
         val rows = (0 until keys).map { k =>
           eventId += 1
           (eventId, new java.sql.Timestamp(t0 + c * stepSeconds * 1000 + k),
-            k.toLong, "t", 1.0)
+            userIdOf(c, k), "t", 1.0)
         }
         mem.addData(rows: _*)
         q.processAllAvailable()
@@ -130,6 +131,19 @@ class StreamingSpec extends SparkSpec {
       val state = stateRowsPerBatch(
         df => StreamAgg.intervalSelfJoinPlan(df, df), 12, 200, 3600L)
       assertPlateau(state, 200, 12, horizon = 6)
+    }
+
+    it("s10 flatMapGroupsWithState sessionize: custom state evicted by event-time timeout") {
+      // FRESH 200 users per daily chunk (unlike the restamped-key tests
+      // above): every chunk opens 200 new single-event sessions, so
+      // without the event-time timeout the custom state would hold all
+      // 2400 users by the end; the timeout (last event + 30 min, fired
+      // once the 1-hour watermark passes it) evicts each chunk's sessions
+      // two chunks later — state plateaus at the open horizon
+      val state = stateRowsPerBatch(
+        df => StreamAgg.sessionizePlan(spark, df), 12, 200, 86400L,
+        userIdOf = (c, k) => c.toLong * 1000 + k)
+      assertPlateau(state, 200, 12, horizon = 3)
     }
   }
 }
