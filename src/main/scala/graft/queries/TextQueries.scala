@@ -51,6 +51,20 @@ object TextQueries {
   private val BucketCap = 20 // max docs per LSH bucket (hot buckets dropped)
   private val hashParams: IndexedSeq[(Long, Long)] = graft.functions.MinHashDefaults.params
 
+  /** d29's hashed-unigram linear quality model: 64 integer milli-weights,
+    * md5-derived so the Spark plan and the DuckDB oracle embed identical
+    * literals (a deterministic stand-in for trained fasttext-style
+    * weights — the model-based quality gate of the GPT-3/CCNet data
+    * pipelines, where a linear classifier over hashed n-gram features
+    * scores each document against a "wiki-like" reference). Integer
+    * milli-weights summed in BIGINT keep the doc score exact and
+    * order-independent across partitionings and engines; declared ABOVE
+    * the registry (object-init order — see the verify notes). */
+  private val QwBuckets = 64
+  private val qw: IndexedSeq[Long] =
+    (0 until QwBuckets).map(b =>
+      graft.functions.MinHashDefaults.mdLong(s"graft:qw:$b") % 2001 - 1000)
+
   // ------------------------------------------------------- Spark-side plan
 
   /** Exact-duplicate representative IDS: keep-first doc_id per md5(text).
@@ -852,7 +866,34 @@ object TextQueries {
       Some(s"""SELECT doc_id, source, n_chars, rk FROM (
               |  SELECT doc_id, source, n_chars,
               |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
-              |  FROM documents) t WHERE rk <= $SourceCap ORDER BY source, rk""".stripMargin))
+              |  FROM documents) t WHERE rk <= $SourceCap ORDER BY source, rk""".stripMargin)),
+
+    Q("d29_quality_classifier",
+      // model-based quality filtering: every token hashes into one of
+      // QwBuckets weight buckets, the doc score is the MEAN bucket weight
+      // (length-normalized, fasttext-style), keep = score > 0. One
+      // per-row fold over the token array — no explode, no shuffle, no
+      // UDF; at 100 TB this is a map-only pass whose cost is the scan.
+      // The milli-weight sum is exact BIGINT arithmetic, so the only
+      // double op is one final division — bit-identical in both engines.
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          expr(s"""CAST(aggregate(split(text, ' '),
+                 |  CAST(0 AS BIGINT),
+                 |  (acc, t) -> acc + element_at(array(${qw.mkString(", ")}),
+                 |    CAST(CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % $QwBuckets + 1 AS INT))) AS BIGINT)""".stripMargin).as("s_milli"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+        .select(col("doc_id"),
+          expr("CAST(s_milli AS DOUBLE) / 1000.0 / n_tokens").as("score"),
+          (col("s_milli") > 0).as("keep"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(s_milli AS DOUBLE) / 1000.0 / n_tokens AS score, (s_milli > 0) AS keep
+              |FROM (
+              |  SELECT doc_id,
+              |    CAST(list_sum(list_transform(string_split(text, ' '),
+              |      t -> ([${qw.mkString(", ")}])[CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % $QwBuckets + 1 AS INT)])) AS BIGINT) AS s_milli,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents) t ORDER BY doc_id""".stripMargin))
   )
 
   /** d28's per-source keep budget. */

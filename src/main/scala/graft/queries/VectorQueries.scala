@@ -464,6 +464,57 @@ object VectorQueries {
               |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
               |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
 
+    Q("e11_sq8_quantized_ann",
+      // scalar-quantized ANN: per-vector symmetric int8 codes (element
+      // scale = max|v|/127) — the 4×-smaller representation an embedding
+      // store actually scans at 100 TB; full-precision vectors are only
+      // fetched for the capped re-rank. The approximate score is an
+      // integer dot product (every int8×int8 product and the ≤ 64·127²
+      // sum are integral, so BIGINT accumulation is exact and
+      // order-independent, and the one double cast is lossless) rescaled
+      // by the two vectors' scales; top-ReRank candidates are re-ranked
+      // with the exact decimal dot. One corpus pass + a broadcast
+      // ReRank-row join back to the full-precision table — the join the
+      // production layout serves by id without touching the corpus.
+      (s, dir) => {
+        val e = emb(s, dir)
+        val sq = e
+          .select(col("vec_id"), col("embedding"),
+            expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("maxabs"))
+          .select(col("vec_id"), col("embedding"), col("maxabs"),
+            expr("""transform(embedding, x -> CASE WHEN maxabs = 0.0 THEN 0
+                   |  ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT) END)""".stripMargin).as("qcode"))
+        val q = sq.where(col("vec_id") === 0)
+          .select(col("qcode").as("qq"), col("maxabs").as("qmax"), col("embedding").as("qvec"))
+        val cand = sq.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q.select(col("qq"), col("qmax"))))
+          .select(col("vec_id"),
+            expr("""CAST(aggregate(zip_with(qcode, qq, (x, y) -> CAST(x AS BIGINT) * y),
+                   |  CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE) * maxabs * qmax / 16129.0""".stripMargin).as("approx"))
+          .orderBy(col("approx").desc, col("vec_id").asc)
+          .limit(ReRank)
+        cand.join(e, Seq("vec_id"))
+          .crossJoin(broadcast(q.select(col("qvec"))))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some(s"""WITH m AS (SELECT vec_id, embedding,
+              |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs FROM embeddings),
+              |sq AS (SELECT vec_id, embedding, maxabs,
+              |    list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+              |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT) END) AS qcode FROM m),
+              |q AS (SELECT qcode AS qq, maxabs AS qmax, embedding AS qvec FROM sq WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT a.vec_id,
+              |    CAST(list_sum(list_transform(list_zip(a.qcode, q.qq), z -> CAST(z[1] AS BIGINT) * z[2])) AS DOUBLE)
+              |      * a.maxabs * q.qmax / 16129.0 AS approx
+              |  FROM sq a, q WHERE a.vec_id <> 0
+              |  ORDER BY approx DESC, a.vec_id LIMIT $ReRank)
+              |SELECT e.vec_id, ${dotSqlOf("e.embedding", "q.qvec")} AS score
+              |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id CROSS JOIN q
+              |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin)),
+
     Q("e02_ann_srp_probe",
       // single-query ANN: multi-probe the query's SRP bucket out to
       // Hamming distance ProbeRadius, exact rescore inside candidates only
