@@ -235,142 +235,19 @@ object VectorQueries {
   private[graft] def partitionedIndex(s: SparkSession, dir: String): DataFrame =
     idxCache.getOrElseUpdate(s, dir) {
       import org.apache.hadoop.fs.Path
-      // digest covers the SOURCE FILE's size+mtime, not just the dir name,
-      // so regenerated data at the same path invalidates the index. All
-      // filesystem access resolves through the Hadoop FileSystem of the
-      // configured index root (spark.graft.ann.indexDir, default local
-      // tmp), so the same build works when the root is HDFS or an object
-      // store.
-      //
-      // Publish protocol (round 9 — replaces the lock-file + directory
-      // rename swap): VERSIONED index dirs + an atomic pointer file, the
-      // same commit shape as services/Migration.scala. The retired lock
-      // relied on Hadoop create(overwrite=false) being exclusive, but on
-      // the local filesystem that check is check-then-act — two racing
-      // JVM threads both "acquired" it, and the loser's rename landed
-      // NESTED inside the live index (dst existed), poisoning partition
-      // discovery for every concurrent reader (CONFLICTING_DIRECTORY_
-      // STRUCTURES, caught ~1-in-5 by IndexRaceSpec). Under the pointer
-      // protocol data directories are NEVER renamed: each writer stages
-      // its own immutable version dir, publication is a whole-file
-      // pointer replace (FileContext rename-with-OVERWRITE — atomic on
-      // local and HDFS), and because every version of one digest is
-      // built from the same source bytes, WHICHEVER competing pointer
-      // lands last names a complete, equivalent index. Losing trees are
-      // garbage-collected once older than spark.graft.ann.staleIndexMs
-      // (never the referenced dir, never a young possibly-in-flight
-      // stage), so a reader that resolved the pointer moments before a
-      // competing re-publish still has its tree on disk.
-      val conf = s.sparkContext.hadoopConfiguration
-      val srcPath = new Path(new Path(dir), "embeddings.parquet")
-      val srcFs = srcPath.getFileSystem(conf)
-      val st = srcFs.getFileStatus(srcPath)
-      val stamp = s"ivfidx:${srcFs.makeQualified(srcPath)}:${st.getLen}:${st.getModificationTime}"
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(stamp.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-      val root = new Path(s.conf.get("spark.graft.ann.indexDir",
-        "file:" + System.getProperty("java.io.tmpdir")))
-      val fs = root.getFileSystem(conf)
-      val ptr = new Path(root, s"graft_ivf_idx_$digest.ptr")
-      // a valid pointer names a version dir whose Spark _SUCCESS marker
-      // is present; anything else (missing, torn, poisoned target) reads
-      // as "no live index" and self-heals via a rebuild
-      // The pointer is replaced whole-file; ALL pointer I/O goes through
-      // the RAW filesystem when the root is checksummed — a
-      // ChecksumFileSystem file is really a (data, .crc-sidecar) PAIR
-      // whose rename is two steps, so concurrent pointer replaces tear
-      // (stress-observed: checksum mismatches, half-renamed tmps).
-      // Without the sidecar, a POSIX rename onto an existing file is one
-      // atomic replace — the pointer commit is then genuinely atomic on
-      // local FS; HDFS (whose checksums are internal, not sidecar files)
-      // takes the FileContext OVERWRITE rename; schemes with neither get
-      // delete+rename, whose window a reader survives by rebuilding.
-      val pfs = fs match {
-        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-        case other => other
+      // Concurrency-safe resolve-or-build via the shared stored-artifact
+      // protocol (graft.sources.ArtifactStore: versioned dirs + atomic
+      // raw-FS pointer; stress-covered by IndexRaceSpec). The digest
+      // covers the SOURCE FILE's size+mtime, so regenerated data at the
+      // same path invalidates the index; the root is configurable
+      // (spark.graft.ann.indexDir, default local tmp) and may be HDFS or
+      // an object store.
+      val digest = graft.sources.ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
+      graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_ivf_idx_$digest") { path =>
+        codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)
       }
-      def resolveLive(): Option[Path] = {
-        // Any unreadable pointer — missing or torn (no newline
-        // terminator) — reads as "no live index"; the caller rebuilds
-        // and re-commits. Self-healing beats trusting a torn commit.
-        val name =
-          try {
-            if (!pfs.exists(ptr)) None
-            else {
-              val in = pfs.open(ptr)
-              val raw = try new String(
-                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-              finally in.close()
-              if (raw.endsWith("\n")) Some(raw.trim) else None
-            }
-          } catch { case _: java.io.IOException => None }
-        name.map(new Path(root, _)).filter(p => fs.exists(new Path(p, "_SUCCESS")))
-      }
-      def commitPointer(dirName: String): Unit = {
-        // per-writer unique tmp: concurrent committers never share a tmp
-        // file, so a torn mix of two payloads cannot be renamed into place
-        val tmp = new Path(root, ptr.getName + ".tmp." +
-          java.util.UUID.randomUUID().toString.take(8))
-        val out = pfs.create(tmp, true)
-        try out.write((dirName + "\n").getBytes("UTF-8")) finally out.close()
-        // Losing the pointer race is FINE: every competitor's payload
-        // names a complete equivalent index (same digest ⇒ same source
-        // bytes), so whichever single-file replace lands last is valid.
-        try {
-          if (!pfs.rename(tmp, ptr)) {
-            // dst-exists rejection (HDFS semantics): atomic overwrite
-            // rename via FileContext, else the documented non-atomic
-            // fallback — a reader in the window rebuilds, never reads a
-            // partial tree
-            try {
-              val fc = org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, pfs.getConf)
-              fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-            } catch {
-              case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
-                   _: UnsupportedOperationException =>
-                if (pfs.exists(ptr)) pfs.delete(ptr, false)
-                if (!pfs.rename(tmp, ptr)) pfs.delete(tmp, false)
-            }
-          }
-        } catch {
-          case _: java.io.IOException =>
-            // collided with a competing commit: accept any valid
-            // survivor, else leave "no pointer" for self-healing readers
-            try pfs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        }
-      }
-      val target = resolveLive().getOrElse {
-        // stage to a fresh immutable version dir (the expensive part, safe
-        // to run concurrently — competitors build equivalent content)
-        val staging = new Path(root, s"graft_ivf_idx_${digest}_v_" +
-          java.util.UUID.randomUUID().toString.take(8))
-        codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(staging.toString)
-        resolveLive() match {
-          case Some(p) => fs.delete(staging, true); p // lost: a competitor published first
-          case None =>
-            commitPointer(staging.getName)
-            // read through the pointer: a competing commit may have
-            // overwritten ours, but its tree is complete and equivalent;
-            // if the fallback window left no valid pointer, our own
-            // staged tree is complete and serves this session
-            resolveLive().getOrElse(staging)
-        }
-      }
-      // opportunistic GC: unreferenced version dirs of this digest older
-      // than the stale horizon (crash leftovers and lost-race losers)
-      val staleMs = s.conf.get("spark.graft.ann.staleIndexMs", "600000").toLong
-      val liveName = Some(target.getName)
-      fs.globStatus(new Path(root, s"graft_ivf_idx_${digest}_v_*")).foreach { vst =>
-        if (!liveName.contains(vst.getPath.getName) &&
-            System.currentTimeMillis() - vst.getModificationTime > staleMs)
-          fs.delete(vst.getPath, true)
-      }
-      // crashed committers' tmp pointer files age out the same way
-      pfs.globStatus(new Path(root, s"graft_ivf_idx_$digest.ptr.tmp.*")).foreach { tst =>
-        if (System.currentTimeMillis() - tst.getModificationTime > staleMs)
-          pfs.delete(tst.getPath, false)
-      }
-      s.read.parquet(target.toString)
     }
 
   /** Drop this session's cached coded-vector table and free its
