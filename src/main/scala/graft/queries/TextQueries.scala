@@ -120,7 +120,20 @@ object TextQueries {
     * banding (d09) and the verify (d10) all read the stored table. */
   private val sigCache = new graft.util.SessionCache[DataFrame]
   private def sigTable(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate(s, dir)(signatures(docs(s, dir)).localCheckpoint())
+    sigCache.getOrElseUpdate(s, dir) {
+      // a STORED parquet table (digest-keyed, shared across sessions and
+      // JVMs via ArtifactStore) rather than a localCheckpoint: at sf100
+      // the 5 M × 128-long signature table pins multi-GB of block-manager
+      // memory as a checkpoint, while the parquet artifact costs nothing
+      // until scanned — and IS the production layout the Scaladoc claims
+      val digest = graft.sources.ArtifactStore.sourceDigest(
+        s, new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), "documents.parquet"),
+        "minhash")
+      graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.artifactDir", s"graft_sig_$digest") { path =>
+        signatures(docs(s, dir)).write.mode("overwrite").parquet(path)
+      }
+    }
 
   /** doc_id exploded to (band, bkey) — B rows per doc; the LSH bucket key.
     * `sig` must be materialized (checkpointed) so the B band-key
@@ -209,10 +222,13 @@ object TextQueries {
     * blocks don't tax the next family's timings; the caches rebuild
     * lazily on next use. */
   def releaseCaches(s: SparkSession): Unit = {
-    Seq(sigCache, candCache, verCache, chunkCache).foreach(
+    // candidate/verified pairs are localCheckpoint blocks — unpersist;
+    // sig/chunk/corpusIdx entries are parquet-artifact readers — dropping
+    // the references is enough (the on-disk artifacts are reused via
+    // their pointer)
+    Seq(candCache, verCache).foreach(
       _.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint))
-    // corpusIdx entries are parquet readers — dropping the references is
-    // enough; the on-disk artifacts are reused via their pointer
+    Seq(sigCache, chunkCache).foreach(_.removeAll(s))
     corpusIdxCache.removeAll(s)
   }
 
@@ -939,7 +955,19 @@ object TextQueries {
     * instead of re-folding 100 TB of text per reference. */
   private val chunkCache = new graft.util.SessionCache[DataFrame]
   private def chunkTable(s: SparkSession, dir: String): DataFrame =
-    chunkCache.getOrElseUpdate(s, dir)(chunkOccurrences(docs(s, dir)).localCheckpoint())
+    chunkCache.getOrElseUpdate(s, dir) {
+      // stored parquet artifact, same rationale as [[sigTable]]: the
+      // sf100 chunk-occurrence table is ~250 M narrow rows — a pinned
+      // checkpoint at that size taxes every later query's memory, while
+      // the stored table is the production shape (chunk ONCE, reuse)
+      val digest = graft.sources.ArtifactStore.sourceDigest(
+        s, new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), "documents.parquet"),
+        "cdcchunks")
+      graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.artifactDir", s"graft_chunks_$digest") { path =>
+        chunkOccurrences(docs(s, dir)).write.mode("overwrite").parquet(path)
+      }
+    }
 
   /** d27's stored corpus index artifacts — the content-hash keeper map and
     * the capped LSH band membership of corpus representatives — as STORED
