@@ -1,0 +1,119 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.ArtifactStore
+
+/** Unit contract of the shared stored-artifact protocol
+  * (graft.sources.ArtifactStore) — the commit/resolve/GC semantics the
+  * ANN index and the d27 corpus artifacts both ride on. IndexRaceSpec
+  * stress-covers the end-to-end concurrency; this spec pins the
+  * individual crash/corruption states deterministically.
+  */
+class ArtifactStoreSpec extends SparkSpec {
+
+  private val RootKey = "spark.graft.artifactDir"
+
+  private def session(root: String): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(RootKey, "file:" + root)
+    s
+  }
+
+  private def writeRange(s: SparkSession, n: Int)(path: String): Unit =
+    s.range(n).toDF("id").write.mode("overwrite").parquet(path)
+
+  describe("ArtifactStore.getOrBuild") {
+
+    it("builds once, then resolves without rebuilding") {
+      withScratchDir("graft_as_basic") { root =>
+        val s = session(root)
+        var builds = 0
+        def get() = ArtifactStore.getOrBuild(s, RootKey, "art_a") { p =>
+          builds += 1; writeRange(s, 100)(p)
+        }
+        assert(get().count() == 100)
+        assert(get().count() == 100)
+        assert(builds == 1, s"expected one build, got $builds")
+        // pointer file exists and names a live version dir
+        val ptr = new java.io.File(root, "art_a.ptr")
+        assert(ptr.exists(), "no pointer published")
+        val target = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+        assert(new java.io.File(new java.io.File(root, target), "_SUCCESS").exists())
+      }
+    }
+
+    it("a torn pointer (no newline terminator) reads as absent and self-heals") {
+      withScratchDir("graft_as_torn") { root =>
+        val s = session(root)
+        ArtifactStore.getOrBuild(s, RootKey, "art_b")(writeRange(s, 50))
+        val ptr = new java.io.File(root, "art_b.ptr")
+        val name = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+        java.nio.file.Files.write(ptr.toPath, name.getBytes("UTF-8")) // strip terminator
+        var rebuilt = false
+        val df = ArtifactStore.getOrBuild(s, RootKey, "art_b") { p =>
+          rebuilt = true; writeRange(s, 50)(p)
+        }
+        assert(rebuilt, "torn pointer must trigger a rebuild")
+        assert(df.count() == 50)
+        // the re-commit repaired the pointer
+        val healed = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8")
+        assert(healed.endsWith("\n"), "re-commit did not restore the validity terminator")
+      }
+    }
+
+    it("a pointer naming a _SUCCESS-less dir reads as absent; stale GC collects the leftover") {
+      withScratchDir("graft_as_poison") { root =>
+        val s = session(root)
+        s.conf.set("spark.graft.artifact.staleMs", "0")
+        ArtifactStore.getOrBuild(s, RootKey, "art_c")(writeRange(s, 10))
+        val ptr = new java.io.File(root, "art_c.ptr")
+        val first = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+        new java.io.File(new java.io.File(root, first), "_SUCCESS").delete()
+        assert(ArtifactStore.getOrBuild(s, RootKey, "art_c")(writeRange(s, 10)).count() == 10)
+        val healedName = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+        assert(healedName != first, "pointer still names the poisoned dir")
+        assert(!new java.io.File(root, first).exists(), "stale poisoned dir not collected")
+      }
+    }
+
+    it("stale GC never collects the live (referenced) version even at staleMs=0") {
+      withScratchDir("graft_as_gc") { root =>
+        val s = session(root)
+        s.conf.set("spark.graft.artifact.staleMs", "0")
+        ArtifactStore.getOrBuild(s, RootKey, "art_d")(writeRange(s, 25))
+        // resolve again (runs GC with everything "stale"): live dir survives
+        assert(ArtifactStore.getOrBuild(s, RootKey, "art_d")(writeRange(s, 25)).count() == 25)
+        val versions = new java.io.File(root).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("art_d_v_"))
+        assert(versions.length == 1, s"live version collected or duplicated: ${versions.map(_.getName).toSeq}")
+      }
+    }
+
+    it("two in-process racers both read complete content; one version wins") {
+      withScratchDir("graft_as_race") { root =>
+        val s1 = session(root)
+        val s2 = session(root)
+        val start = new CountDownLatch(1)
+        val pool = Executors.newFixedThreadPool(2)
+        try {
+          val futs = Seq(s1, s2).map { s =>
+            pool.submit { () =>
+              start.await()
+              ArtifactStore.getOrBuild(s, RootKey, "art_e")(writeRange(s, 1000)).count(): Long
+            }
+          }
+          start.countDown()
+          val counts = futs.map(_.get(120, TimeUnit.SECONDS))
+          assert(counts == Seq(1000L, 1000L), s"incomplete read under race: $counts")
+        } finally pool.shutdownNow()
+        val ptr = new java.io.File(root, "art_e.ptr")
+        assert(ptr.exists(), "no pointer after race")
+        val target = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+        assert(new java.io.File(new java.io.File(root, target), "_SUCCESS").exists(),
+          "winner target incomplete")
+      }
+    }
+  }
+}
