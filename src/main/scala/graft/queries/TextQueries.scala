@@ -162,19 +162,38 @@ object TextQueries {
     candCache.getOrElseUpdate(s, dir)(buildCandidatePairs(s, dir).localCheckpoint())
 
   private def buildCandidatePairs(s: SparkSession, dir: String): DataFrame =
-    // banding reads the stored signature table restricted to the exact-dedup
-    // representatives (a signature depends only on the text, so filtering
-    // the stored table to keeper doc_ids is identical to re-signing them)
-    candidatePairsOf(docs(s, dir), sigTable(s, dir))
+    pairsFromBands(bandsTable(s, dir))
+
+  /** The stored LSH bucket index — (doc_id, band, bkey) band rows of the
+    * exact-dedup representatives — as a digest-keyed parquet artifact,
+    * the third stored table of the near-dup pipeline (signatures →
+    * bands → verified pairs). Banding reads the stored signature table
+    * restricted to the keeper doc_ids (a signature depends only on the
+    * text, so filtering the stored table to keepers is identical to
+    * re-signing them); every candidate-generation run then starts from
+    * the stored buckets instead of re-hashing B band keys per document. */
+  private def bandsTable(s: SparkSession, dir: String): DataFrame = {
+    val digest = graft.sources.ArtifactStore.sourceDigest(
+      s, new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), "documents.parquet"),
+      "lshbands")
+    graft.sources.ArtifactStore.getOrBuild(
+      s, "spark.graft.artifactDir", s"graft_bands_$digest") { path =>
+      bandsFromSig(sigTable(s, dir).join(repDocIds(s, dir), "doc_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
 
   /** The d09 candidate plan from arbitrary documents + signature tables —
-    * the seam the skew stress spec drives with a deliberately hot corpus.
-    * Hot buckets (and the max observed bucket size) are emitted as named
-    * observed metrics in the same pass, so a corpus whose buckets start
+    * the seam the skew stress spec drives with a deliberately hot corpus
+    * (computes its bands inline; the catalog path reads [[bandsTable]]). */
+  private[graft] def candidatePairsOf(docsDf: DataFrame, sigDf: DataFrame): DataFrame =
+    pairsFromBands(bandsFromSig(sigDf.join(repIdsOf(docsDf), "doc_id")).localCheckpoint())
+
+  /** Capped-bucket candidate pairs from a band-row table. Hot buckets
+    * (and the max observed bucket size) are emitted as named observed
+    * metrics in the same pass, so a corpus whose buckets start
     * swallowing candidates is visible without a second scan. */
-  private[graft] def candidatePairsOf(docsDf: DataFrame, sigDf: DataFrame): DataFrame = {
-    val sigReps = sigDf.join(repIdsOf(docsDf), "doc_id")
-    val bd = bandsFromSig(sigReps).localCheckpoint()
+  private def pairsFromBands(bd: DataFrame): DataFrame = {
     val ok = bd.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
       .observe("d09_bucket_cap",
