@@ -56,6 +56,43 @@ object GraphAnalytics {
       .toDF("vid", "triangles")
   }
 
+  /** Deterministic synchronous label propagation (community detection),
+    * `iters` fixed rounds over the UNDIRECTED rendering of the edge set:
+    * every vertex starts labeled with its own id and each round adopts
+    * the most frequent label among its neighbors, ties broken by the
+    * SMALLEST label. Implemented as Catalyst joins (per round: one
+    * shuffle to histogram neighbor labels, one degree-bounded window to
+    * pick the winner) rather than GraphX's built-in
+    * `LabelPropagation.run`, whose tie-break keeps whichever map entry
+    * it happens to iterate first — nondeterministic across runs and
+    * partitionings, which would make an oracle compare (and any
+    * reproducible production run) impossible.
+    *
+    * Semantics note (classic synchronous-LPA behavior, spec'd in the
+    * oracle): on bipartite-ish layers labels can oscillate between
+    * rounds — the leaf layer still converges to its community labels
+    * (customers land on their region), and a production deployment
+    * wanting full convergence uses a semi-synchronous schedule on top
+    * of this same per-round operator. */
+  def labelPropagation(spark: SparkSession, edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+      .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .alias("e")
+    var labels = edges.select(col("src").as("vid")).distinct()
+      .withColumn("label", col("vid"))
+    for (_ <- 1 to iters) {
+      val l = labels.alias("l")
+      val hist = edges.join(l, col("e.src") === col("l.vid"))
+        .groupBy(col("e.dst").as("nv"), col("l.label").as("nl"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nv")).orderBy(col("cnt").desc, col("nl").asc)
+      labels = hist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("nv").as("vid"), col("nl").as("label"))
+    }
+    labels
+  }
+
   /** Hop distance to the nearest landmark via GraphX ShortestPaths (BFS
     * over the undirected rendering of the edge set). */
   def nearestLandmark(spark: SparkSession, edges: DataFrame, landmarks: Seq[Long]): DataFrame = {

@@ -67,6 +67,36 @@ object AnalyticsQueries {
            |SELECT vid, CAST(rank AS DOUBLE) AS rank FROM r5 ORDER BY vid""".stripMargin
       }),
 
+    Q("g06_label_propagation",
+      // community detection: 4 deterministic synchronous LPA rounds over
+      // the undirected customer–nation–region graph (most-frequent
+      // neighbor label, min-label tie-break); customers converge to their
+      // region's community. The oracle unrolls the identical iteration.
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val nr = g.V("nation").df
+          .select((col("n_nationkey") + 100).as("src"), col("n_regionkey").cast("long").as("dst"))
+        val cn = g.V("customer").df
+          .select((col("c_custkey") + 1000).as("src"), (col("c_nationkey") + 100).as("dst"))
+        GraphAnalytics.labelPropagation(s, nr.unionByName(cn), iters = 4)
+          .orderBy("vid")
+      },
+      Some {
+        val step = (k: Int) =>
+          s"""l$k AS (SELECT vid, label FROM (
+             |  SELECT e.dst AS vid, l.label, count(*) AS cnt,
+             |    row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.label) AS rn
+             |  FROM edges e JOIN l${k - 1} l ON l.vid = e.src GROUP BY e.dst, l.label) t WHERE rn = 1)""".stripMargin
+        s"""WITH edges0 AS (
+           |  SELECT CAST(100 + n_nationkey AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation
+           |  UNION ALL
+           |  SELECT CAST(1000 + c_custkey AS BIGINT), CAST(100 + c_nationkey AS BIGINT) FROM customer),
+           |edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
+           |l0 AS (SELECT DISTINCT src AS vid, src AS label FROM edges),
+           |${(1 to 4).map(step).mkString(",\n")}
+           |SELECT vid, label FROM l4 ORDER BY vid""".stripMargin
+      }),
+
     Q("g04_triangle_count",
       // per-nation triangle count over the co-region graph (nations
       // connected when they share a region) — a K5 per region, so each
