@@ -8,7 +8,9 @@ import graft.queries._
   * express it). */
 object SparkEntry {
 
-  private def registry: Seq[CoreQueries.Q] =
+  /** Package-visible for QueryRegistrySpec's hygiene gate: the RAW
+    * concatenation, before toMap silently collapses a duplicate name. */
+  private[graft] def registry: Seq[CoreQueries.Q] =
     CoreQueries.all ++ TimeQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++ PropertyQueries.all ++
       BranchQueries.all ++ IntegrityQueries.all ++ CoverageQueries.all ++ AnalyticalQueries.all ++

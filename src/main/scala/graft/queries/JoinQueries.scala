@@ -186,6 +186,50 @@ object JoinQueries {
              |  FROM events GROUP BY 1)
              |SELECT e.event_id, e.event_type, e.value, d.tavg, e.value - d.tavg AS dev
              |FROM events e JOIN dim d USING (event_type)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("q94_having_join_topk",
+      // TPC-H Q18 shape through the DSL: orders whose lineitem quantity
+      // sum exceeds a threshold (projectBy correlated aggregation →
+      // HAVING), re-typed back to the orders model, joined to customer,
+      // top-100 by price. The quantity pre-aggregation happens per
+      // orderkey BELOW the customer join — |orders|-sized rows reach
+      // that join, never |lineitem|-sized (PlanQualitySpec gates it);
+      // the EagerCountAggregation fixpoint must leave this
+      // already-pushed shape alone. l_quantity is integral, so the
+      // double sum is order-exact without decimal accumulation.
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val t = g.V("orders")
+          .projectBy((orderCols.map(c => graft.traversal.ProjectBy.Col(c, col(c))) :+
+            graft.traversal.ProjectBy.Sub("sum_qty", _.in("of_order").value("l_quantity"), "sum")): _*)
+          .retype("orders")
+          .where(col("sum_qty") > 300)
+          .as("oq")
+        val hopped = t.out("placed_by")
+        hopped.project(
+          "c_name" -> col("c_name"),
+          "c_custkey" -> col("c_custkey"),
+          "o_orderkey" -> hopped.sel("oq", "o_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ; UTC session makes the cast exact
+          "o_orderdate_ms" -> unix_millis(hopped.sel("oq", "o_orderdate").cast("timestamp")),
+          "o_totalprice" -> hopped.sel("oq", "o_totalprice"),
+          "sum_qty" -> hopped.sel("oq", "sum_qty"))
+          .sortBy(col("o_totalprice").desc_nulls_last, col("o_orderdate_ms").asc_nulls_first,
+            col("o_orderkey").asc_nulls_first)
+          .limit(100).toDF
+      },
+      Some("""SELECT c.c_name, c.c_custkey, o.o_orderkey,
+             |  epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+             |  o.o_totalprice, l.sum_qty
+             |FROM orders o
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY 1) l ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |WHERE l.sum_qty > 300
+             |ORDER BY o.o_totalprice DESC, o_orderdate_ms, o.o_orderkey
+             |LIMIT 100""".stripMargin))
   )
 }

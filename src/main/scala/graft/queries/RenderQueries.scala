@@ -50,6 +50,92 @@ object RenderQueries {
              |         '"' || bucket_ms || '":{"cnt":' || cnt || '}',
              |         ',' ORDER BY bucket_ms) || '}' AS json
              |FROM (SELECT (epoch_ms(ts) - epoch_ms(ts) % 86400000) AS bucket_ms, count(*) AS cnt
-             |      FROM events GROUP BY 1)""".stripMargin))
+             |      FROM events GROUP BY 1)""".stripMargin)),
+
+    // Nested grouping sub-aggregations (reference grammar recursion:
+    // Aggregation.scala:151,167; per-group re-aggregation :369-384; the
+    // nested agg's {innerKey: obj} entries merge as SIBLINGS of the scalar
+    // names, :383-391). The oracle rebuilds the same nested payload with
+    // two-level string_agg, pinning keys, order, _size capping, and the
+    // sibling-merge shape byte-for-byte.
+    Q("j03_nested_field_in_field_json",
+      (s, dir) => {
+        import s.implicits._
+        val js = exec(s, dir).executeJson(
+          """[{"_name":"all_orders"},
+            |  {"_name":"aggregation","_agg":"field","_field":"o_orderstatus",
+            |   "_select":[{"_agg":"count","_name":"cnt"},
+            |              {"_agg":"field","_field":"o_orderpriority",
+            |               "_order":["-c2"],"_size":2,
+            |               "_select":[{"_agg":"count","_name":"c2"}]}]}]""".stripMargin)
+        Seq(JsonRenderer.compact(js)).toDF("json")
+      },
+      Some("""WITH ig AS (
+             |  SELECT o_orderstatus, o_orderpriority, count(*) AS c2,
+             |         row_number() OVER (PARTITION BY o_orderstatus
+             |                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+             |  FROM orders GROUP BY 1, 2),
+             |ij AS (
+             |  SELECT o_orderstatus,
+             |         string_agg('"' || o_orderpriority || '":{"c2":' || c2 || '}',
+             |                    ',' ORDER BY rn) AS js
+             |  FROM ig WHERE rn <= 2 GROUP BY 1),
+             |og AS (SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1)
+             |SELECT '{' || string_agg(
+             |         '"' || og.o_orderstatus || '":{"cnt":' || og.cnt || ',' || ij.js || '}',
+             |         ',' ORDER BY og.o_orderstatus) || '}' AS json
+             |FROM og JOIN ij USING (o_orderstatus)""".stripMargin)),
+
+    Q("j04_nested_time_in_field_json",
+      (s, dir) => {
+        import s.implicits._
+        // o_orderdate is TIMESTAMP_NTZ (unconformed writer type): the
+        // calendar-month date_trunc bucket is the NTZ-valid form, and the
+        // render key goes through the LocalDateTime epoch path
+        val js = exec(s, dir).executeJson(
+          """[{"_name":"all_orders"},
+            |  {"_name":"aggregation","_agg":"field","_field":"o_orderstatus",
+            |   "_select":[{"_agg":"time","_field":"o_orderdate","_interval":"1M",
+            |               "_select":[{"_agg":"count","_name":"c"}]}]}]""".stripMargin)
+        Seq(JsonRenderer.compact(js)).toDF("json")
+      },
+      Some("""WITH ig AS (
+             |  SELECT o_orderstatus, epoch_ms(date_trunc('month', o_orderdate)) AS b,
+             |         count(*) AS c
+             |  FROM orders GROUP BY 1, 2),
+             |ij AS (
+             |  SELECT o_orderstatus,
+             |         string_agg('"' || b || '":{"c":' || c || '}', ',' ORDER BY b) AS js
+             |  FROM ig GROUP BY 1)
+             |SELECT '{' || string_agg(
+             |         '"' || o_orderstatus || '":{' || js || '}',
+             |         ',' ORDER BY o_orderstatus) || '}' AS json
+             |FROM ij""".stripMargin)),
+
+    Q("j05_nested_field_in_time_json",
+      (s, dir) => {
+        import s.implicits._
+        val js = exec(s, dir).executeJson(
+          """[{"_name":"all_events"},
+            |  {"_name":"aggregation","_agg":"time","_field":"ts","_interval":"1M",
+            |   "_select":[{"_agg":"count","_name":"n"},
+            |              {"_agg":"field","_field":"event_type",
+            |               "_select":[{"_agg":"count","_name":"c"}]}]}]""".stripMargin)
+        Seq(JsonRenderer.compact(js)).toDF("json")
+      },
+      Some("""WITH ig AS (
+             |  SELECT epoch_ms(date_trunc('month', ts)) AS b, event_type, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |ij AS (
+             |  SELECT b,
+             |         string_agg('"' || event_type || '":{"c":' || c || '}',
+             |                    ',' ORDER BY event_type) AS js
+             |  FROM ig GROUP BY 1),
+             |og AS (SELECT epoch_ms(date_trunc('month', ts)) AS b, count(*) AS n
+             |       FROM events GROUP BY 1)
+             |SELECT '{' || string_agg(
+             |         '"' || og.b || '":{"n":' || og.n || ',' || ij.js || '}',
+             |         ',' ORDER BY og.b) || '}' AS json
+             |FROM og JOIN ij USING (b)""".stripMargin))
   )
 }

@@ -137,69 +137,177 @@ object AggregationParser {
 }
 
 object AggCompiler {
+  import org.apache.spark.sql.expressions.Window
 
   /** Compile and run an aggregation over a DataFrame. Output schema:
     * standalone count/scalar → one row, one column per agg name; `field` →
     * one row per group (key column keeps the field name); `time` → one row
-    * per bucket (key column `<field>_bucket`, timestamp). */
+    * per bucket (key column `<field>_bucket`, timestamp). A NESTED
+    * `field`/`time` sub-aggregation (the reference's grammar is recursive,
+    * Aggregation.scala:151,167: `_select` may itself contain `field`/`time`
+    * aggs, each re-run per group at :369-384) becomes one extra column per
+    * nested agg holding an ORDERED `array<struct<key, subCols…>>` — its
+    * groups honoring the nested `_order`/`_size` WITHIN each parent group.
+    *
+    * Scale shape: where the reference collects each group's elements and
+    * re-traverses them once per nested agg (quadratic in fan-out, driver
+    * lists), here every nesting level is ONE `groupBy` over
+    * (parentKeys…, ownKey) — a single shuffle with map-side partials —
+    * followed by a per-parent `row_number` window (top-k inside the
+    * nested shuffle partition, no global sort) and a `collect_list`
+    * collapse whose payload is the already-reduced per-group row, never
+    * the input rows. The collapse joins back to the parent on the group
+    * keys; both sides are post-aggregation (≤ one row per group), so at
+    * 100 TB the join operands are |groups|-sized, not |rows|-sized. */
   def apply(df: DataFrame, agg: Agg, props: Properties): DataFrame = agg match {
     case Agg.Count(name, f) =>
       filtered(df, f).agg(count(lit(1)).as(name))
     case s: Agg.Scalar =>
       filtered(df, s.filter).agg(scalarExpr(df, s, props))
     case Agg.ByField(field, _, subs, order, size, f) =>
-      val key = props.column(field).as(field)
-      val subExprs = subs.map(sub => subAggExpr(df, sub, props))
-      // hidden count for "-count" ordering when no count sub-agg was declared
-      val needCount = order.exists(o => o.stripPrefix("-").stripPrefix("+") == "count") &&
-        !subs.exists { case Agg.Count(_, _) => true; case _ => false }
-      val exprs = if (needCount) subExprs :+ count(lit(1)).as("__ocount") else subExprs
-      val grouped =
-        if (exprs.isEmpty) filtered(df, f).groupBy(key).agg(count(lit(1)).as("__drop")).drop("__drop")
-        else filtered(df, f).groupBy(key).agg(exprs.head, exprs.tail: _*)
-      val countName = subs.collectFirst { case Agg.Count(n, _) => n }.getOrElse("__ocount")
-      val orderCols = order.map { o =>
-        val (desc, raw) = if (o.startsWith("-")) (true, o.drop(1)) else (false, o.stripPrefix("+"))
-        val c = if (raw == "count" || raw == "_count") col(countName) else col(raw)
-        if (desc) c.desc_nulls_last else c.asc_nulls_first
-      } :+ col(field).asc_nulls_first // deterministic tie-break on the group key
-      val ordered = grouped.orderBy(orderCols: _*)
-      val limited = size.fold(ordered)(ordered.limit)
-      limited.drop("__ocount")
+      val grouped = groupedWithSubs(
+        filtered(df, f), Nil, field -> props.column(field), subs,
+        needOrderCount(order, subs), emptyDefault = None, props)
+      val ordered = grouped.orderBy(orderCols(order, field, countName(subs)): _*)
+      size.fold(ordered)(ordered.limit).drop("__ocount")
     case Agg.ByTime(field, _, iv, cal, subs, f) =>
-      val ts = props.column(field)
       val bucketName = s"${field}_bucket"
-      val bucket = (iv, cal) match {
-        case (Some((d, off)), _) =>
-          // anchored fixed windows: ts - ((epochMs + offset) mod d). pmod
-          // keeps floor semantics for pre-1970 timestamps too — a
-          // DELIBERATE divergence from the reference, whose truncating
-          // Java % collapses all t+3d in (-1w, 1w) into one double-width
-          // epoch-spanning bucket (Aggregation.scala:411-414). Bit-parity
-          // holds for every t+offset >= 0; the pre-epoch floor is pinned
-          // by oracle t09 and the QueryLanguageSpec divergence probe.
-          // offset=3d for weeks yields the reference's Monday anchor.
-          timestamp_millis(unix_millis(ts) - pmod(unix_millis(ts) + lit(off), lit(d))).as(bucketName)
-        case (_, Some(unit)) => date_trunc(unit, ts).as(bucketName)
-        case _ => throw new IllegalStateException("time aggregation without interval")
-      }
-      val subExprs = subs.map(sub => subAggExpr(df, sub, props))
-      val grouped =
-        if (subExprs.isEmpty) filtered(df, f).groupBy(bucket).agg(count(lit(1)).as("count"))
-        else filtered(df, f).groupBy(bucket).agg(subExprs.head, subExprs.tail: _*)
+      val grouped = groupedWithSubs(
+        filtered(df, f), Nil, bucketName -> timeBucket(props.column(field), iv, cal),
+        subs, needOrderCount = false, emptyDefault = Some("count"), props)
       grouped.orderBy(col(bucketName).asc_nulls_first)
+  }
+
+  /** Anchored fixed windows: ts - ((epochMs + offset) mod d). pmod keeps
+    * floor semantics for pre-1970 timestamps too — a DELIBERATE divergence
+    * from the reference, whose truncating Java % collapses all t+3d in
+    * (-1w, 1w) into one double-width epoch-spanning bucket
+    * (Aggregation.scala:411-414). Bit-parity holds for every
+    * t+offset >= 0; the pre-epoch floor is pinned by oracle t09 and the
+    * QueryLanguageSpec divergence probe. offset=3d for weeks yields the
+    * reference's Monday anchor. Calendar months/years truncate in the
+    * session zone (engine sessions pin UTC) — `date_trunc` is also the
+    * only bucket form valid on a TIMESTAMP_NTZ column (fixed-width needs
+    * `unix_millis`, which requires an instant; conform the column via
+    * [[graft.model.Conform]] to use interval buckets). */
+  private def timeBucket(ts: Column, iv: Option[(Long, Long)], cal: Option[String]): Column =
+    (iv, cal) match {
+      case (Some((d, off)), _) =>
+        timestamp_millis(unix_millis(ts) - pmod(unix_millis(ts) + lit(off), lit(d)))
+      case (_, Some(unit)) => date_trunc(unit, ts)
+      case _ => throw new IllegalStateException("time aggregation without interval")
+    }
+
+  /** Hidden count needed for "-count" ordering when no count sub-agg was
+    * declared. */
+  private def needOrderCount(order: Seq[String], subs: Seq[Agg]): Boolean =
+    order.exists(o => o.stripPrefix("-").stripPrefix("+") == "count") &&
+      !subs.exists { case Agg.Count(_, _) => true; case _ => false }
+
+  private def countName(subs: Seq[Agg]): String =
+    subs.collectFirst { case Agg.Count(n, _) => n }.getOrElse("__ocount")
+
+  /** `_order` spec → sort columns, with a deterministic tie-break on the
+    * group key (the reference's group order is JVM-map order —
+    * nondeterministic; canonical ascending key is this engine's pinned
+    * choice, same at every nesting level). */
+  private def orderCols(order: Seq[String], keyName: String, cntName: String): Seq[Column] =
+    order.map { o =>
+      val (desc, raw) = if (o.startsWith("-")) (true, o.drop(1)) else (false, o.stripPrefix("+"))
+      val c = if (raw == "count" || raw == "_count") col(cntName) else col(raw)
+      if (desc) c.desc_nulls_last else c.asc_nulls_first
+    } :+ col(keyName).asc_nulls_first
+
+  /** One grouping level: `groupBy(parents…, key)` with every scalar
+    * sub-agg as one aggregate expression, plus one ordered-array column
+    * per nested `field`/`time` sub-agg (computed from the same base one
+    * level deeper and joined back on the group keys, null-safely — a null
+    * group key still owns its nested slice). `emptyDefault` preserves the
+    * grammar's empty-`_select` shapes: a bare `time` agg emits a default
+    * `count` column; a bare `field` agg emits key-only rows. */
+  private def groupedWithSubs(
+      base: DataFrame,
+      parents: Seq[String],
+      key: (String, Column),
+      subs: Seq[Agg],
+      needOrderCount: Boolean,
+      emptyDefault: Option[String],
+      props: Properties): DataFrame = {
+    val (keyName, keyCol) = key
+    require(!parents.contains(keyName),
+      s"nested aggregation key '$keyName' collides with an enclosing group key")
+    // materialize the (possibly computed — a time bucket, a renamed
+    // property) group key as a real column so the nested recursion can
+    // re-group the same base by name; a narrow projection, no extra pass
+    val withKey = base.withColumn(keyName, keyCol)
+    val scalarExprs = subs.collect {
+      case c: Agg.Count => subAggExpr(withKey, c, props)
+      case s: Agg.Scalar => subAggExpr(withKey, s, props)
+    }
+    val nested = subs.collect { case n @ (_: Agg.ByField | _: Agg.ByTime) => n }
+    val exprs0 = if (needOrderCount) scalarExprs :+ count(lit(1)).as("__ocount") else scalarExprs
+    val exprs =
+      if (exprs0.nonEmpty) exprs0
+      else if (nested.isEmpty && emptyDefault.isDefined) Seq(count(lit(1)).as(emptyDefault.get))
+      else Seq(count(lit(1)).as("__drop"))
+    val grouped = withKey.groupBy((parents :+ keyName).map(col): _*)
+      .agg(exprs.head, exprs.tail: _*).drop("__drop")
+    nested.foldLeft(grouped)((acc, n) => joinNested(acc, withKey, parents :+ keyName, n, props))
+  }
+
+  /** Attach one nested agg's ordered-array column to the parent grouping.
+    * Null-safe equi-join on the full parent key tuple; LEFT so a parent
+    * group whose nested `_query` pre-filter removed every row renders the
+    * reference's empty merge (Aggregation.scala:383-391). */
+  private def joinNested(parent: DataFrame, base: DataFrame, parentKeys: Seq[String], n: Agg, props: Properties): DataFrame = {
+    val arr = collapsedNested(base, parentKeys, n, props)
+    val renamed = parentKeys.zipWithIndex.foldLeft(arr) {
+      case (d, (k, i)) => d.withColumnRenamed(k, s"__jk$i")
+    }
+    val cond = parentKeys.zipWithIndex.map { case (k, i) => parent(k) <=> renamed(s"__jk$i") }
+      .reduce(_ && _)
+    parent.join(renamed, cond, "left").drop(parentKeys.indices.map(i => s"__jk$i"): _*)
+  }
+
+  /** One nested `field`/`time` agg as `(parentKeys…, name)` where `name`
+    * holds `array<struct<key, subCols…>>` ordered by the nested `_order`
+    * (`_size`-capped) — `row_number` per parent group, `array_sort` on a
+    * leading rank field, then the rank is projected back out. */
+  private def collapsedNested(base: DataFrame, parentKeys: Seq[String], n: Agg, props: Properties): DataFrame = {
+    val (key, subs, order, size, f) = n match {
+      case Agg.ByField(field, _, subs, order, size, f) =>
+        ((field, props.column(field)), subs, order, size, f)
+      case Agg.ByTime(field, _, iv, cal, subs, f) =>
+        ((s"${field}_bucket", timeBucket(props.column(field), iv, cal)), subs, Seq.empty[String], Option.empty[Int], f)
+      case other => throw new IllegalArgumentException(s"not a grouping aggregation: $other")
+    }
+    val grouped = groupedWithSubs(
+      filtered(base, f), parentKeys, key, subs, needOrderCount(order, subs),
+      emptyDefault = None, props)
+    val w = Window.partitionBy(parentKeys.map(col): _*).orderBy(orderCols(order, key._1, countName(subs)): _*)
+    val ranked = grouped.withColumn("__rn", row_number().over(w))
+    val limited = size.fold(ranked)(s => ranked.where(col("__rn") <= s))
+    val dataCols = limited.columns.filterNot(c => parentKeys.contains(c) || c == "__rn" || c == "__ocount").toSeq
+    limited
+      .groupBy(parentKeys.map(col): _*)
+      .agg(array_sort(collect_list(struct((col("__rn") +: dataCols.map(col)): _*))).as("__arr"))
+      .withColumn(n.name, transform(col("__arr"), e => struct(dataCols.map(c => e.getField(c).as(c)): _*)))
+      .drop("__arr")
   }
 
   private def filtered(df: DataFrame, f: Option[Column]): DataFrame = f.fold(df)(df.where)
 
-  /** A sub-aggregation as a single aggregate expression; its `_query`
-    * pre-filter becomes a conditional aggregate — one pass, no re-grouping
-    * (cf. reference's per-sub-agg re-iteration, Aggregation.scala:383-396). */
+  /** A scalar sub-aggregation as a single aggregate expression; its
+    * `_query` pre-filter becomes a conditional aggregate — one pass, no
+    * re-grouping (cf. reference's per-sub-agg re-iteration,
+    * Aggregation.scala:383-396). Nested `field`/`time` sub-aggs are not
+    * single expressions — they take the [[collapsedNested]] path. */
   private def subAggExpr(df: DataFrame, sub: Agg, props: Properties): Column = sub match {
     case Agg.Count(name, None) => count(lit(1)).as(name)
     case Agg.Count(name, Some(p)) => count(when(p, 1)).as(name)
     case s: Agg.Scalar => scalarExpr(df, s, props)
-    case other => throw new IllegalArgumentException(s"unsupported nested aggregation: $other")
+    case other => throw new IllegalArgumentException(
+      s"nested grouping aggregation '${other.name}' must be compiled via groupedWithSubs, not as a column")
   }
 
   private def scalarExpr(df: DataFrame, s: Agg.Scalar, props: Properties): Column = {

@@ -78,29 +78,61 @@ object JsonRenderer {
       // time keys are epoch-millis strings (reference :430,:479 dateToKey)
       val rows = df.collect()
       JObject(rows.iterator.map { r =>
-        val key = r.get(r.fieldIndex(s"${field}_bucket")) match {
-          case t: Timestamp => t.getTime.toString
-          case other => keyString(other)
-        }
-        key -> subObject(r, subs)
+        keyString(r.get(r.fieldIndex(s"${field}_bucket"))) -> subObject(r, subs)
       }.toList)
   }
 
-  /** One group's merged sub-aggregation object. A sub-result that rendered
-    * JsNull (scalar over an empty/all-null slice) is omitted — the
-    * reference folds non-JsObject results out of the merge with a warning
-    * (Aggregation.scala:383-391). */
-  private def subObject(r: Row, subs: Seq[Agg]): JValue =
-    JObject(subs.iterator.flatMap {
-      case Agg.Count(n, _) => Some(n -> toJson(Option(r.get(r.fieldIndex(n))).getOrElse(0L)))
-      case sub => Option(r.get(r.fieldIndex(sub.name))).map(v => sub.name -> toJson(v))
-    }.toList)
+  /** One group's merged sub-aggregation object, exactly the reference's
+    * per-group fold (Aggregation.scala:383-391, `acc ++ jsObject`):
+    * - a scalar sub-result that rendered JsNull (empty/all-null slice) is
+    *   omitted — non-JsObject results fold out of the merge;
+    * - a NESTED `field`/`time` sub-agg contributes its own
+    *   `{innerKey: innerObj}` entries DIRECTLY AS SIBLINGS of the scalar
+    *   names (the inner aggregation's toJson is keyed by group key, not
+    *   by agg name, and `++` splices it in — so the nested agg's `_name`
+    *   never appears in the payload);
+    * - on a (pathological) key collision the later entry wins at its
+    *   first position, matching play-json `JsObject ++`. */
+  private def subObject(r: Row, subs: Seq[Agg]): JValue = {
+    val merged = new java.util.LinkedHashMap[String, JValue]
+    subEntries(r, subs).foreach { case (k, v) => merged.put(k, v) }
+    import scala.jdk.CollectionConverters._
+    JObject(merged.asScala.toList)
+  }
+
+  private def subEntries(r: Row, subs: Seq[Agg]): List[(String, JValue)] =
+    subs.flatMap {
+      case Agg.Count(n, _) =>
+        List(n -> toJson(Option(r.get(r.fieldIndex(n))).getOrElse(0L)))
+      case s: Agg.Scalar =>
+        Option(r.get(r.fieldIndex(s.name))).map(v => s.name -> toJson(v)).toList
+      case nb: Agg.ByField =>
+        nestedEntries(r, nb.name, nb.subs,
+          e => Option(e.get(e.fieldIndex(nb.field))).map(keyString).getOrElse("null"))
+      case nt: Agg.ByTime =>
+        nestedEntries(r, nt.name, nt.subs,
+          e => keyString(e.get(e.fieldIndex(s"${nt.field}_bucket"))))
+    }.toList
+
+  /** A nested agg's ordered `array<struct<key, subCols…>>` column →
+    * `(innerKey, innerObj)` entries; a NULL array (parent group emptied by
+    * the nested `_query` pre-filter) merges nothing, like the reference's
+    * empty-group fold. Deeper nesting recurses through [[subEntries]]. */
+  private def nestedEntries(r: Row, name: String, subs: Seq[Agg], key: Row => String): List[(String, JValue)] =
+    Option(r.get(r.fieldIndex(name))) match {
+      case None => Nil
+      case Some(v) =>
+        v.asInstanceOf[scala.collection.Seq[Row]].iterator
+          .map(e => key(e) -> subObject(e, subs)).toList
+    }
 
   /** Group keys stringify as the reference's `kv._1.toString`
     * (Aggregation.scala:397): integral doubles shed no precision, dates
-    * become epoch millis. */
+    * become epoch millis (time buckets too, :430,:479 dateToKey). */
   private def keyString(v: Any): String = v match {
     case t: Timestamp => t.getTime.toString
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ buckets collect as LocalDateTime
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toString
     case other => other.toString
   }
 

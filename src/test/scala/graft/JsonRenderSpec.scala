@@ -181,4 +181,84 @@ class JsonRenderSpec extends SparkSpec {
       assert(out == "6")
     }
   }
+
+  /** The reference's grammar is RECURSIVE: `_select` may nest `field`/`time`
+    * aggregations (Aggregation.scala:151,167), each re-run per group
+    * (:369-384), and a nested agg's `{innerKey: obj}` entries merge
+    * DIRECTLY AS SIBLINGS of the scalar sub-agg names (:383-391
+    * `acc ++ jsObject` — the nested `_name` never reaches the payload).
+    * Fixture mirrors a TheHive case dashboard: tickets per status per
+    * severity per month. `ts` is deliberately TIMESTAMP_NTZ
+    * (LocalDateTime) to pin the NTZ nested-bucket render path. */
+  describe("nested grouping aggregations (reference Aggregation.scala:151,369-384)") {
+    import graft.traversal.{Graph, VertexTable}
+
+    lazy val ticketExec: QueryExecutor = {
+      import spark.implicits._
+      def d(s: String) = java.time.LocalDateTime.parse(s + "T00:00:00")
+      val tickets = Seq(
+        ("t1", "open", "high", d("2020-01-05"), 10.0),
+        ("t2", "open", "high", d("2020-01-20"), 5.0),
+        ("t3", "open", "low", d("2020-02-01"), 1.0),
+        ("t4", "open", "med", d("2020-01-07"), 2.0),
+        ("t5", "closed", "low", d("2020-02-10"), 4.0),
+        ("t6", "closed", "low", d("2020-01-02"), 8.0),
+        ("t7", "closed", "high", d("2020-02-03"), 3.0)
+      ).toDF("tid", "status", "severity", "ts", "cost")
+      val tg = new Graph(spark, Map("ticket" -> VertexTable("ticket", tickets, "tid")), Map.empty)
+      new QueryExecutor(tg, Map("allTickets" -> ((_: JValue, g) => g.V("ticket"))))
+    }
+    def runT(q: String): String = JsonRenderer.compact(ticketExec.executeJson(q))
+
+    it("field-in-field honors the inner _order/_size within each outer group") {
+      val out = runT(
+        """[{"_name":"allTickets"},
+          |  {"_name":"aggregation","_agg":"field","_field":"status",
+          |   "_select":[{"_agg":"count","_name":"cnt"},
+          |              {"_agg":"field","_field":"severity",
+          |               "_order":["-c2"],"_size":2,
+          |               "_select":[{"_agg":"count","_name":"c2"}]}]}]""".stripMargin)
+      // closed: low(2) > high(1); open: high(2) > low(1)=med(1), size-2 keeps
+      // low by the ascending-key tie-break — med is cut
+      assert(out ==
+        """{"closed":{"cnt":3,"low":{"c2":2},"high":{"c2":1}},""" +
+        """"open":{"cnt":4,"high":{"c2":2},"low":{"c2":1}}}""")
+    }
+
+    it("time-in-field buckets each outer group's months as epoch-millis keys (NTZ column)") {
+      val out = runT(
+        """[{"_name":"allTickets"},
+          |  {"_name":"aggregation","_agg":"field","_field":"status",
+          |   "_select":[{"_agg":"time","_field":"ts","_interval":"1M",
+          |               "_select":[{"_agg":"count","_name":"c"}]}]}]""".stripMargin)
+      assert(out ==
+        """{"closed":{"1577836800000":{"c":1},"1580515200000":{"c":2}},""" +
+        """"open":{"1577836800000":{"c":3},"1580515200000":{"c":1}}}""")
+    }
+
+    it("three-level nesting (field-in-field-in-time) recurses") {
+      val out = runT(
+        """[{"_name":"allTickets"},
+          |  {"_name":"aggregation","_agg":"field","_field":"status",
+          |   "_select":[{"_agg":"field","_field":"severity",
+          |               "_select":[{"_agg":"time","_field":"ts","_interval":"1M",
+          |                           "_select":[{"_agg":"count","_name":"c"}]}]}]}]""".stripMargin)
+      assert(out ==
+        """{"closed":{"high":{"1580515200000":{"c":1}},"low":{"1577836800000":{"c":1},"1580515200000":{"c":1}}},""" +
+        """"open":{"high":{"1577836800000":{"c":2}},"low":{"1580515200000":{"c":1}},"med":{"1577836800000":{"c":1}}}}""")
+    }
+
+    it("a nested _query pre-filter scopes only the nested agg; an emptied outer group merges nothing") {
+      val out = runT(
+        """[{"_name":"allTickets"},
+          |  {"_name":"aggregation","_agg":"field","_field":"status",
+          |   "_select":[{"_agg":"count","_name":"cnt"},
+          |              {"_agg":"field","_field":"severity",
+          |               "_query":{"_gt":{"cost":8}},
+          |               "_select":[{"_agg":"sum","_field":"cost","_name":"sc"}]}]}]""".stripMargin)
+      // only t1 (open/high/10.0) survives cost>8: outer counts keep ALL
+      // rows; closed's nested slice is empty and merges nothing
+      assert(out == """{"closed":{"cnt":3},"open":{"cnt":4,"high":{"sc":10.0}}}""")
+    }
+  }
 }

@@ -37,6 +37,47 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), plan)
     }
 
+    it("q94's lineitem quantity pre-aggregation sits BELOW the customer join") {
+      // TPC-H Q18 shape: the HAVING sum(l_quantity) must aggregate per
+      // orderkey before the customer join — |orders|-sized rows reach the
+      // join, never |lineitem|-sized. A rule (eager-agg fixpoint included)
+      // that hoisted the aggregate above the join would multiply every
+      // lineitem row through customer first: the sf100 q09 failure mode.
+      // AQE off for the assertion: the static plan tree is what the rule
+      // pipeline produced, without QueryStageExec wrappers.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = SparkEntry.queries("q94_having_join_topk")(spark, sfDir)
+        val plan = df.queryExecution.executedPlan
+        def scansTable(p: SparkPlan, t: String): Boolean = p.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains(t)) => f
+        }.nonEmpty
+        val custJoins = plan.collect {
+          case j: BaseJoinExec if j.children.exists(scansTable(_, "customer")) => j
+        }
+        assert(custJoins.nonEmpty, s"no customer join found in\n$plan")
+        custJoins.foreach { j =>
+          val streamed = j.children.filterNot(scansTable(_, "customer"))
+          assert(streamed.exists(c => c.collect {
+            case a: BaseAggregateExec
+                if a.aggregateExpressions.exists(_.toString.contains("sum(l_quantity")) => a
+          }.nonEmpty), s"sum(l_quantity) aggregate not below the customer join in\n$plan")
+        }
+        // and nothing re-aggregates lineitem above the join: every
+        // sum(l_quantity) aggregate in the whole plan is under the join
+        val aggsAboveJoin = plan.collect {
+          case a: BaseAggregateExec
+              if a.aggregateExpressions.exists(_.toString.contains("sum(l_quantity")) &&
+                a.collect { case j: BaseJoinExec if j.children.exists(scansTable(_, "customer")) => j }.nonEmpty => a
+        }
+        assert(aggsAboveJoin.isEmpty, s"lineitem aggregate ABOVE the customer join in\n$plan")
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+
     it("e10's final plan reads the materialized assignment: no cross joins, no corpus windows") {
       // the N×K assignment dots run ONCE (checkpoint); the query plan the
       // executors see is the pair join on cid plus the K-row broadcast

@@ -120,4 +120,32 @@ class QueryRegistrySpec extends SparkSpec {
         .collect().head.getLong(0) == 3L) // marko, vadas, peter
     }
   }
+
+  /** Registry hygiene at 170 queries across 16 contributing files: the
+    * `registry.toMap` in SparkEntry would silently COLLAPSE a duplicate
+    * name (last file wins, the shadowed query vanishes from the driver's
+    * correctness gate looking green), and a query registered without an
+    * oracle only fails at driver time (tools/check.py:50-57). Both must
+    * fail HERE, in `sbt test`, before a round ships. */
+  describe("SparkEntry registry hygiene") {
+    it("query names are unique across all contributing files") {
+      val names = SparkEntry.registry.map(_.name)
+      val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.toSeq.sorted
+      assert(dups.isEmpty, s"duplicate query names (one is being shadowed): $dups")
+    }
+
+    it("every registered query carries a DuckDB oracle") {
+      // the driver records a weaker rows-only check for oracle-less
+      // queries; this engine's contract is every entry oracle-checked —
+      // a non-SQL-expressible operator still gets a string/JSON-shaped
+      // oracle (the jNN render family is the pattern)
+      val missing = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).sorted
+      assert(missing.isEmpty, s"registered without an oracle: $missing")
+    }
+
+    it("the executable map serves exactly the registry key set") {
+      assert(SparkEntry.queries.keySet == SparkEntry.registry.map(_.name).toSet)
+      assert(SparkEntry.oracleSql.keySet == SparkEntry.registry.map(_.name).toSet)
+    }
+  }
 }
