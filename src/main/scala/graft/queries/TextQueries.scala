@@ -245,11 +245,15 @@ object TextQueries {
     // sig/chunk/corpusIdx entries are parquet-artifact readers — dropping
     // the references is enough (the on-disk artifacts are reused via
     // their pointer)
-    Seq(candCache, verCache).foreach(
+    Seq(candCache, verCache, d27Cache).foreach(
       _.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint))
     Seq(sigCache, chunkCache).foreach(_.removeAll(s))
     corpusIdxCache.removeAll(s)
   }
+
+  /** d27's batch-side checkpoint blocks (batch signatures + candidate
+    * shingle sets) — tracked so [[releaseCaches]] frees them. */
+  private val d27Cache = new graft.util.SessionCache[DataFrame]
 
   // ------------------------------------------------- DuckDB-side oracle SQL
 
@@ -817,20 +821,25 @@ object TextQueries {
         val (corpusHashes, member) = corpusIndex(s, dir)
         // batch-side per-run work: signatures computed for the BATCH docs
         // only — the full-corpus signature table is an artifact-build
-        // input, not a per-batch dependency
-        val bb = bandsFromSig(signatures(batch).localCheckpoint())
+        // input, not a per-batch dependency. Both batch-side checkpoints
+        // are session-cached so repeated runs reuse one set of blocks AND
+        // releaseCaches can actually free them (an untracked checkpoint
+        // pins block-manager memory until session end).
+        val bb = bandsFromSig(d27Cache.getOrElseUpdate(s, s"$dir#batchsig")(
+          signatures(batch).localCheckpoint()))
         val cand = bb.join(member, Seq("band", "bkey"))
           .select(col("doc_id").as("b_id"), col("corpus_id")).distinct()
         val candIds = cand.select(col("b_id").as("doc_id"))
           .union(cand.select(col("corpus_id").as("doc_id"))).distinct()
-        val sh = d.join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 3)
-          .select(col("doc_id"),
-            expr("""array_distinct(transform(sequence(1, size(toks) - 2),
-                   |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin)
-              .as("ss"))
-          .localCheckpoint()
+        val sh = d27Cache.getOrElseUpdate(s, s"$dir#shingles")(
+          d.join(candIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .where(size(col("toks")) >= 3)
+            .select(col("doc_id"),
+              expr("""array_distinct(transform(sequence(1, size(toks) - 2),
+                     |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin)
+                .as("ss"))
+            .localCheckpoint())
         val ver = cand
           .join(sh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")
           .join(sh.select(col("doc_id").as("corpus_id"), col("ss").as("ssc")), "corpus_id")

@@ -15,8 +15,9 @@ import CoreQueries.Q
  * counts AND across the DuckDB oracle.
  *
  * ANN design: a data-derived coarse quantizer — sign random projection
- * (SRP-LSH) over [[VectorQueries.NBits]] md5-derived integer hyperplanes —
- * assigns every vector a bucket code; signs are computed with exact
+ * (SRP-LSH) over corpus-sized md5-derived integer hyperplanes (bit count
+ * auto-derived from the corpus and stored as index metadata, see
+ * [[VectorQueries.deriveNBits]]) — assigns every vector a bucket code; signs are computed with exact
  * decimal accumulation so bucket assignment is deterministic across
  * engines and partitionings. The code table is materialized (the stored
  * IVF index of a production deployment, where it is also the partition
@@ -26,8 +27,8 @@ import CoreQueries.Q
  * code — one broadcast/shuffle join on a short key, not an O(N×Q) cross
  * join.
  *
- * Parameter note: NBits/ProbeRadius trade recall for scan fraction and
- * tune per corpus. The synthetic testdata embeddings are near-random unit
+ * Parameter note: nbits/ProbeRadius trade recall for scan fraction; nbits
+ * sizes itself from the corpus. The synthetic testdata embeddings are near-random unit
  * vectors (top-5 neighbor cosine ≈ 0.37, no cluster structure), the
  * hardest possible geometry; 6 bits/radius 2 measures recall@5 ≈ 0.5 at a
  * 35 % scan fraction there. Real embedding corpora with tight neighbor
@@ -41,14 +42,57 @@ object VectorQueries {
 
   // -------------------------------------------------- SRP coarse quantizer
   private val Dim = 64
-  /** Hyperplane count — THE corpus-scale knob (buckets = 2^NBits, expected
-    * occupancy = N/2^NBits). Deployment sizes it when building the code
-    * table; overridable here via GRAFT_SRP_NBITS (default 6, the shipped
-    * demo setting) so the scale path is measurable, not just documented.
-    * Everything downstream — hyperplanes, probe masks, the generated
-    * DuckDB oracle SQL — derives from this one constant, so the oracle
-    * gate holds at ANY setting (verified at 6 and 9; see SCALE_sf10.md). */
-  private val NBits = sys.env.getOrElse("GRAFT_SRP_NBITS", "6").toInt
+  /** Hyperplane count — THE corpus-scale knob (buckets = 2^nbits, expected
+    * occupancy = N/2^nbits) — is now DERIVED FROM THE CORPUS at index-build
+    * time instead of being a deployment setting: the smallest b in
+    * [NBitsFloor, NBitsMax] with N ≤ TargetOccupancy·2^b (pure integer
+    * comparison, so the Spark side and the DuckDB oracle — which derives
+    * the same b from count(*) in SQL — agree bit-exactly, no float-log2
+    * boundary). The derived value is STORED as a digest-keyed artifact
+    * next to the ANN index ([[nbitsOf]]), so probes read the stored
+    * quantizer setting rather than re-deriving — the quantizer is index
+    * metadata, exactly like the partition layout it determines.
+    * GRAFT_SRP_NBITS remains as an explicit override for A/B runs (it
+    * bypasses the store and keys the stored index by its value).
+    * TargetOccupancy=64 keeps expected buckets ~30× under VecBucketCap,
+    * so d12 runs full (uncapped) verification by default at every shipped
+    * scale: sf0.01 → 7 bits (~47/bucket), sf0.1 → 10 (~59), sf100 → 16
+    * (~915, still under the 2000 cap at NBitsMax). */
+  private val NBitsFloor = 6
+  private val NBitsMax = 16
+  private val TargetOccupancy = 64L
+  private val envNBits: Option[Int] = sys.env.get("GRAFT_SRP_NBITS").map(_.toInt)
+  envNBits.foreach(n => require(n >= 1 && n <= NBitsMax,
+    s"GRAFT_SRP_NBITS must be in [1, $NBitsMax] (planes and the oracle's full-width code stop there)"))
+
+  /** Smallest bit count keeping expected occupancy ≤ TargetOccupancy —
+    * integer-exact, identical to the oracle's SQL derivation. */
+  private[graft] def deriveNBits(n: Long): Int =
+    (NBitsFloor to NBitsMax).find(b => n <= (TargetOccupancy << b)).getOrElse(NBitsMax)
+
+  /** The stored quantizer setting: resolve-or-build a 1-row parquet
+    * artifact (nbits, corpus_n) keyed by the embeddings source digest,
+    * through the same versioned-dir + atomic-pointer protocol as the ANN
+    * index itself. First build pays one metadata-only parquet count; every
+    * later session — probes included — reads the stored setting, so index
+    * and probe can never disagree (a regenerated corpus changes the
+    * digest, invalidating setting AND index together). */
+  private val nbitsCache = new graft.util.SessionCache[Int]
+  private def nbitsOf(s: SparkSession, dir: String): Int = envNBits.getOrElse(
+    nbitsCache.getOrElseUpdate(s, dir) {
+      import org.apache.hadoop.fs.Path
+      val digest = graft.sources.ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "srpmeta")
+      val meta = graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_srp_meta_$digest") { path =>
+        import s.implicits._
+        val n = emb(s, dir).count()
+        Seq((deriveNBits(n), n, NBitsMax, TargetOccupancy))
+          .toDF("nbits", "corpus_n", "nbits_max", "target_occupancy")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+      meta.head().getAs[Int]("nbits")
+    })
   private val ProbeRadius = 2
   /** IVF quantizer (e05): centroid count and probed buckets per query. */
   private val KCent = 8
@@ -63,22 +107,26 @@ object VectorQueries {
     * an SRP bucket larger than this is skipped entirely, so a skewed or
     * duplicate-heavy corpus can never make one bucket's pair explosion
     * quadratic — the worst case is structurally Cap²/2 per bucket
-    * regardless of data. Sized so the healthy buckets of the test scales
-    * (≈ N/2^NBits members) pass untouched; at production scale NBits
-    * grows with the corpus to keep expected bucket size far below it. */
+    * regardless of data. Healthy buckets never approach it: the
+    * auto-derived bit count pins expected occupancy ≤ TargetOccupancy
+    * (≤ ~915 even at the NBitsMax ceiling for sf100), so only genuine
+    * skew/duplicate pathologies are dropped — and they are observed. */
   private val VecBucketCap = 2000L
 
-  /** All probe codes of a query code: XOR masks for Hamming distance 0..
-    * ProbeRadius — exhaustively enumerated by popcount, so any radius
-    * stays consistent with e02's bit_count filter. */
-  private val probeMasks: Seq[Long] =
-    (0L until (1L << NBits)).filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
+  /** All probe codes of a query code at `nbits`: XOR masks for Hamming
+    * distance 0..ProbeRadius — exhaustively enumerated by popcount, so any
+    * radius stays consistent with e02's bit_count filter. */
+  private def probeMasksFor(nbits: Int): Seq[Long] =
+    (0L until (1L << nbits)).filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
 
   private def mdLong(seed: String): Long = graft.functions.MinHashDefaults.mdLong(seed)
   /** Integer hyperplane components in [-8, 8], md5-derived so the plan and
-    * the DuckDB oracle embed the same literals. */
+    * the DuckDB oracle embed the same literals. Defined out to NBitsMax;
+    * a corpus' code uses the first `nbits` of them, so a code at b bits is
+    * exactly the NBitsMax-bit code masked to its low b bits — the identity
+    * the oracle SQL uses. */
   private val planes: IndexedSeq[IndexedSeq[Long]] =
-    (0 until NBits).map(j => (0 until Dim).map(i => mdLong(s"graft:srp:$j:$i") % 17 - 8))
+    (0 until NBitsMax).map(j => (0 until Dim).map(i => mdLong(s"graft:srp:$j:$i") % 17 - 8))
 
   /** Spark: sign bit j of dot(embedding, plane_j) via the native decimal
     * dot (hyperplane components are small integers, exact as floats, so
@@ -87,9 +135,9 @@ object VectorQueries {
     * form the DuckDB oracle uses, at compiled-loop speed). */
   private def planeLit(j: Int): org.apache.spark.sql.Column =
     array(planes(j).map(v => lit(v.toFloat)): _*)
-  private def codeCol: org.apache.spark.sql.Column = {
+  private def codeCol(nbits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftBridge
-    (0 until NBits).map { j =>
+    (0 until nbits).map { j =>
       val dot = GraftBridge.column(graft.functions.DecimalDotProduct(
         GraftBridge.expression(col("embedding")), GraftBridge.expression(planeLit(j))))
       when(dot > 0d, lit(1L << j)).otherwise(lit(0L))
@@ -106,14 +154,15 @@ object VectorQueries {
     // cached per (session, dir): this IS the stored index table — e02/e03/
     // e05/d12 all read it, as a production deployment reads the
     // materialized code table rather than re-quantizing the corpus
-    codedCache.getOrElseUpdate(s, dir)(codeVectors(emb(s, dir)).localCheckpoint())
+    codedCache.getOrElseUpdate(s, dir)(
+      codeVectors(emb(s, dir), nbitsOf(s, dir)).localCheckpoint())
 
   /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
     * the same select [[codedVectors]] materializes; seam for the skew
     * stress spec. */
-  private[graft] def codeVectors(embDf: DataFrame): DataFrame =
+  private[graft] def codeVectors(embDf: DataFrame, nbits: Int = NBitsFloor): DataFrame =
     embDf.select(
-      col("vec_id"), col("embedding"), codeCol.as("code"),
+      col("vec_id"), col("embedding"), codeCol(nbits).as("code"),
       sqrt(dotNative("embedding", "embedding")).as("norm"))
 
   /** The d12 plan from a coded-vector table (shared by the oracle query
@@ -143,15 +192,30 @@ object VectorQueries {
       .orderBy("a_id", "b_id")
   }
 
-  /** DuckDB: same quantizer. */
+  /** DuckDB: same quantizer. The oracle derives the SAME nbits from
+    * count(*) with the SAME integer comparison as [[deriveNBits]] (no
+    * float log2 on either side), builds the full NBitsMax-bit code, and
+    * masks it to the low nbits — bit-identical to the Spark side's
+    * nbits-plane sum for any corpus size, so the gate holds at every
+    * scale with no env var set. */
   private def sgnSql(j: Int): String =
     s"""CAST(list_sum(list_transform(list_zip(embedding, [${planes(j).mkString(",")}]),
        |  z -> CAST(CAST(z[1] AS DOUBLE) * z[2] AS DECIMAL(38,12)))) AS DOUBLE) > 0""".stripMargin
-  private val codeSql: String =
-    (0 until NBits).map(j => s"CAST(CASE WHEN (${sgnSql(j)}) THEN ${1 << j} ELSE 0 END AS BIGINT)").mkString(" + ")
+  private val codeFullSql: String =
+    (0 until NBitsMax).map(j => s"CAST(CASE WHEN (${sgnSql(j)}) THEN ${1L << j} ELSE 0 END AS BIGINT)").mkString(" + ")
+  private val nbSql: String = envNBits match {
+    case Some(nb) => s"SELECT $nb AS nb"
+    case None =>
+      s"""SELECT COALESCE(MIN(b), $NBitsMax) AS nb
+         |  FROM (SELECT unnest(range($NBitsFloor, ${NBitsMax + 1})) AS b) bs,
+         |       (SELECT count(*) AS n FROM embeddings) c
+         |  WHERE c.n <= $TargetOccupancy * (CAST(1 AS BIGINT) << b)""".stripMargin
+  }
   private val codesSql: String =
-    s"""SELECT vec_id, embedding, $codeSql AS code,
-       |sqrt(${dotSqlOf("embedding", "embedding")}) AS norm FROM embeddings""".stripMargin
+    s"""SELECT vec_id, embedding,
+       |(($codeFullSql) & ((CAST(1 AS BIGINT) << nbt.nb) - 1)) AS code,
+       |sqrt(${dotSqlOf("embedding", "embedding")}) AS norm
+       |FROM embeddings, ($nbSql) nbt""".stripMargin
 
   private def dotSqlOf(x: String, y: String): String =
     s"""CAST(list_sum(list_transform(list_zip($x, $y),
@@ -244,8 +308,13 @@ object VectorQueries {
       // an object store.
       val digest = graft.sources.ArtifactStore.sourceDigest(
         s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
+      // the quantizer setting is part of the index identity: an env
+      // override must never be served a stored index built at a
+      // different width (the auto-derived value is digest-stable, so
+      // it normally never varies for one digest)
+      val nb = nbitsOf(s, dir)
       graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.ann.indexDir", s"graft_ivf_idx_$digest") { path =>
+        s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest") { path =>
         codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)
       }
     }
@@ -425,7 +494,7 @@ object VectorQueries {
         val coded = codedVectors(s, dir)
         val idx = partitionedIndex(s, dir)
         val qrow = coded.where(col("vec_id") === 0).select(col("code")).head()
-        val probes = probeMasks.map(_ ^ qrow.getLong(0))
+        val probes = probeMasksFor(nbitsOf(s, dir)).map(_ ^ qrow.getLong(0))
         val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
         idx.where(col("code").isin(probes: _*))
           .where(col("vec_id") =!= 0)
@@ -487,7 +556,7 @@ object VectorQueries {
       // join. Each candidate matches exactly one probe code, so no pair dedup
       (s, dir) => {
         val coded = codedVectors(s, dir)
-        val probeList = probeMasks.map(m => s"qcode ^ $m").mkString(", ")
+        val probeList = probeMasksFor(nbitsOf(s, dir)).map(m => s"qcode ^ $m").mkString(", ")
         val probes = coded.where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qvec"), col("code").as("qcode"))
           .select(col("q_id"), col("qvec"), explode(expr(s"array($probeList)")).as("pcode"))
@@ -501,11 +570,10 @@ object VectorQueries {
       },
       Some(s"""WITH codes AS ($codesSql),
               |q AS (SELECT vec_id AS q_id, embedding AS qvec, code AS qcode FROM codes WHERE vec_id < 10),
-              |probes AS (SELECT q_id, qvec,
-              |  unnest([${probeMasks.map(m => s"xor(qcode, $m)").mkString(", ")}]) AS pcode FROM q),
               |scored AS (
               |  SELECT p.q_id, a.vec_id AS n_id, ${dotSqlOf("a.embedding", "p.qvec")} AS score
-              |  FROM codes a JOIN probes p ON a.code = p.pcode AND a.vec_id <> p.q_id)
+              |  FROM codes a JOIN q p
+              |    ON bit_count(xor(a.code, p.qcode)) <= $ProbeRadius AND a.vec_id <> p.q_id)
               |SELECT q_id, n_id, score, rank FROM (
               |  SELECT q_id, n_id, score,
               |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank

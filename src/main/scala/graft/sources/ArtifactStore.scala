@@ -50,16 +50,37 @@ object ArtifactStore {
   }
 
   /** Resolve the live artifact `baseName` under the root named by conf
-    * `rootConfKey` (default: local tmp), building and publishing it via
-    * `write(path)` when absent. Returns a DataFrame reading the live
-    * parquet directory. `write` must produce a Spark parquet dir (its
-    * _SUCCESS marker is the completeness witness). */
+    * `rootConfKey` (default: a per-user owner-only subdir of local tmp),
+    * building and publishing it via `write(path)` when absent. Returns a
+    * DataFrame reading the live parquet directory. `write` must produce a
+    * Spark parquet dir (its _SUCCESS marker is the completeness witness).
+    *
+    * Lifecycle: every resolve touches the pointer (usage marker); a
+    * same-digest orphan version ages out after `spark.graft.artifact
+    * .staleMs` (10 min), and a DEAD DIGEST — source data regenerated, so
+    * its pointer is never resolved again — ages out with its versions
+    * after `spark.graft.artifact.orphanMs` (7 days), so the root stays
+    * bounded across data regenerations without a manual sweep. */
   def getOrBuild(s: SparkSession, rootConfKey: String, baseName: String)
                 (write: String => Unit): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
+    // Default root is a PER-USER subdirectory of tmpdir, created with
+    // owner-only permissions: the artifact trust model is "whoever can
+    // write the root can poison the index" (the digest covers path+
+    // size+mtime, not content), so a world-writable shared tmp would let
+    // another local user pre-plant a pointer + _SUCCESS-complete version
+    // dir that correctness-bearing dedup artifacts would serve. Shared
+    // multi-tenant deployments point rootConfKey at an ACL'd lake path.
     val root = new Path(s.conf.get(rootConfKey,
-      "file:" + System.getProperty("java.io.tmpdir")))
+      "file:" + System.getProperty("java.io.tmpdir") +
+        "/graft-" + System.getProperty("user.name", "anon")))
     val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) {
+      fs.mkdirs(root)
+      try fs.setPermission(root,
+        new org.apache.hadoop.fs.permission.FsPermission("700"))
+      catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
+    }
     val pfs = fs match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
@@ -112,6 +133,9 @@ object ArtifactStore {
       }
     }
 
+    val staleMs = s.conf.get("spark.graft.artifact.staleMs",
+      s.conf.get("spark.graft.ann.staleIndexMs", "600000")).toLong
+
     val target = resolveLive().getOrElse {
       // stage to a fresh immutable version dir (the expensive part, safe
       // to run concurrently — competitors build equivalent content)
@@ -121,19 +145,40 @@ object ArtifactStore {
       resolveLive() match {
         case Some(p) => fs.delete(staging, true); p // lost: a competitor published first
         case None =>
-          commitPointer(staging.getName)
-          // read through the pointer: a competing commit may have
-          // overwritten ours, but its tree is complete and equivalent;
-          // if the fallback window left no valid pointer, our own
-          // staged tree is complete and serves this session
-          resolveLive().getOrElse(staging)
+          // commit, and RETRY on a transient failure: serving an
+          // unreferenced staging tree is the last resort, because any
+          // other process' stale GC could collect it out from under this
+          // session's long-lived cached reader (FileNotFound on a later
+          // query). A competing commit landing mid-retry is a success —
+          // its tree is complete and equivalent.
+          var live: Option[Path] = None
+          var attempt = 0
+          while (live.isEmpty && attempt < 3) {
+            commitPointer(staging.getName)
+            live = resolveLive()
+            attempt += 1
+          }
+          live.getOrElse {
+            // no valid pointer after retries: serve our own complete tree,
+            // and push its mtime forward one stale horizon so a concurrent
+            // process' stale-version GC cannot collect it while this
+            // session still reads it (self-heals: the next resolve
+            // rebuilds if it does vanish after that grace window)
+            try fs.setTimes(staging, System.currentTimeMillis() + staleMs, -1)
+            catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
+            staging
+          }
       }
     }
-    // opportunistic GC: unreferenced versions of this artifact older than
-    // the stale horizon (crash leftovers and lost-race losers), plus
-    // crashed committers' tmp pointer files
-    val staleMs = s.conf.get("spark.graft.artifact.staleMs",
-      s.conf.get("spark.graft.ann.staleIndexMs", "600000")).toLong
+    // usage marker: touch the live pointer so the cross-digest orphan
+    // sweep (below) measures idleness from last USE, not last write —
+    // a hot artifact over stable source data is never collected
+    try if (pfs.exists(ptr)) pfs.setTimes(ptr, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
+
+    // opportunistic GC 1 (same digest): unreferenced versions of this
+    // artifact older than the stale horizon (crash leftovers and
+    // lost-race losers), plus crashed committers' tmp pointer files
     fs.globStatus(new Path(root, s"${baseName}_v_*")).foreach { vst =>
       if (vst.getPath.getName != target.getName &&
           System.currentTimeMillis() - vst.getModificationTime > staleMs)
@@ -142,6 +187,41 @@ object ArtifactStore {
     pfs.globStatus(new Path(root, s"$baseName.ptr.tmp.*")).foreach { tst =>
       if (System.currentTimeMillis() - tst.getModificationTime > staleMs)
         pfs.delete(tst.getPath, false)
+    }
+    // opportunistic GC 2 (dead digests): when source data is regenerated,
+    // its new size/mtime yields a new digest and the old digest's pointer
+    // + versions are never resolved again — without this they accumulate
+    // forever. Sweep SIBLING digests of this artifact family (same
+    // digest-free prefix) whose pointer hasn't been USED for the orphan
+    // horizon (default 7 days — generous because a pointer for a
+    // different-but-live source dir, e.g. another SF's corpus, must
+    // survive; its own resolves keep touching it).
+    val orphanMs = s.conf.get("spark.graft.artifact.orphanMs", "604800000").toLong
+    val prefix = baseName.replaceAll("_[0-9a-f]{16}$", "")
+    if (prefix != baseName) {
+      val now = System.currentTimeMillis()
+      val livePointees = pfs.globStatus(new Path(root, s"${prefix}_*.ptr")).flatMap { pst =>
+        val dead = now - pst.getModificationTime > orphanMs
+        val pointee =
+          try {
+            val in = pfs.open(pst.getPath)
+            val raw = try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            finally in.close()
+            Some(raw.trim)
+          } catch { case _: java.io.IOException => None }
+        if (dead) {
+          pointee.foreach(n => if (n.startsWith(prefix)) fs.delete(new Path(root, n), true))
+          pfs.delete(pst.getPath, false)
+          None
+        } else pointee
+      }.toSet
+      fs.globStatus(new Path(root, s"${prefix}_*_v_*")).foreach { vst =>
+        if (!livePointees.contains(vst.getPath.getName) &&
+            vst.getPath.getName != target.getName &&
+            now - vst.getModificationTime > orphanMs)
+          fs.delete(vst.getPath, true)
+      }
     }
     s.read.parquet(target.toString)
   }

@@ -115,5 +115,47 @@ class ArtifactStoreSpec extends SparkSpec {
           "winner target incomplete")
       }
     }
+
+    it("a dead digest's pointer and versions age out; a sibling live digest survives") {
+      // regenerated source data yields a new digest; the OLD digest's
+      // artifacts are never resolved again and must not grow the root
+      // forever. The sweep keys on pointer idleness (every resolve
+      // touches the pointer), so a different-but-live digest of the same
+      // family — another SF's corpus — is never collected.
+      withScratchDir("graft_as_orphan") { root =>
+        val s = session(root)
+        val dead = "fam_" + "a" * 16   // digest-shaped suffix
+        val live = "fam_" + "b" * 16
+        ArtifactStore.getOrBuild(s, RootKey, dead)(writeRange(s, 5))
+        ArtifactStore.getOrBuild(s, RootKey, live)(writeRange(s, 7))
+        // age the dead digest's pointer + version past the orphan horizon
+        val deadPtr = new java.io.File(root, s"$dead.ptr")
+        val deadV = new java.io.File(root).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith(s"${dead}_v_"))
+        (deadPtr +: deadV.toSeq).foreach(f => assert(f.setLastModified(1000L)))
+        s.conf.set("spark.graft.artifact.orphanMs", "60000")
+        // any same-family resolve runs the sweep
+        assert(ArtifactStore.getOrBuild(s, RootKey, live)(writeRange(s, 7)).count() == 7)
+        assert(!deadPtr.exists(), "dead digest's pointer not collected")
+        assert(new java.io.File(root).listFiles()
+          .forall(f => !f.getName.startsWith(s"${dead}_v_")), "dead digest's version not collected")
+        // the live sibling (just resolved → freshly touched) is intact
+        assert(new java.io.File(root, s"$live.ptr").exists(), "live sibling's pointer collected")
+        assert(ArtifactStore.getOrBuild(s, RootKey, live)(writeRange(s, 7)).count() == 7)
+      }
+    }
+
+    it("a recently-USED but old pointer is never swept: resolves touch it") {
+      withScratchDir("graft_as_touch") { root =>
+        val s = session(root)
+        val a = "tch_" + "c" * 16
+        ArtifactStore.getOrBuild(s, RootKey, a)(writeRange(s, 3))
+        val ptr = new java.io.File(root, s"$a.ptr")
+        assert(ptr.setLastModified(1000L))
+        // resolving the artifact itself refreshes the usage marker
+        assert(ArtifactStore.getOrBuild(s, RootKey, a)(writeRange(s, 3)).count() == 3)
+        assert(ptr.lastModified() > 1000L, "resolve did not touch the pointer usage marker")
+      }
+    }
   }
 }

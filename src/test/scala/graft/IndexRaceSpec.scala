@@ -26,8 +26,10 @@ class IndexRaceSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.contains("_v_"))
 
   private def liveTarget(root: String): java.io.File = {
+    // the INDEX pointer specifically — the quantizer-metadata artifact
+    // (graft_srp_meta_*) publishes its own sibling pointer
     val ptr = new java.io.File(root).listFiles()
-      .find(_.getName.endsWith(".ptr"))
+      .find(f => f.getName.endsWith(".ptr") && f.getName.startsWith("graft_ivf_idx_"))
       .getOrElse(fail("no pointer file published"))
     val content = new String(
       java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8")
@@ -65,10 +67,15 @@ class IndexRaceSpec extends SparkSpec {
         assert(new java.io.File(live, "_SUCCESS").exists(), "live target has no _SUCCESS")
         // version dirs are flat siblings: none may contain another index
         // tree (the nesting that poisoned partition discovery), and each
-        // holds only Spark's partitioned layout (code=*/ + markers)
+        // INDEX dir holds only Spark's partitioned layout (code=*/ +
+        // markers). The racers also publish the 1-row SRP quantizer
+        // metadata artifact (graft_srp_meta_*) through the same protocol
+        // — at most 2 versions of each artifact may exist post-race.
         val vdirs = versionDirs(root)
-        assert(vdirs.nonEmpty && vdirs.size <= 2, s"unexpected version dirs: ${vdirs.map(_.getName)}")
-        vdirs.foreach { d =>
+        val (metaDirs, idxDirs) = vdirs.partition(_.getName.startsWith("graft_srp_meta_"))
+        assert(idxDirs.nonEmpty && idxDirs.size <= 2, s"unexpected index version dirs: ${idxDirs.map(_.getName)}")
+        assert(metaDirs.size <= 2, s"unexpected meta version dirs: ${metaDirs.map(_.getName)}")
+        idxDirs.foreach { d =>
           val foreign = d.listFiles().filter(f =>
             f.isDirectory && !f.getName.startsWith("code="))
           assert(foreign.isEmpty, s"nested tree inside ${d.getName}: ${foreign.map(_.getName).toSeq}")

@@ -82,4 +82,23 @@ class SkewStressSpec extends SparkSpec {
       assert(secs < 120.0, s"d12 stress took ${secs}s")
     }
   }
+
+  describe("SRP quantizer auto-sizing (deriveNBits)") {
+    it("grows bits with the corpus, integer-exact at the occupancy boundaries") {
+      // nbits = smallest b in [6,16] with N <= 64·2^b — the SAME integer
+      // comparison the DuckDB oracle runs on count(*), so the boundary
+      // cases must be exact (a float log2 would wobble at N = 64·2^b)
+      assert(VectorQueries.deriveNBits(0L) == 6)
+      assert(VectorQueries.deriveNBits(1L) == 6)
+      assert(VectorQueries.deriveNBits(64L << 6) == 6)        // exactly full → still 6
+      assert(VectorQueries.deriveNBits((64L << 6) + 1) == 7)  // one over → 7
+      assert(VectorQueries.deriveNBits(6000L) == 7)           // sf0.01 corpus
+      assert(VectorQueries.deriveNBits(60000L) == 10)         // sf0.1 corpus
+      assert(VectorQueries.deriveNBits(60000000L) == 16)      // sf100: capped at NBitsMax
+      assert(VectorQueries.deriveNBits(Long.MaxValue) == 16)
+      // monotone non-decreasing over three decades
+      val samples = Seq(1L, 100L, 10000L, 1000000L, 100000000L, 10000000000L)
+      assert(samples.map(VectorQueries.deriveNBits) == samples.map(VectorQueries.deriveNBits).sorted)
+    }
+  }
 }
