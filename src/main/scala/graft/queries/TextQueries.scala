@@ -938,8 +938,83 @@ object TextQueries {
               |    CAST(list_sum(list_transform(string_split(text, ' '),
               |      t -> ([${qw.mkString(", ")}])[CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % $QwBuckets + 1 AS INT)])) AS BIGINT) AS s_milli,
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-              |  FROM documents) t ORDER BY doc_id""".stripMargin))
+              |  FROM documents) t ORDER BY doc_id""".stripMargin)),
+
+    Q("d30_exact_substring_windows",
+      // Exact-substring duplication (the Lee et al. 2022 "Deduplicating
+      // Training Data" ExactSubstr shape, re-expressed for a data lake):
+      // every W-token window of every document is hashed; a window hash
+      // seen more than once across the corpus marks a verbatim repeated
+      // span (boilerplate, licenses, templated text) that MinHash's
+      // whole-document similarity misses and CDC chunking (d24) only
+      // catches at chunk granularity. Output: per-doc window counts and
+      // how many of its windows are corpus-duplicated — the signal a
+      // curation pipeline thresholds to strip or down-weight docs.
+      //
+      // Scale shape: the window table is (doc_id, 16-byte hash) — one
+      // narrow row per token, generated by a per-row codegen'd transform
+      // (no explode of text, no UDF). One shuffle on the hash for the
+      // duplicate census (map-side partial count), one semi-join back on
+      // the hash, one groupBy doc_id — never any text through an
+      // exchange, never a pairwise doc join. (Suffix arrays give the
+      // asymptotically tighter answer single-node; at 1000 executors the
+      // hash census IS the suffix array's duplicate-detection byproduct,
+      // minus the driver-side index.)
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= SubstrW)
+        // The window-hash table is MATERIALIZED once (checkpoint here;
+        // a deployment stores it — it is the ExactSubstr suffix table's
+        // lake analog, rebuilt per ingest like the MinHash signature
+        // artifact): the duplicate census and the semi-join both read
+        // it, and an unshared plan would pay the O(tokens × W) hashing
+        // pass twice. The hash expression must be TOTAL (empty array for
+        // short docs) even though a size filter precedes it: explode's
+        // inferred non-empty constraint lands in the same Filter
+        // conjunction and evaluates the transform on unfiltered rows,
+        // where a bare sequence(1, size-W+1) on a short doc yields a
+        // descending [1, 0] and slice(…, 0, …) throws.
+        val w = candCache.getOrElseUpdate(s, s"$dir#d30win")(
+          base.select(col("doc_id"),
+            expr(s"""CASE WHEN size(toks) >= $SubstrW THEN
+                   |  transform(sequence(1, size(toks) - ${SubstrW - 1}),
+                   |    i -> md5(CAST(array_join(slice(toks, i, $SubstrW), ' ') AS BINARY)))
+                   |ELSE array() END""".stripMargin)
+              .as("hs"))
+            .select(col("doc_id"), explode(col("hs")).as("h"))
+            .localCheckpoint())
+        val dup = w.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select(col("h"))
+        val dupPerDoc = w.join(dup, Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+        // totals need no second window pass: every qualifying doc has
+        // exactly size(toks) - W + 1 windows
+        base.select(col("doc_id"),
+          (size(col("toks")) - lit(SubstrW - 1)).cast("bigint").as("total_windows"))
+          .join(dupPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("total_windows"),
+            coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |p AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+              |w AS (SELECT doc_id, pos,
+              |        md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+              |              ROWS BETWEEN CURRENT ROW AND ${SubstrW - 1} FOLLOWING)) AS h,
+              |        count(*) OVER (PARTITION BY doc_id) AS ntok
+              |      FROM p QUALIFY pos <= ntok - ${SubstrW - 1}),
+              |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1)
+              |SELECT w.doc_id, count(*) AS total_windows, count(d.h) AS dup_windows
+              |FROM w LEFT JOIN d ON w.h = d.h
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** d30's token-window width. Real deployments use ~50 (Lee et al.);
+    * 20 fits the short synthetic documents while exercising the same
+    * plan. `final val`: interpolated into `all`'s oracle SQL above at
+    * object init (see the init-order note at [[ChunkGear]]). */
+  private final val SubstrW = 20
 
   /** d28's per-source keep budget. */
   private final val SourceCap = 10
