@@ -174,7 +174,7 @@ object AggCompiler {
       val bucketName = s"${field}_bucket"
       val grouped = groupedWithSubs(
         filtered(df, f), Nil, bucketName -> timeBucket(props.column(field), iv, cal),
-        subs, needOrderCount = false, emptyDefault = Some("count"), props)
+        subs, needCount = false, emptyDefault = Some("count"), props)
       grouped.orderBy(col(bucketName).asc_nulls_first)
   }
 
@@ -220,19 +220,38 @@ object AggCompiler {
 
   /** One grouping level: `groupBy(parents…, key)` with every scalar
     * sub-agg as one aggregate expression, plus one ordered-array column
-    * per nested `field`/`time` sub-agg (computed from the same base one
-    * level deeper and joined back on the group keys, null-safely — a null
-    * group key still owns its nested slice). `emptyDefault` preserves the
-    * grammar's empty-`_select` shapes: a bare `time` agg emits a default
-    * `count` column; a bare `field` agg emits key-only rows. */
+    * per nested `field`/`time` sub-agg (computed one level deeper and
+    * joined back on the group keys, null-safely — a null group key still
+    * owns its nested slice). `emptyDefault` preserves the grammar's
+    * empty-`_select` shapes: a bare `time` agg emits a default `count`
+    * column; a bare `field` agg emits key-only rows.
+    *
+    * SINGLE-SCAN nesting: when a nested sub has no `_query` pre-filter,
+    * this level's own scalar aggregates are not computed by a separate
+    * pass over the base — they ride the nested level's `groupBy` as
+    * two-phase PARTIALS (`__op*` columns) and are finalized as WINDOW
+    * aggregates over the parent-key partition inside the collapse's own
+    * window stage ([[partialize]]; decimal accumulation keeps float sums
+    * exact across the re-aggregation, and the totals are computed BEFORE
+    * the `_size` cut so dropped inner groups still count). One chain, so
+    * a field-in-field dashboard aggregation reads the corpus ONCE and
+    * shuffles twice — (keys, innerKey) then (keys) — total (gated in
+    * PlanQualitySpec; a separate re-aggregation branch was tried first
+    * and lost the shared scan to per-branch column pruning). A scalar
+    * kind the two-phase form can't reproduce bit-exactly (decimal-typed
+    * sums, integral avg) falls back to the dedicated pass, as does an
+    * output-name collision with the host's own columns. `extraPartials`
+    * is the recursion vehicle: the parent's partials attach to THIS
+    * level's groupBy (one level only — no partials-of-partials). */
   private def groupedWithSubs(
       base: DataFrame,
       parents: Seq[String],
       key: (String, Column),
       subs: Seq[Agg],
-      needOrderCount: Boolean,
+      needCount: Boolean,
       emptyDefault: Option[String],
-      props: Properties): DataFrame = {
+      props: Properties,
+      extraPartials: Seq[Column] = Nil): DataFrame = {
     val (keyName, keyCol) = key
     require(!parents.contains(keyName),
       s"nested aggregation key '$keyName' collides with an enclosing group key")
@@ -240,27 +259,130 @@ object AggCompiler {
     // property) group key as a real column so the nested recursion can
     // re-group the same base by name; a narrow projection, no extra pass
     val withKey = base.withColumn(keyName, keyCol)
-    val scalarExprs = subs.collect {
-      case c: Agg.Count => subAggExpr(withKey, c, props)
-      case s: Agg.Scalar => subAggExpr(withKey, s, props)
-    }
+    val groupKeys = parents :+ keyName
     val nested = subs.collect { case n @ (_: Agg.ByField | _: Agg.ByTime) => n }
-    val exprs0 = if (needOrderCount) scalarExprs :+ count(lit(1)).as("__ocount") else scalarExprs
-    val exprs =
-      if (exprs0.nonEmpty) exprs0
-      else if (nested.isEmpty && emptyDefault.isDefined) Seq(count(lit(1)).as(emptyDefault.get))
-      else Seq(count(lit(1)).as("__drop"))
-    val grouped = withKey.groupBy((parents :+ keyName).map(col): _*)
-      .agg(exprs.head, exprs.tail: _*).drop("__drop")
-    nested.foldLeft(grouped)((acc, n) => joinNested(acc, withKey, parents :+ keyName, n, props))
+    val scalarSubs: Seq[Agg] = subs.collect { case c: Agg.Count => c: Agg; case s: Agg.Scalar => s: Agg } ++
+      (if (needCount) Seq(Agg.Count("__ocount", None)) else Nil)
+
+    def innerTable(n: Agg, extras: Seq[Column]): DataFrame = {
+      val (nkey, nsubs, norder) = n match {
+        case Agg.ByField(field, _, ss, order, _, _) => ((field, props.column(field)), ss, order)
+        case Agg.ByTime(field, _, iv, cal, ss, _) =>
+          ((s"${field}_bucket", timeBucket(props.column(field), iv, cal)), ss, Seq.empty[String])
+        case other => throw new IllegalArgumentException(s"not a grouping aggregation: $other")
+      }
+      groupedWithSubs(filtered(withKey, nestedFilter(n)), groupKeys, nkey, nsubs,
+        needOrderCount(norder, nsubs), emptyDefault = None, props, extras)
+    }
+
+    // host delegation: an unfiltered nested sub whose level-1 groupBy can
+    // carry every scalar as an exact two-phase partial. A level that is
+    // itself hosting a PARENT's partials takes the direct path — partials
+    // ride one level only; composing partials-of-partials is where exact
+    // float semantics would quietly break. `_size <= 0` (a pathological
+    // empty cap) also disqualifies: the spine would lose the group keys.
+    val hostPlan: Option[(Agg, Seq[(Seq[Column], (Column => Column) => Column)])] =
+      if (extraPartials.nonEmpty) None
+      else nested.find(n => nestedFilter(n).isEmpty && nestedSize(n).forall(_ > 0)).flatMap { h =>
+        val ps = scalarSubs.zipWithIndex.map { case (sc, i) => partialize(withKey, sc, props, i) }
+        if (ps.forall(_.isDefined)) Some((h, ps.map(_.get))) else None
+      }
+
+    val inner: Seq[(Agg, DataFrame)] = nested.map { n =>
+      val extras = hostPlan match {
+        case Some((h, ps)) if h eq n => ps.flatMap(_._1)
+        case _ => Nil
+      }
+      n -> innerTable(n, extras)
+    }
+
+    // output-name collision between this level's scalars and the host's
+    // own columns would corrupt the spine — fall back to the direct pass
+    val safeHost = hostPlan.filter { case (h, _) =>
+      val hostCols = inner.collectFirst { case (n, df) if n eq h => df }.get.columns.toSet
+      scalarSubs.map(_.name).forall(!hostCols.contains(_))
+    }
+
+    val (outer, hosted): (DataFrame, Option[Agg]) = safeHost match {
+      case Some((h, ps)) =>
+        // the host's collapse IS the outer spine: scalars finalize as
+        // window aggregates over the parent-key partition the collapse
+        // already shuffles on — no second pass over anything
+        val hostDf = inner.collectFirst { case (n, df) if n eq h => df }.get
+        (collapseNested(hostDf, groupKeys, h, scalarSubs.map(_.name).zip(ps.map(_._2))), Some(h))
+      case None =>
+        val scalarExprs = scalarSubs.map(sc => subAggExpr(withKey, sc, props)) ++ extraPartials
+        val exprs =
+          if (scalarExprs.nonEmpty) scalarExprs
+          else if (nested.isEmpty && emptyDefault.isDefined) Seq(count(lit(1)).as(emptyDefault.get))
+          else Seq(count(lit(1)).as("__drop"))
+        (withKey.groupBy(groupKeys.map(col): _*).agg(exprs.head, exprs.tail: _*).drop("__drop"), None)
+    }
+    nested.foldLeft(outer) { case (acc, n) =>
+      if (hosted.exists(_ eq n)) acc // already the spine
+      else {
+        val collapsed = collapseNested(inner.collectFirst { case (m, df) if m eq n => df }.get, groupKeys, n)
+        joinNested(acc, collapsed, groupKeys)
+      }
+    }
+  }
+
+  private def nestedSize(n: Agg): Option[Int] = n match {
+    case Agg.ByField(_, _, _, _, size, _) => size
+    case _ => None
+  }
+
+  private def nestedFilter(n: Agg): Option[Column] = n match {
+    case Agg.ByField(_, _, _, _, _, f) => f
+    case Agg.ByTime(_, _, _, _, _, f) => f
+    case _ => None
+  }
+
+  /** Exact two-phase split of a scalar sub-agg: `(partial exprs over rows,
+    * final-expr builder over the partial columns)`. The builder takes a
+    * LIFT applied to each aggregate call so the same finalization runs as
+    * a plain `groupBy` aggregate (lift = identity) or as a window
+    * aggregate over the parent partition (lift = `.over(w)`). Returns
+    * None when the split cannot reproduce the single-phase result
+    * bit-exactly. */
+  private def partialize(df: DataFrame, s: Agg, props: Properties, idx: Int)
+      : Option[(Seq[Column], (Column => Column) => Column)] = {
+    import graft.functions.DuckDecimalCast.{duckDecimal6, duckDouble}
+    def p(tag: String) = s"__op${idx}_$tag"
+    s match {
+      case Agg.Count(name, f) =>
+        val partial = f.fold(count(lit(1)))(pred => count(when(pred, 1))).as(p("c"))
+        Some((Seq(partial), lift => lift(sum(col(p("c")))).as(name)))
+      case Agg.Scalar(kind, field, name, f) =>
+        val c0 = props.column(field)
+        val inner = f.fold(c0)(pred => when(pred, c0))
+        val dt = scala.util.Try(df.select(c0).schema.head.dataType).toOption
+        val isFloating = dt.exists { case DoubleType | FloatType => true; case _ => false }
+        val isIntegral = dt.exists { case LongType | IntegerType | ShortType | ByteType => true; case _ => false }
+        kind match {
+          case "min" =>
+            Some((Seq(min(inner).as(p("m"))), lift => lift(min(col(p("m")))).as(name)))
+          case "max" =>
+            Some((Seq(max(inner).as(p("m"))), lift => lift(max(col(p("m")))).as(name)))
+          case "sum" if isFloating =>
+            Some((Seq(sum(duckDecimal6(inner.cast(DoubleType))).as(p("s"))),
+              lift => duckDouble(lift(sum(col(p("s"))))).as(name)))
+          case "sum" if isIntegral =>
+            Some((Seq(sum(inner).as(p("s"))), lift => lift(sum(col(p("s")))).as(name)))
+          case "avg" if isFloating =>
+            Some((Seq(sum(duckDecimal6(inner.cast(DoubleType))).as(p("s")), count(inner).as(p("n"))),
+              lift => (duckDouble(lift(sum(col(p("s"))))) / lift(sum(col(p("n"))))).as(name)))
+          case _ => None // decimal sums, integral avg: single-phase only
+        }
+      case _ => None
+    }
   }
 
   /** Attach one nested agg's ordered-array column to the parent grouping.
     * Null-safe equi-join on the full parent key tuple; LEFT so a parent
     * group whose nested `_query` pre-filter removed every row renders the
     * reference's empty merge (Aggregation.scala:383-391). */
-  private def joinNested(parent: DataFrame, base: DataFrame, parentKeys: Seq[String], n: Agg, props: Properties): DataFrame = {
-    val arr = collapsedNested(base, parentKeys, n, props)
+  private def joinNested(parent: DataFrame, arr: DataFrame, parentKeys: Seq[String]): DataFrame = {
     val renamed = parentKeys.zipWithIndex.foldLeft(arr) {
       case (d, (k, i)) => d.withColumnRenamed(k, s"__jk$i")
     }
@@ -269,28 +391,44 @@ object AggCompiler {
     parent.join(renamed, cond, "left").drop(parentKeys.indices.map(i => s"__jk$i"): _*)
   }
 
-  /** One nested `field`/`time` agg as `(parentKeys…, name)` where `name`
+  /** A nested agg's group table → `(parentKeys…, name)` where `name`
     * holds `array<struct<key, subCols…>>` ordered by the nested `_order`
     * (`_size`-capped) — `row_number` per parent group, `array_sort` on a
-    * leading rank field, then the rank is projected back out. */
-  private def collapsedNested(base: DataFrame, parentKeys: Seq[String], n: Agg, props: Properties): DataFrame = {
-    val (key, subs, order, size, f) = n match {
-      case Agg.ByField(field, _, subs, order, size, f) =>
-        ((field, props.column(field)), subs, order, size, f)
-      case Agg.ByTime(field, _, iv, cal, subs, f) =>
-        ((s"${field}_bucket", timeBucket(props.column(field), iv, cal)), subs, Seq.empty[String], Option.empty[Int], f)
+    * leading rank field, then the rank (and any `__o*` carrier columns:
+    * the hidden order count and the host partials) is projected out.
+    *
+    * `parentScalars` (host-spine mode): the PARENT level's scalar finals,
+    * computed as whole-partition window aggregates over the same
+    * parent-key shuffle the rank window uses — BEFORE the `_size` cut, so
+    * inner groups the cap drops still count — and carried through the
+    * final groupBy with `first` (they are partition constants). The
+    * result then serves as the parent's output spine directly. */
+  private def collapseNested(
+      grouped: DataFrame,
+      parentKeys: Seq[String],
+      n: Agg,
+      parentScalars: Seq[(String, (Column => Column) => Column)] = Nil): DataFrame = {
+    val (keyName, order, size, subs) = n match {
+      case Agg.ByField(field, _, ss, order, size, _) => (field, order, size, ss)
+      case Agg.ByTime(field, _, _, _, ss, _) => (s"${field}_bucket", Seq.empty[String], Option.empty[Int], ss)
       case other => throw new IllegalArgumentException(s"not a grouping aggregation: $other")
     }
-    val grouped = groupedWithSubs(
-      filtered(base, f), parentKeys, key, subs, needOrderCount(order, subs),
-      emptyDefault = None, props)
-    val w = Window.partitionBy(parentKeys.map(col): _*).orderBy(orderCols(order, key._1, countName(subs)): _*)
-    val ranked = grouped.withColumn("__rn", row_number().over(w))
+    val wAll = Window.partitionBy(parentKeys.map(col): _*)
+    val withTotals =
+      if (parentScalars.isEmpty) grouped
+      else grouped.select(grouped.columns.map(col) ++ parentScalars.map { case (_, f) => f(c => c.over(wAll)) }: _*)
+    val w = wAll.orderBy(orderCols(order, keyName, countName(subs)): _*)
+    val ranked = withTotals.withColumn("__rn", row_number().over(w))
     val limited = size.fold(ranked)(s => ranked.where(col("__rn") <= s))
-    val dataCols = limited.columns.filterNot(c => parentKeys.contains(c) || c == "__rn" || c == "__ocount").toSeq
+    val scalarNames = parentScalars.map(_._1).toSet
+    val dataCols = limited.columns.filterNot(c =>
+      parentKeys.contains(c) || c == "__rn" || c == "__ocount" || c.startsWith("__op") ||
+        scalarNames.contains(c)).toSeq
+    val aggs = array_sort(collect_list(struct((col("__rn") +: dataCols.map(col)): _*))).as("__arr") +:
+      parentScalars.map { case (nm, _) => first(col(nm)).as(nm) }
     limited
       .groupBy(parentKeys.map(col): _*)
-      .agg(array_sort(collect_list(struct((col("__rn") +: dataCols.map(col)): _*))).as("__arr"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn(n.name, transform(col("__arr"), e => struct(dataCols.map(c => e.getField(c).as(c)): _*)))
       .drop("__arr")
   }

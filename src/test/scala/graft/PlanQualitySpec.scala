@@ -78,6 +78,30 @@ class PlanQualitySpec extends SparkSpec {
       } finally spark.conf.unset("spark.sql.adaptive.enabled")
     }
 
+    it("a nested field-in-field aggregation reads the corpus ONCE (outer scalars ride the nested groupBy as window-finalized partials)") {
+      // the dashboard shape (cases per status per priority + outer count):
+      // the outer scalars must ride the two-level groupBy as partials and
+      // re-aggregate from the |groups|-sized table — a second scan of the
+      // base for the outer count is a 2× input cost at 100 TB
+      import graft.query.{AggCompiler, AggregationParser, Properties}
+      val df = graft.sources.TestData.graph(spark, sfDir).V("orders").df
+      val agg = AggregationParser.parse(
+        """{"_agg":"field","_field":"o_orderstatus",
+          |"_select":[{"_agg":"count","_name":"cnt"},
+          |           {"_agg":"sum","_field":"o_totalprice","_name":"tp"},
+          |           {"_agg":"field","_field":"o_orderpriority",
+          |            "_select":[{"_agg":"count","_name":"c2"}]}]}""".stripMargin,
+        Properties.passthrough)
+      val out = AggCompiler(df, agg, Properties.passthrough)
+      out.count() // materialize so AQE resolves reused stages
+      val plan = out.queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(l => l.contains("Scan parquet") && l.contains("orders"))
+      val reused = plan.contains("ReusedExchange") || plan.contains("table cache") ||
+        plan.linesIterator.exists(_.contains("ReusedQueryStage"))
+      assert(scans <= 1, s"nested aggregation scans the base $scans times:\n$plan")
+      assert(reused || scans == 1, plan)
+    }
+
     it("e10's final plan reads the materialized assignment: no cross joins, no corpus windows") {
       // the N×K assignment dots run ONCE (checkpoint); the query plan the
       // executors see is the pair join on cid plus the K-row broadcast
