@@ -92,9 +92,10 @@ class SkewStressSpec extends SparkSpec {
       assert(VectorQueries.deriveNBits(1L) == 6)
       assert(VectorQueries.deriveNBits(64L << 6) == 6)        // exactly full → still 6
       assert(VectorQueries.deriveNBits((64L << 6) + 1) == 7)  // one over → 7
-      assert(VectorQueries.deriveNBits(6000L) == 7)           // sf0.01 corpus
-      assert(VectorQueries.deriveNBits(60000L) == 10)         // sf0.1 corpus
-      assert(VectorQueries.deriveNBits(60000000L) == 16)      // sf100: capped at NBitsMax
+      assert(VectorQueries.deriveNBits(2000L) == 6)           // shipped sf0.1 corpus: floor
+      assert(VectorQueries.deriveNBits(20000L) == 9)          // generated sf1 corpus
+      assert(VectorQueries.deriveNBits(2000000L) == 15)       // generated sf100 corpus
+      assert(VectorQueries.deriveNBits(60000000000L) == 16)   // beyond 64*2^16: capped at NBitsMax
       assert(VectorQueries.deriveNBits(Long.MaxValue) == 16)
       // monotone non-decreasing over three decades
       val samples = Seq(1L, 100L, 10000L, 1000000L, 100000000L, 10000000000L)
