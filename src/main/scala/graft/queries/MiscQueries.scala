@@ -166,6 +166,36 @@ object MiscQueries {
       },
       Some("""SELECT a.event_id AS a_event, b.event_id AS b_event
              |FROM events a JOIN events b ON b.user_id = a.user_id
-             |WHERE a.event_id < 20 ORDER BY 1, 2""".stripMargin))
+             |WHERE a.event_id < 20 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q95_label_groupcount",
+      // the label step (reference: TraversalOps.scala:580-581) over a
+      // heterogeneous union: each branch's label is a plan-time constant
+      // tagged into the union, so counting by label never touches data
+      // columns — the scans prune to zero-width row counts
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        g.union(g.V("customer"), g.V("supplier"), g.V("nation"))
+          .label("lbl").groupCount(col("lbl")).orderBy("key")
+      },
+      Some("""SELECT key, count(*) AS count FROM (
+             |  SELECT 'customer' AS key FROM customer
+             |  UNION ALL SELECT 'supplier' FROM supplier
+             |  UNION ALL SELECT 'nation' FROM nation)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q96_haslabel_retype",
+      // hasLabel (reference: TraversalOps.scala:548) narrows a mixed
+      // union back to one model and RE-TYPES it, so typed steps compose
+      // downstream; on a homogeneous traversal it folds at plan time
+      (s, dir) => {
+        val g = TestData.graph(s, dir)
+        g.union(g.V("customer"), g.V("supplier"))
+          .hasLabel("customer")
+          .has("c_mktsegment", "BUILDING")
+          .value("c_custkey").sortBy(col("c_custkey")).toDF
+      },
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_mktsegment = 'BUILDING' ORDER BY 1""".stripMargin))
   )
 }

@@ -81,13 +81,25 @@ final class Graph(
   }
 
   /** Global union of traversals (reference: Graph.scala:34-42). Schema is
-    * unioned by name; labels diverge → untyped elements. */
+    * unioned by name; labels diverge → untyped elements, each branch
+    * tagged with its label in [[Traversal.LabelCol]] so `label`/`hasLabel`
+    * stay answerable downstream (the relational analog of every graph
+    * element carrying its label — a constant per branch, zero data cost). */
   def union(ts: Traversal*): Traversal = {
     require(ts.nonEmpty, "union of zero traversals")
-    val df = ts.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
-    val kind =
-      if (ts.map(_.element).distinct.size == 1) ts.head.element else Element.Mixed
-    Traversal(this, kind, df)
+    val homogeneous = ts.map(_.element).distinct.size == 1
+    val dfs =
+      if (homogeneous) ts.map(_.df)
+      else ts.map { t =>
+        val l = t.element match {
+          case Element.Vertex(l0, _) => org.apache.spark.sql.functions.lit(l0)
+          case Element.Edge(l0, _, _) => org.apache.spark.sql.functions.lit(l0)
+          case _ => org.apache.spark.sql.functions.lit(null).cast("string")
+        }
+        t.df.withColumn(Traversal.LabelCol, l)
+      }
+    val df = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    Traversal(this, if (homogeneous) ts.head.element else Element.Mixed, df)
   }
 
   /** Empty traversal (reference: Graph.scala:33). */

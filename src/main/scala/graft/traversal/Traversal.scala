@@ -355,6 +355,43 @@ final case class Traversal(
     copy(element = Element.Vertex(label, vt.idCol))
   }
 
+  /** The element's label as a value traversal (reference: label,
+    * TraversalOps.scala:580-581). A homogeneous traversal knows its label
+    * STATICALLY, so this is a constant column — no data touched; a mixed
+    * traversal reads the `__label` discriminator [[Graph.union]] tagged
+    * each branch with (the relational analog of every graph element
+    * carrying its label). */
+  def label(as: String = "label"): Traversal = {
+    val c = element match {
+      case Element.Vertex(l, _) => lit(l)
+      case Element.Edge(l, _, _) => lit(l)
+      case Element.Mixed if df.columns.contains(LabelCol) => col(LabelCol)
+      case other => throw new IllegalArgumentException(
+        s"label: untagged $other traversal (only Graph.union produces labeled mixed frames)")
+    }
+    Traversal(graph, Element.Value(as), df.select((c.as(as) +: aliasCols.map(df(_))): _*), aliasTypes)
+  }
+
+  /** Filter by element label (reference: hasLabel,
+    * TraversalOps.scala:548). On a homogeneous traversal this folds at
+    * PLAN TIME — identity or the statically-empty frame, no scan; on a
+    * tagged mixed traversal it filters the discriminator and RE-TYPES to
+    * the matched vertex model when its columns survived the union, so
+    * typed steps (has, hops) compose downstream. */
+  def hasLabel(name: String): Traversal = element match {
+    case Element.Vertex(l, _) => if (l == name) this else copy(df = df.limit(0))
+    case Element.Edge(l, _, _) => if (l == name) this else copy(df = df.limit(0))
+    case Element.Mixed if df.columns.contains(LabelCol) =>
+      val kept = copy(df = df.where(col(LabelCol) === name))
+      graph.vertices.get(name) match {
+        case Some(vt) if vt.df.columns.forall(df.columns.contains) =>
+          Traversal(graph, Element.Vertex(name, vt.idCol), kept.df, aliasTypes)
+        case _ => kept
+      }
+    case other => throw new IllegalArgumentException(
+      s"hasLabel: untagged $other traversal (only Graph.union produces labeled mixed frames)")
+  }
+
   // ------------------------------------------------- dedup / sort / paging
 
   /** Distinct elements (reference: dedup, TraversalOps.scala:650-651) —
@@ -703,4 +740,7 @@ object Traversal {
   val SubKeyAlias = "__subkey"
   /** Alias-prefixed so hops carry the sack like any step label. */
   val SackCol = s"${AliasPrefix}_sack"
+  /** Label discriminator [[Graph.union]] tags heterogeneous unions with
+    * (alias-prefixed so hops and projections carry it like a step label). */
+  val LabelCol = s"${AliasPrefix}_label"
 }

@@ -111,4 +111,33 @@ class TraversalSpec extends SparkSpec {
       assert(t.toDF.count() == 3) // josh's two creations collapse
     }
   }
+
+  describe("label / hasLabel (reference TraversalOps.scala:548,580-581)") {
+    it("label on a homogeneous traversal is a plan-time constant") {
+      val t = g.V("person").label()
+      assert(t.toDF.collect().forall(_.getString(0) == "person"))
+      // no Spark filter/expression reads data: the plan is scan + project
+      assert(!t.df.queryExecution.optimizedPlan.toString.contains("Filter"))
+    }
+    it("hasLabel folds to identity or the statically-empty frame on a typed traversal") {
+      assert(g.V("person").hasLabel("person").toDF.count() == 6)
+      val none = g.V("person").hasLabel("software")
+      assert(none.toDF.count() == 0)
+      // empty via limit(0): the optimizer collapses to LocalRelation —
+      // no scan of the mismatched table survives
+      assert(none.df.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    }
+    it("hasLabel on a tagged union filters the discriminator and re-types") {
+      val mixed = g.union(g.V("person"), g.V("software"))
+      val sw = mixed.hasLabel("software")
+      assert(sw.toDF.count() == 2)
+      // re-typed: a typed step composes downstream
+      assert(sw.has("lang", "java").toDF.count() == 2)
+      assert(mixed.label().toDF.collect().map(_.getString(0)).count(_ == "person") == 6)
+    }
+    it("label on an untagged traversal fails loudly") {
+      val e = intercept[IllegalArgumentException](g.V("person").value("name").label())
+      assert(e.getMessage.contains("untagged"))
+    }
+  }
 }
