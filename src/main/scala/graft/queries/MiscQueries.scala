@@ -196,6 +196,75 @@ object MiscQueries {
           .value("c_custkey").sortBy(col("c_custkey")).toDF
       },
       Some("""SELECT c_custkey FROM customer
-             |WHERE c_mktsegment = 'BUILDING' ORDER BY 1""".stripMargin))
+             |WHERE c_mktsegment = 'BUILDING' ORDER BY 1""".stripMargin)),
+
+    Q("q97_add_value_multi",
+      // addValue on multi-valued properties (reference:
+      // MultiValueMapping.addValue, models/Mapping.scala:147-151):
+      // List cardinality APPENDS unconditionally (duplicates accumulate),
+      // Set cardinality appends only when absent. Exercised on the same
+      // per-customer priority collection with both declared cardinalities
+      (s, dir) => {
+        import graft.model.Cardinality
+        val orders = TestData.graph(s, dir).V("orders").df
+        val rows = orders.groupBy(col("o_custkey").cast("long").as("c_custkey"))
+          .agg(
+            array_sort(collect_list(col("o_orderpriority"))).as("plist"),
+            array_sort(array_distinct(collect_list(col("o_orderpriority")))).as("pset"))
+        val cond = col("c_custkey") % 2 === 0
+        val at = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        val v = lit("1-URGENT")
+        val step1 = Mutations.addValueWhere(rows, cond, "plist", v, Cardinality.List, "admin", at)
+        Mutations.addValueWhere(step1, cond, "pset", v, Cardinality.Set, "admin", at)
+          .select(
+            col("c_custkey"),
+            array_join(col("plist"), ",").as("plist_str"),
+            size(col("plist")).as("n_list"),
+            array_join(col("pset"), ",").as("pset_str"),
+            size(col("pset")).as("n_set"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  array_to_string(CASE WHEN c_custkey % 2 = 0
+             |    THEN list_append(plist, '1-URGENT') ELSE plist END, ',') AS plist_str,
+             |  CAST(len(plist) + CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_list,
+             |  array_to_string(CASE WHEN c_custkey % 2 = 0 AND NOT list_contains(pset, '1-URGENT')
+             |    THEN list_append(pset, '1-URGENT') ELSE pset END, ',') AS pset_str,
+             |  CAST(len(pset) + CASE WHEN c_custkey % 2 = 0 AND NOT list_contains(pset, '1-URGENT')
+             |    THEN 1 ELSE 0 END AS INT) AS n_set
+             |FROM (
+             |  SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+             |    list_sort(list(o_orderpriority)) AS plist,
+             |    list_sort(list_distinct(list(o_orderpriority))) AS pset
+             |  FROM orders GROUP BY 1)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q98_remove_value",
+      // removeValue strips EVERY occurrence of the value from the rows the
+      // condition selects (reference: MultiValueMapping.removeValue,
+      // models/Mapping.scala:152-159); unmatched rows pass through intact
+      (s, dir) => {
+        val orders = TestData.graph(s, dir).V("orders").df
+        val rows = orders.groupBy(col("o_custkey").cast("long").as("c_custkey"))
+          .agg(array_sort(collect_list(col("o_orderpriority"))).as("plist"))
+        val at = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        Mutations.removeValueWhere(rows, col("c_custkey") % 2 === 0,
+            "plist", lit("3-MEDIUM"), "admin", at)
+          .select(
+            col("c_custkey"),
+            array_join(col("plist"), ",").as("plist_str"),
+            size(col("plist")).as("n_list"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  array_to_string(CASE WHEN c_custkey % 2 = 0
+             |    THEN list_filter(plist, x -> x <> '3-MEDIUM') ELSE plist END, ',') AS plist_str,
+             |  CAST(len(CASE WHEN c_custkey % 2 = 0
+             |    THEN list_filter(plist, x -> x <> '3-MEDIUM') ELSE plist END) AS INT) AS n_list
+             |FROM (
+             |  SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+             |    list_sort(list(o_orderpriority)) AS plist
+             |  FROM orders GROUP BY 1)
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -100,6 +100,76 @@ object Mutations {
       .withColumn("_updatedBy", when(cond, lit(by)).otherwise(col("_updatedBy")))
   }
 
+  /** Append ONE value to a multi-valued property of the rows matching
+    * `cond` (reference: MultiValueMapping.addValue,
+    * models/Mapping.scala:147-151,161-162; TraversalOps.scala:589-593).
+    * Cardinality decides the semantics exactly as gremlin's does: List
+    * appends unconditionally (duplicates accumulate), Set appends only
+    * when the value is absent (a no-op otherwise, preserving stored
+    * order). A null array means "no values yet" and becomes `[value]`.
+    * Pure map-side column rewrite through [[updateWhere]] — no shuffle,
+    * audit stamping included. Single/Opt fields refuse: the reference
+    * only exposes these steps on Seq/Set selectors. */
+  def addValueWhere(
+      table: DataFrame,
+      cond: Column,
+      field: String,
+      value: Column,
+      cardinality: Cardinality,
+      by: String,
+      at: java.sql.Timestamp): DataFrame = {
+    val cur = col(field)
+    val appended = cardinality match {
+      case Cardinality.List =>
+        when(cur.isNull, array(value)).otherwise(concat(cur, array(value)))
+      case Cardinality.Set =>
+        when(cur.isNull, array(value))
+          .when(array_contains(cur, value), cur)
+          .otherwise(concat(cur, array(value)))
+      case single =>
+        throw new IllegalArgumentException(
+          s"addValue on '$field': cardinality $single is not multi-valued " +
+            "(reference exposes addValue only on Seq/Set properties, TraversalOps.scala:589-593)")
+    }
+    updateWhere(table, cond, Map(field -> appended), by, at)
+  }
+
+  /** Model-aware [[addValueWhere]]: resolves the field's DECLARED
+    * cardinality (so callers can't accidentally apply List semantics to a
+    * Set property) and rejects unknown fields at plan time. */
+  def addValueWhere(
+      table: DataFrame,
+      cond: Column,
+      field: String,
+      value: Column,
+      model: VertexDef,
+      by: String,
+      at: java.sql.Timestamp): DataFrame =
+    addValueWhere(table, cond, field, value, declaredCardinality(model.fields, model.label, field), by, at)
+
+  /** Remove EVERY occurrence of one value from a multi-valued property of
+    * the rows matching `cond` (reference: MultiValueMapping.removeValue
+    * removes all matching property values, models/Mapping.scala:152-159,
+    * 164-167; TraversalOps.scala:595-599). Same for List and Set (a set
+    * holds at most one occurrence). Null arrays pass through as null. */
+  def removeValueWhere(
+      table: DataFrame,
+      cond: Column,
+      field: String,
+      value: Column,
+      by: String,
+      at: java.sql.Timestamp): DataFrame =
+    updateWhere(table, cond, Map(field -> array_remove(col(field), value)), by, at)
+
+  /** The declared cardinality of a multi-valued field; throws on unknown
+    * or single-valued fields, and edge models reject multi-valued
+    * properties entirely (reference: Mapping.scala:150-158). */
+  private def declaredCardinality(fields: Seq[FieldDef], label: String, field: String): Cardinality =
+    fields.find(_.name == field) match {
+      case Some(f) => f.cardinality
+      case None => throw new IllegalArgumentException(s"model '$label' has no field '$field'")
+    }
+
   /** Delete by predicate (reference: remove = drop().iterate()). Rows where
     * `cond` evaluates to NULL (predicate over a nullable column) did not
     * match the delete and must be KEPT — hence the coalesce: a bare

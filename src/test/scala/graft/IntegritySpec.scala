@@ -77,6 +77,51 @@ class IntegritySpec extends SparkSpec {
       assert(Mutations.create(rows.limit(0), rows, okModel).count() == 1)
     }
 
+    it("addValue honors cardinality: List accumulates, Set is add-if-absent, null becomes [v]") {
+      val at = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val rows = Seq(
+        (1L, Seq("a", "b")), (2L, Seq("b")), (3L, null)
+      ).toDF("id", "vals")
+      val asList = Mutations.addValueWhere(rows, lit(true), "vals", lit("b"),
+        Cardinality.List, "admin", at)
+        .orderBy("id").collect().map(_.getSeq[String](1).toList)
+      assert(asList.toList == List(List("a", "b", "b"), List("b", "b"), List("b")))
+      val asSet = Mutations.addValueWhere(rows, lit(true), "vals", lit("b"),
+        Cardinality.Set, "admin", at)
+        .orderBy("id").collect().map(_.getSeq[String](1).toList)
+      assert(asSet.toList == List(List("a", "b"), List("b"), List("b")))
+      // rows the condition doesn't select pass through untouched
+      val cond = Mutations.addValueWhere(rows, col("id") === 1, "vals", lit("z"),
+        Cardinality.List, "admin", at)
+        .orderBy("id").collect().map(r => Option(r.getSeq[String](1)).map(_.toList).orNull)
+      assert(cond.toList == List(List("a", "b", "z"), List("b"), null))
+      // single-valued cardinality refuses (the reference only exposes
+      // addValue on Seq/Set selectors)
+      intercept[IllegalArgumentException] {
+        Mutations.addValueWhere(rows, lit(true), "vals", lit("b"),
+          Cardinality.Single, "admin", at)
+      }
+    }
+
+    it("removeValue strips every occurrence; the model-aware overload resolves cardinality") {
+      val at = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val rows = Seq((1L, Seq("a", "b", "a")), (2L, Seq("b"))).toDF("id", "vals")
+      val removed = Mutations.removeValueWhere(rows, lit(true), "vals", lit("a"), "admin", at)
+        .orderBy("id").collect().map(_.getSeq[String](1).toList)
+      assert(removed.toList == List(List("b"), List("b")))
+      val model = VertexDef("doc", Seq(
+        FieldDef("id", LongType), FieldDef("vals", StringType, Cardinality.Set)))
+      val viaModel = Mutations.addValueWhere(rows, lit(true), "vals", lit("a"),
+        model, "admin", at)
+        .orderBy("id").collect().map(_.getSeq[String](1).toList)
+      // declared Set cardinality: row 1 already holds "a" (twice — Set
+      // semantics never introduce a THIRD), row 2 gains it
+      assert(viaModel.toList == List(List("a", "b", "a"), List("b", "a")))
+      intercept[IllegalArgumentException] {
+        Mutations.addValueWhere(rows, lit(true), "nope", lit("a"), model, "admin", at)
+      }
+    }
+
     it("mergeDuplicates driven by the model's declared unique flags") {
       val model = VertexDef("user", Seq(
         FieldDef("email", StringType, unique = true),
