@@ -247,7 +247,7 @@ object TextQueries {
     // their pointer)
     Seq(candCache, verCache, d27Cache).foreach(
       _.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint))
-    Seq(sigCache, chunkCache).foreach(_.removeAll(s))
+    Seq(sigCache, chunkCache, invCache).foreach(_.removeAll(s))
     corpusIdxCache.removeAll(s)
   }
 
@@ -1007,7 +1007,49 @@ object TextQueries {
               |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1)
               |SELECT w.doc_id, count(*) AS total_windows, count(d.h) AS dup_windows
               |FROM w LEFT JOIN d ON w.h = d.h
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("d31_inverted_index_search",
+      // Conjunctive token search over a STORED inverted index — the
+      // exact-lookup counterpart to d27's similarity index: corpus search
+      // and n-gram decontamination at lake scale both need "which docs
+      // contain these terms" answered WITHOUT a corpus scan. The posting
+      // table (tok, doc_id, tf) lives as a parquet artifact partitioned
+      // by a 64-way token-hash bucket; a probe computes its terms'
+      // buckets DRIVER-SIDE (plain CRC32, matching the write-side
+      // crc32() column exactly) so the scan directory-prunes to the
+      // terms' buckets and row-filters to the terms — per-query cost
+      // scales with the terms' posting lists, never the corpus. Ranking
+      // is idf-weighted in pure BIGINT arithmetic (tf × (1e6 div df)) so
+      // the oracle — which recomputes everything from RAW text, proving
+      // the stored index end-to-end — matches bit-for-bit.
+      (s, dir) => {
+        val terms = Seq("batch", "scan", "window")
+        val buckets = terms.map { t =>
+          val c = new java.util.zip.CRC32(); c.update(t.getBytes("UTF-8"))
+          (c.getValue % InvBuckets).toInt
+        }.distinct
+        val idx = invertedIndex(s, dir)
+          .where(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+        val dfreq = idx.groupBy("tok").agg(count(lit(1)).as("df"))
+        idx.join(broadcast(dfreq), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("hits"),
+            sum(expr("tf * (1000000 div df)")).as("score_milli"))
+          .where(col("n_terms") === terms.size)
+          .orderBy(col("score_milli").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH p AS (
+             |  SELECT t AS tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+             |  WHERE t IN ('batch', 'scan', 'window') GROUP BY 1, 2),
+             |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(tf) AS BIGINT) AS hits,
+             |  CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score_milli
+             |FROM p JOIN d USING (tok)
+             |GROUP BY 1 HAVING count(*) = 3
+             |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin))
   )
 
   /** d30's token-window width. Real deployments use ~50 (Lee et al.);
@@ -1015,6 +1057,37 @@ object TextQueries {
     * plan. `final val`: interpolated into `all`'s oracle SQL above at
     * object init (see the init-order note at [[ChunkGear]]). */
   private final val SubstrW = 20
+
+  /** d31's token-hash partition fan-out. 64 directories keeps the demo
+    * artifact small; a 100 TB deployment raises it the same way
+    * `sizeShufflePartitions` scales — the probe math is fan-out-agnostic
+    * (driver CRC32 mod the same constant). */
+  private final val InvBuckets = 64
+
+  /** d31's stored posting table: (tok, doc_id, tf) rows, written once per
+    * corpus digest via [[graft.sources.ArtifactStore]] and PARTITIONED by
+    * the token-hash bucket so probes directory-prune to their terms'
+    * buckets. Rows-not-arrays on purpose: a hot token's posting list
+    * stays splittable across tasks instead of materializing as one giant
+    * array value. Cached per session as a plain parquet reader — nothing
+    * pinned, so [[releaseCaches]] only drops the handle. */
+  private val invCache = new graft.util.SessionCache[DataFrame]
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invCache.getOrElseUpdate(s, dir) {
+      import org.apache.hadoop.fs.Path
+      val digest = graft.sources.ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "documents.parquet"), "invidx")
+      graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.artifactDir", s"graft_inv_$digest") { path =>
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+          .withColumn("bucket",
+            pmod(crc32(col("tok").cast("binary")), lit(InvBuckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      }
+    }
 
   /** d28's per-source keep budget. */
   private final val SourceCap = 10
