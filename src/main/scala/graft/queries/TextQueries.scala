@@ -1049,7 +1049,43 @@ object TextQueries {
              |  CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score_milli
              |FROM p JOIN d USING (tok)
              |GROUP BY 1 HAVING count(*) = 3
-             |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin))
+             |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin)),
+
+    Q("d32_phrase_search",
+      // Exact-phrase search over a POSITIONAL posting artifact — the
+      // query-driven counterpart to d30's window census: decontamination
+      // asks "does this benchmark sentence appear verbatim anywhere?"
+      // per sentence, and answering it from stored (tok, doc_id, pos)
+      // rows costs the phrase terms' posting lists, not a corpus scan.
+      // Each term's positions are normalized to the phrase START
+      // (pos − term offset), so a k-term phrase is k−1 equi-joins on
+      // (doc_id, start) over bucket-pruned narrow rows — no window
+      // functions, no arrays, no text. Occurrence counts per doc come
+      // out of one final groupBy. Same trust story as d31: the oracle
+      // recomputes positions from RAW text, proving the stored index.
+      (s, dir) => {
+        val phrase = Seq("table", "hash")
+        val buckets = phrase.map { t =>
+          val c = new java.util.zip.CRC32(); c.update(t.getBytes("UTF-8"))
+          (c.getValue % InvBuckets).toInt
+        }.distinct
+        val idx = positionalIndex(s, dir)
+          .where(col("bucket").isin(buckets: _*) && col("tok").isin(phrase: _*))
+        phrase.zipWithIndex.map { case (t, i) =>
+            idx.where(col("tok") === t)
+              .select(col("doc_id"), (col("pos") - i).as("start"))
+          }
+          .reduce(_.join(_, Seq("doc_id", "start")))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |p AS (SELECT doc_id, unnest(toks) AS tok,
+             |        unnest(generate_series(1, len(toks))) AS pos FROM t)
+             |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+             |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |WHERE a.tok = 'table' AND b.tok = 'hash'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** d30's token-window width. Real deployments use ~50 (Lee et al.);
@@ -1071,6 +1107,29 @@ object TextQueries {
     * stays splittable across tasks instead of materializing as one giant
     * array value. Cached per session as a plain parquet reader — nothing
     * pinned, so [[releaseCaches]] only drops the handle. */
+  /** d32's positional posting table: (tok, doc_id, pos) rows, bucket-
+    * partitioned like [[invertedIndex]]. Positions are 1-based to match
+    * the oracle's `generate_series`. Stored separately from d31's
+    * tf-rollup — positions triple the index size, so a deployment opts
+    * in per-corpus exactly like a search engine's positional postings. */
+  private def positionalIndex(s: SparkSession, dir: String): DataFrame =
+    invCache.getOrElseUpdate(s, s"$dir#pos") {
+      import org.apache.hadoop.fs.Path
+      val digest = graft.sources.ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "documents.parquet"), "invpos")
+      graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.artifactDir", s"graft_invpos_$digest") { path =>
+        docs(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("col").as("tok"),
+            (col("pos") + 1).cast("int").as("pos"))
+          .withColumn("bucket",
+            pmod(crc32(col("tok").cast("binary")), lit(InvBuckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      }
+    }
+
   private val invCache = new graft.util.SessionCache[DataFrame]
   private def invertedIndex(s: SparkSession, dir: String): DataFrame =
     invCache.getOrElseUpdate(s, dir) {

@@ -146,18 +146,10 @@ class PlanQualitySpec extends SparkSpec {
         s"probed=${filesRead(probed)} full=${idx.inputFiles.length}")
     }
 
-    it("d31's search probe prunes the inverted index to its terms' buckets") {
-      // the stored posting table is partitioned by token-hash bucket;
-      // a 3-term probe must directory-prune (3 of 64 buckets) AND push
-      // the term filter into the surviving scans — per-query cost is
-      // the terms' posting lists, never the corpus
-      val df = graft.SparkEntry.queries("d31_inverted_index_search")(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
-      assert(plan.contains("In(tok"), plan)
-      df.collect()
-      // AQE wraps the tree in AdaptiveSparkPlanExec — unwrap to reach
-      // the executed file scans and their numFiles metrics
+    // AQE wraps the tree in AdaptiveSparkPlanExec / QueryStageExec —
+    // unwrap to reach the executed file scans and their numFiles metrics
+    def executedScans(df: org.apache.spark.sql.DataFrame)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
       def leaves(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -172,15 +164,30 @@ class PlanQualitySpec extends SparkSpec {
           case l => Seq(l)
         }
       }
-      val scans = leaves(df.queryExecution.executedPlan).collect {
+      leaves(df.queryExecution.executedPlan).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
-      assert(scans.nonEmpty, "no FileSourceScanExec leaf in\n" + plan)
-      // every index scan opened strictly fewer directories than the
-      // artifact holds (64 bucket dirs at any corpus size)
-      scans.foreach { f =>
-        assert(f.metrics("numFiles").value < 64L,
-          s"probe read ${f.metrics("numFiles").value} files — no directory pruning")
+    }
+
+    // the stored posting tables are partitioned by token-hash bucket; a
+    // probe must directory-prune to its terms' buckets AND push the term
+    // filter into the surviving scans — per-query cost is the terms'
+    // posting lists, never the corpus
+    Seq("d31_inverted_index_search", "d32_phrase_search").foreach { name =>
+      it(s"$name's probe prunes the posting index to its terms' buckets") {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+        assert(plan.contains("tok"), plan)
+        df.collect()
+        val scans = executedScans(df)
+        assert(scans.nonEmpty, "no FileSourceScanExec leaf in\n" + plan)
+        // every index scan opened strictly fewer directories than the
+        // artifact holds (64 bucket dirs at any corpus size)
+        scans.foreach { f =>
+          assert(f.metrics("numFiles").value < 64L,
+            s"probe read ${f.metrics("numFiles").value} files — no directory pruning")
+        }
       }
     }
 
