@@ -152,6 +152,15 @@ object PipelineQueries {
       (s, dir) => StreamAgg.minhashIndexStream(s, dir),
       TextQueries.all.find(_.name == "d08_minhash_signature").get.oracle),
 
+    Q("s11_stream_posting_index",
+      // the d31/d32 search index maintained incrementally: per-document
+      // posting rows from a stateless per-row expression over a streaming
+      // documents source — stream and batch builds agree row-for-row
+      (s, dir) => StreamAgg.postingIndexStream(s, dir),
+      Some("""SELECT t AS tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+             |GROUP BY 1, 2 ORDER BY tok, doc_id""".stripMargin)),
+
     Q("s10_stream_sessionize",
       // custom-state streaming: flatMapGroupsWithState sessionization
       // with event-time timeout — emitted sessions are those closed by an

@@ -172,6 +172,25 @@ object StreamAgg {
     replayToMemory(spark, sig, "stream_sig_", "append")(_.orderBy("doc_id"))
   }
 
+  /** The inverted search index maintained on a document stream
+    * (SURVEY §2.9 × the d31 search surface): per-document posting rows
+    * (tok, doc_id, tf) computed as a PER-ROW expression — tf comes from
+    * counting the token inside the document's own array
+    * (`size(filter(toks, = tok))`), never a cross-row groupBy — so the
+    * query is STATELESS, exactly like the signature stream: a growing
+    * corpus's search index appends from a stream job while probes read
+    * the published artifact batch-side. Same oracle family as d31: the
+    * DuckDB side recomputes postings from raw text. */
+  def postingIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
+    val postings = docsStream
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), explode(array_distinct(col("toks"))).as("tok"))
+      .select(col("doc_id"), col("tok"),
+        size(filter(col("toks"), t => t === col("tok"))).cast("bigint").as("tf"))
+    replayToMemory(spark, postings, "stream_inv_", "append")(_.orderBy("tok", "doc_id"))
+  }
+
   /** Streaming dedup via the DEDICATED bounded-state operator,
     * `dropDuplicatesWithinWatermark`: unlike [[streamWindowedDistinct]]
     * (which bounds state by folding an event-time window into the key),
