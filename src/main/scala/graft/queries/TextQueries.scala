@@ -1085,7 +1085,79 @@ object TextQueries {
              |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
              |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
              |WHERE a.tok = 'table' AND b.tok = 'hash'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("d33_exact_substring_removal",
+      // The REWRITE step d30's census feeds (Lee et al. 2022 remove the
+      // duplicated spans, not the documents): every token position
+      // covered by ANY corpus-duplicated W-window is cut, and the
+      // surviving tokens are reassembled in order. Docs shorter than W
+      // (no windows) pass through verbatim; a fully-boilerplate doc
+      // collapses to the empty string.
+      //
+      // Scale shape: the positional window table and the duplicate
+      // census are d30's narrow rows; covered positions explode ONLY
+      // duplicated windows (W rows each, bounded by the dup fraction);
+      // the kept-token anti-join and the per-doc reassembly shuffle
+      // (pos, tok) pairs once — the unavoidable cost of materializing
+      // the rewritten corpus, same order as any re-tokenization pass.
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val toks = base.select(col("doc_id"), posexplode(col("toks")))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+        // positional window hashes — d30's expression with the window
+        // start kept (1-based; same totality guard, see d30)
+        val w = candCache.getOrElseUpdate(s, s"$dir#d33win")(
+          base.select(col("doc_id"),
+            expr(s"""CASE WHEN size(toks) >= $SubstrW THEN
+                   |  transform(sequence(1, size(toks) - ${SubstrW - 1}),
+                   |    i -> struct(i AS wpos, md5(CAST(array_join(slice(toks, i, $SubstrW), ' ') AS BINARY)) AS h))
+                   |ELSE array() END""".stripMargin).as("ws"))
+            .select(col("doc_id"), explode(col("ws")).as("w"))
+            .select(col("doc_id"), col("w.wpos").as("wpos"), col("w.h").as("h"))
+            .localCheckpoint())
+        val dup = w.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select(col("h"))
+        val covered = w.join(dup, Seq("h"), "left_semi")
+          .select(col("doc_id"),
+            explode(sequence(col("wpos"), col("wpos") + lit(SubstrW - 1))).as("pos"))
+          .distinct()
+        val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                x => x.getField("tok")), " ").as("clean_text"),
+            count(lit(1)).as("n_kept"))
+        base.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_total"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"),
+            (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |p AS (SELECT doc_id, unnest(toks) AS tok,
+              |        unnest(generate_series(1, len(toks))) AS pos FROM t),
+              |w AS (SELECT doc_id, pos AS wpos,
+              |        md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+              |              ROWS BETWEEN CURRENT ROW AND ${SubstrW - 1} FOLLOWING)) AS h,
+              |        count(*) OVER (PARTITION BY doc_id) AS ntok
+              |      FROM p QUALIFY pos <= ntok - ${SubstrW - 1}),
+              |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+              |cov AS (SELECT DISTINCT w.doc_id,
+              |          unnest(generate_series(wpos, wpos + ${SubstrW - 1})) AS pos
+              |        FROM w SEMI JOIN d ON w.h = d.h),
+              |kept AS (
+              |  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text,
+              |    CAST(count(*) AS BIGINT) AS n_kept
+              |  FROM p ANTI JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+              |  GROUP BY 1)
+              |SELECT t.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+              |  CAST(len(t.toks) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed
+              |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+              |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** d30's token-window width. Real deployments use ~50 (Lee et al.);
