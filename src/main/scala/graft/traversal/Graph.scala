@@ -94,6 +94,12 @@ final class Graph(
         val l = t.element match {
           case Element.Vertex(l0, _) => org.apache.spark.sql.functions.lit(l0)
           case Element.Edge(l0, _, _) => org.apache.spark.sql.functions.lit(l0)
+          // a branch that is ITSELF a tagged union keeps its per-row
+          // labels — overwriting with null would silently mislabel every
+          // nested-union row; genuinely untagged branches (value
+          // traversals) tag null, which hasLabel never matches
+          case _ if t.df.columns.contains(Traversal.LabelCol) =>
+            org.apache.spark.sql.functions.col(Traversal.LabelCol)
           case _ => org.apache.spark.sql.functions.lit(null).cast("string")
         }
         t.df.withColumn(Traversal.LabelCol, l)

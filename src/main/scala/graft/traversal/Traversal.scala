@@ -385,7 +385,15 @@ final case class Traversal(
       val kept = copy(df = df.where(col(LabelCol) === name))
       graph.vertices.get(name) match {
         case Some(vt) if vt.df.columns.forall(df.columns.contains) =>
-          Traversal(graph, Element.Vertex(name, vt.idCol), kept.df, aliasTypes)
+          // prune to the matched model's columns (+ carried step labels,
+          // minus the now-static discriminator): the narrowed traversal
+          // must render the SAME entity shape as g.V(name) — other
+          // branches' all-null columns would otherwise leak into
+          // valueMap/entity output
+          val keep = vt.df.columns ++
+            aliasCols.filterNot(c => c == LabelCol || vt.df.columns.contains(c))
+          Traversal(graph, Element.Vertex(name, vt.idCol),
+            kept.df.select(keep.map(kept.df(_)): _*), aliasTypes)
         case _ => kept
       }
     case other => throw new IllegalArgumentException(

@@ -139,5 +139,19 @@ class TraversalSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](g.V("person").value("name").label())
       assert(e.getMessage.contains("untagged"))
     }
+    it("a nested union preserves the inner union's per-row labels") {
+      val nested = g.union(g.union(g.V("person"), g.V("software")), g.V("person"))
+      // inner-union rows keep their own labels — not null
+      assert(nested.hasLabel("software").toDF.count() == 2)
+      assert(nested.hasLabel("person").toDF.count() == 12)
+      val labels = nested.label("l").toDF.collect().map(_.getString(0))
+      assert(!labels.contains(null) && labels.count(_ == "person") == 12)
+    }
+    it("hasLabel's re-typed traversal renders the same entity shape as a direct scan") {
+      val sw = g.union(g.V("person"), g.V("software")).hasLabel("software")
+      // other branches' (all-null) columns and the discriminator are
+      // pruned — same columns as g.V("software")
+      assert(sw.df.columns.sorted.toSeq == g.V("software").df.columns.sorted.toSeq)
+    }
   }
 }
