@@ -136,6 +136,31 @@ object RenderQueries {
              |SELECT '{' || string_agg(
              |         '"' || og.b || '":{"n":' || og.n || ',' || ij.js || '}',
              |         ',' ORDER BY og.b) || '}' AS json
-             |FROM og JOIN ij USING (b)""".stripMargin))
+             |FROM og JOIN ij USING (b)""".stripMargin)),
+
+    Q("j06_nested_time_in_time_json",
+      // time-in-time over the SAME field — the dashboard drill-down the
+      // recursive grammar allows (weekly buckets expanded into daily):
+      // both levels derive the bucket column name `ts_bucket`, so this
+      // pins the nested-key disambiguation (worked as `ts_bucket__2`,
+      // rendered back as the canonical key)
+      (s, dir) => {
+        import s.implicits._
+        val js = exec(s, dir).executeJson(
+          """[{"_name":"all_events"},
+            |  {"_name":"aggregation","_agg":"time","_field":"ts","_interval":"1w",
+            |   "_select":[{"_agg":"time","_field":"ts","_interval":"1d",
+            |               "_select":[{"_agg":"count","_name":"c"}]}]}]""".stripMargin)
+        Seq(JsonRenderer.compact(js)).toDF("json")
+      },
+      Some("""WITH ig AS (
+             |  SELECT (epoch_ms(ts) - (epoch_ms(ts) + 259200000) % 604800000) AS wb,
+             |         (epoch_ms(ts) - epoch_ms(ts) % 86400000) AS db, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |ij AS (
+             |  SELECT wb, string_agg('"' || db || '":{"c":' || c || '}', ',' ORDER BY db) AS js
+             |  FROM ig GROUP BY 1)
+             |SELECT '{' || string_agg('"' || wb || '":{' || js || '}', ',' ORDER BY wb) || '}' AS json
+             |FROM ij""".stripMargin))
   )
 }

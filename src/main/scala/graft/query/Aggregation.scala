@@ -265,10 +265,11 @@ object AggCompiler {
       (if (needCount) Seq(Agg.Count("__ocount", None)) else Nil)
 
     def innerTable(n: Agg, extras: Seq[Column]): DataFrame = {
+      val nname = nestedKeyName(n, groupKeys)
       val (nkey, nsubs, norder) = n match {
-        case Agg.ByField(field, _, ss, order, _, _) => ((field, props.column(field)), ss, order)
+        case Agg.ByField(field, _, ss, order, _, _) => ((nname, props.column(field)), ss, order)
         case Agg.ByTime(field, _, iv, cal, ss, _) =>
-          ((s"${field}_bucket", timeBucket(props.column(field), iv, cal)), ss, Seq.empty[String])
+          ((nname, timeBucket(props.column(field), iv, cal)), ss, Seq.empty[String])
         case other => throw new IllegalArgumentException(s"not a grouping aggregation: $other")
       }
       groupedWithSubs(filtered(withKey, nestedFilter(n)), groupKeys, nkey, nsubs,
@@ -325,6 +326,26 @@ object AggCompiler {
         joinNested(acc, collapsed, groupKeys)
       }
     }
+  }
+
+  /** The canonical grouping-column name a nested agg presents to the
+    * renderer (`<field>` / `<field>_bucket`). */
+  private def nestedKeyBase(n: Agg): String = n match {
+    case Agg.ByField(field, _, _, _, _, _) => field
+    case Agg.ByTime(field, _, _, _, _, _) => s"${field}_bucket"
+    case other => throw new IllegalArgumentException(s"not a grouping aggregation: $other")
+  }
+
+  /** The WORKING grouping-column name for one nesting level: the grammar
+    * is recursive over the same fields (time-in-time drill-downs group
+    * `ts_bucket` inside `ts_bucket`), so a nested key colliding with an
+    * enclosing group key is uniquified here and aliased BACK to the
+    * canonical name inside the emitted struct by [[collapseNested]] —
+    * the rendered shape never shows the disambiguation. */
+  private def nestedKeyName(n: Agg, parents: Seq[String]): String = {
+    val base = nestedKeyBase(n)
+    if (!parents.contains(base)) base
+    else Iterator.from(2).map(i => s"${base}__$i").find(!parents.contains(_)).get
   }
 
   private def nestedSize(n: Agg): Option[Int] = n match {
@@ -408,11 +429,12 @@ object AggCompiler {
       parentKeys: Seq[String],
       n: Agg,
       parentScalars: Seq[(String, (Column => Column) => Column)] = Nil): DataFrame = {
-    val (keyName, order, size, subs) = n match {
-      case Agg.ByField(field, _, ss, order, size, _) => (field, order, size, ss)
-      case Agg.ByTime(field, _, _, _, ss, _) => (s"${field}_bucket", Seq.empty[String], Option.empty[Int], ss)
+    val (order, size, subs) = n match {
+      case Agg.ByField(_, _, ss, order, size, _) => (order, size, ss)
+      case Agg.ByTime(_, _, _, _, ss, _) => (Seq.empty[String], Option.empty[Int], ss)
       case other => throw new IllegalArgumentException(s"not a grouping aggregation: $other")
     }
+    val keyName = nestedKeyName(n, parentKeys)
     val wAll = Window.partitionBy(parentKeys.map(col): _*)
     val withTotals =
       if (parentScalars.isEmpty) grouped
@@ -429,7 +451,11 @@ object AggCompiler {
     limited
       .groupBy(parentKeys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn(n.name, transform(col("__arr"), e => struct(dataCols.map(c => e.getField(c).as(c)): _*)))
+      .withColumn(n.name, transform(col("__arr"), e => struct(dataCols.map(c =>
+        // alias a disambiguated working key back to its canonical name —
+        // struct fields are namespaced, so the collision that forced the
+        // rename cannot recur inside the array element
+        e.getField(c).as(if (c == keyName) nestedKeyBase(n) else c)): _*)))
       .drop("__arr")
   }
 

@@ -81,32 +81,28 @@ class NestedAggPropertySpec extends SparkSpec {
     JObject(base)
   }
 
-  /** A grouping node; `keys` = group keys already used on this path
-    * (reused keys are rejected by the compiler), `timeUsed` = a time
-    * bucket already on the path (its bucket column name is fixed). */
-  private def groupGen(depth: Int, keys: Set[String], timeUsed: Boolean): Gen[JValue] = {
+  /** A grouping node; `keys` = FIELD group keys already used on this path
+    * (kept unique in generated specs). Time nodes recur freely — the
+    * grammar's time-in-time drill-down is legal and the compiler
+    * disambiguates the colliding `ts_bucket` working names itself. */
+  private def groupGen(depth: Int, keys: Set[String]): Gen[JValue] = {
     val fieldChoices = Seq("k1", "k2").filterNot(keys)
-    val canField = fieldChoices.nonEmpty
-    val canTime = !timeUsed
-    require(canField || canTime)
     for {
-      useTime <- if (canField && canTime) Gen.oneOf(false, true)
-        else Gen.const(canTime)
-      node <- if (useTime) timeNode(depth, keys) else fieldNode(depth, fieldChoices, keys, timeUsed)
+      useTime <- if (fieldChoices.nonEmpty) Gen.oneOf(false, true) else Gen.const(true)
+      node <- if (useTime) timeNode(depth, keys) else fieldNode(depth, fieldChoices, keys)
     } yield node
   }
 
-  private def subsGen(depth: Int, keys: Set[String], timeUsed: Boolean): Gen[List[JValue]] = for {
+  private def subsGen(depth: Int, keys: Set[String]): Gen[List[JValue]] = for {
     nScalar <- Gen.choose(0, 2)
     scalars <- Gen.listOfN(nScalar, scalarGen)
-    nestable = depth > 0 && (Seq("k1", "k2").exists(!keys.contains(_)) || !timeUsed)
-    withNested <- if (nestable) Gen.frequency(1 -> false, 2 -> true) else Gen.const(false)
-    nested <- if (withNested) groupGen(depth - 1, keys, timeUsed).map(List(_)) else Gen.const(Nil)
+    withNested <- if (depth > 0) Gen.frequency(1 -> false, 2 -> true) else Gen.const(false)
+    nested <- if (withNested) groupGen(depth - 1, keys).map(List(_)) else Gen.const(Nil)
   } yield scalars ++ nested
 
-  private def fieldNode(depth: Int, choices: Seq[String], keys: Set[String], timeUsed: Boolean): Gen[JValue] = for {
+  private def fieldNode(depth: Int, choices: Seq[String], keys: Set[String]): Gen[JValue] = for {
     f <- Gen.oneOf(choices)
-    subs <- subsGen(depth, keys + f, timeUsed)
+    subs <- subsGen(depth, keys + f)
     f0 <- filterGen
     order <- Gen.oneOf(None, Some("+"), Some("-"), Some("c+"), Some("c-"))
     size <- Gen.oneOf[Option[Int]](None, Some(1), Some(2), Some(3))
@@ -127,7 +123,7 @@ class NestedAggPropertySpec extends SparkSpec {
 
   private def timeNode(depth: Int, keys: Set[String]): Gen[JValue] = for {
     iv <- Gen.oneOf("1d", "1w", "1M")
-    subs <- subsGen(depth, keys, timeUsed = true)
+    subs <- subsGen(depth, keys)
     f0 <- filterGen
   } yield JObject(List("_agg" -> JString("time"), "_field" -> JString("ts"),
     "_name" -> JString(name()),
@@ -262,7 +258,7 @@ class NestedAggPropertySpec extends SparkSpec {
 
   describe("random nested aggregation trees (compiled+rendered vs in-memory evaluator)") {
     it("agree byte-for-byte on 60 random trees") {
-      val gen = groupGen(2, Set.empty, timeUsed = false)
+      val gen = groupGen(2, Set.empty)
       var failures = List.empty[String]
       (0 until 60).foreach { i =>
         val tree = gen(Gen.Parameters.default, Seed(7000L + i)).getOrElse(fail("gen failed"))
