@@ -313,6 +313,12 @@ object VectorQueries {
       // different width (the auto-derived value is digest-stable, so
       // it normally never varies for one digest)
       val nb = nbitsOf(s, dir)
+      // the nb-suffixed family name replaced the bare-digest one when the
+      // quantizer width became part of the index identity — age out
+      // artifacts stranded under the old names (digest-only: 16 hex
+      // chars where the current names carry the decimal nb first)
+      graft.sources.ArtifactStore.sweepLegacyNames(s, "spark.graft.ann.indexDir",
+        "graft_ivf_idx_[0-9a-f]{16}(\\.ptr(\\.tmp\\..*)?|_v_.*)")
       graft.sources.ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest") { path =>
         codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)

@@ -61,19 +61,45 @@ object ArtifactStore {
     * its pointer is never resolved again — ages out with its versions
     * after `spark.graft.artifact.orphanMs` (7 days), so the root stays
     * bounded across data regenerations without a manual sweep. */
+  // Default root is a PER-USER subdirectory of tmpdir, created with
+  // owner-only permissions: the artifact trust model is "whoever can
+  // write the root can poison the index" (the digest covers path+
+  // size+mtime, not content), so a world-writable shared tmp would let
+  // another local user pre-plant a pointer + _SUCCESS-complete version
+  // dir that correctness-bearing dedup artifacts would serve. Shared
+  // multi-tenant deployments point rootConfKey at an ACL'd lake path.
+  // (Artifacts written by releases that defaulted to the BARE tmpdir are
+  // outside this root and not swept — a shared dir is not ours to clean;
+  // remove them with the documented `rm -rf /tmp/graft_*`.)
+  private def resolvedRoot(s: SparkSession, rootConfKey: String): Path =
+    new Path(s.conf.get(rootConfKey,
+      "file:" + System.getProperty("java.io.tmpdir") +
+        "/graft-" + System.getProperty("user.name", "anon")))
+
+  /** Collect artifacts stranded under names a PREVIOUS release used (a
+    * family rename changes the digest-free prefix, so the regular sibling
+    * sweep in [[getOrBuild]] never globs the old names again). Deletes
+    * root entries whose full name matches `legacyRegex` and whose mtime
+    * is past the orphan horizon — call it from the renamed family's
+    * builder with a regex that CANNOT match the current names. */
+  def sweepLegacyNames(s: SparkSession, rootConfKey: String, legacyRegex: String): Unit = {
+    val root = resolvedRoot(s, rootConfKey)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val orphanMs = s.conf.get("spark.graft.artifact.orphanMs", "604800000").toLong
+    val now = System.currentTimeMillis()
+    val re = legacyRegex.r
+    fs.listStatus(root).foreach { st =>
+      if (re.pattern.matcher(st.getPath.getName).matches() &&
+          now - st.getModificationTime > orphanMs)
+        fs.delete(st.getPath, true)
+    }
+  }
+
   def getOrBuild(s: SparkSession, rootConfKey: String, baseName: String)
                 (write: String => Unit): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
-    // Default root is a PER-USER subdirectory of tmpdir, created with
-    // owner-only permissions: the artifact trust model is "whoever can
-    // write the root can poison the index" (the digest covers path+
-    // size+mtime, not content), so a world-writable shared tmp would let
-    // another local user pre-plant a pointer + _SUCCESS-complete version
-    // dir that correctness-bearing dedup artifacts would serve. Shared
-    // multi-tenant deployments point rootConfKey at an ACL'd lake path.
-    val root = new Path(s.conf.get(rootConfKey,
-      "file:" + System.getProperty("java.io.tmpdir") +
-        "/graft-" + System.getProperty("user.name", "anon")))
+    val root = resolvedRoot(s, rootConfKey)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) {
       fs.mkdirs(root)
@@ -170,11 +196,18 @@ object ArtifactStore {
           }
       }
     }
-    // usage marker: touch the live pointer so the cross-digest orphan
-    // sweep (below) measures idleness from last USE, not last write —
-    // a hot artifact over stable source data is never collected
-    try if (pfs.exists(ptr)) pfs.setTimes(ptr, System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
+    // usage marker: touch the live pointer AND the live version dir so
+    // the cross-digest orphan sweep (below) measures idleness from last
+    // USE, not last write — a hot artifact over stable source data is
+    // never collected. Touching the version dir itself matters: the
+    // sweep's age test reads the DIR's mtime, and a dir whose pointer is
+    // transiently absent (another committer mid delete+rename) or
+    // unreadable must still look recently used, or the sweep would
+    // collect a live artifact out from under concurrent readers.
+    try {
+      if (pfs.exists(ptr)) pfs.setTimes(ptr, System.currentTimeMillis(), -1)
+      fs.setTimes(target, System.currentTimeMillis(), -1)
+    } catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
 
     // opportunistic GC 1 (same digest): unreferenced versions of this
     // artifact older than the stale horizon (crash leftovers and
@@ -200,6 +233,10 @@ object ArtifactStore {
     val prefix = baseName.replaceAll("_[0-9a-f]{16}$", "")
     if (prefix != baseName) {
       val now = System.currentTimeMillis()
+      // families whose live pointer could not be READ are protected
+      // wholesale: an unreadable-but-live pointer must suppress the
+      // sweep of its versions, never default them to sweepable
+      val protectedFamilies = scala.collection.mutable.Set.empty[String]
       val livePointees = pfs.globStatus(new Path(root, s"${prefix}_*.ptr")).flatMap { pst =>
         val dead = now - pst.getModificationTime > orphanMs
         val pointee =
@@ -209,7 +246,11 @@ object ArtifactStore {
               org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
             finally in.close()
             Some(raw.trim)
-          } catch { case _: java.io.IOException => None }
+          } catch {
+            case _: java.io.IOException =>
+              if (!dead) protectedFamilies += pst.getPath.getName.stripSuffix(".ptr")
+              None
+          }
         if (dead) {
           pointee.foreach(n => if (n.startsWith(prefix)) fs.delete(new Path(root, n), true))
           pfs.delete(pst.getPath, false)
@@ -217,8 +258,10 @@ object ArtifactStore {
         } else pointee
       }.toSet
       fs.globStatus(new Path(root, s"${prefix}_*_v_*")).foreach { vst =>
-        if (!livePointees.contains(vst.getPath.getName) &&
-            vst.getPath.getName != target.getName &&
+        val vname = vst.getPath.getName
+        if (!livePointees.contains(vname) &&
+            vname != target.getName &&
+            !protectedFamilies.exists(f => vname.startsWith(s"${f}_v_")) &&
             now - vst.getModificationTime > orphanMs)
           fs.delete(vst.getPath, true)
       }

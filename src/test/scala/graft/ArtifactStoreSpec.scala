@@ -157,5 +157,60 @@ class ArtifactStoreSpec extends SparkSpec {
         assert(ptr.lastModified() > 1000L, "resolve did not touch the pointer usage marker")
       }
     }
+
+    it("resolves touch the VERSION DIR too, so a live version survives the sweep even if its pointer is momentarily absent") {
+      // the race the dir-mtime marker closes: a committer mid
+      // delete+rename leaves the pointer briefly missing while the
+      // version dir is old-by-mtime (only pointers used to be touched) —
+      // a sibling's sweep must not collect the live version
+      withScratchDir("graft_as_dirtouch") { root =>
+        val s = session(root)
+        val live = "rc_" + "d" * 16
+        val other = "rc_" + "e" * 16
+        ArtifactStore.getOrBuild(s, RootKey, live)(writeRange(s, 4))
+        ArtifactStore.getOrBuild(s, RootKey, other)(writeRange(s, 6))
+        val liveV = new java.io.File(root).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith(s"${live}_v_"))
+        assert(liveV.nonEmpty)
+        // a resolve refreshes the dir mtime — so this aging only sticks
+        // if the fix were reverted
+        liveV.foreach(f => assert(f.setLastModified(1000L)))
+        assert(ArtifactStore.getOrBuild(s, RootKey, live)(writeRange(s, 4)).count() == 4)
+        assert(liveV.forall(_.lastModified() > 1000L),
+          "resolve did not refresh the version dir's usage marker")
+        // now simulate the pointer-absent window with an aged dir: even
+        // then the sweep must not collect it within the orphan horizon
+        val ptr = new java.io.File(root, s"$live.ptr")
+        val ptrBytes = java.nio.file.Files.readAllBytes(ptr.toPath)
+        assert(ptr.delete())
+        s.conf.set("spark.graft.artifact.orphanMs", "60000")
+        assert(ArtifactStore.getOrBuild(s, RootKey, other)(writeRange(s, 6)).count() == 6)
+        assert(liveV.forall(_.exists()),
+          "sweep collected a recently-used version during its pointer's commit window")
+        java.nio.file.Files.write(ptr.toPath, ptrBytes)
+        assert(ArtifactStore.getOrBuild(s, RootKey, live)(writeRange(s, 4)).count() == 4)
+      }
+    }
+
+    it("sweepLegacyNames ages out a renamed family's old names and nothing else") {
+      withScratchDir("graft_as_legacy") { root =>
+        val s = session(root)
+        val current = "ren_9_" + "f" * 16
+        ArtifactStore.getOrBuild(s, RootKey, current)(writeRange(s, 5))
+        // plant a legacy-named pointer + version dir (digest-only form)
+        val legacyBase = "ren_" + "a" * 16
+        val legacyV = new java.io.File(root, s"${legacyBase}_v_deadbeef")
+        assert(legacyV.mkdir())
+        val legacyPtr = new java.io.File(root, s"$legacyBase.ptr")
+        java.nio.file.Files.write(legacyPtr.toPath, s"${legacyBase}_v_deadbeef\n".getBytes)
+        Seq(legacyV, legacyPtr).foreach(f => assert(f.setLastModified(1000L)))
+        s.conf.set("spark.graft.artifact.orphanMs", "60000")
+        ArtifactStore.sweepLegacyNames(s, RootKey, "ren_[0-9a-f]{16}(\\.ptr(\\.tmp\\..*)?|_v_.*)")
+        assert(!legacyPtr.exists() && !legacyV.exists(), "legacy names not collected")
+        // the current family (nb-prefixed) does not match the regex
+        assert(new java.io.File(root, s"$current.ptr").exists())
+        assert(ArtifactStore.getOrBuild(s, RootKey, current)(writeRange(s, 5)).count() == 5)
+      }
+    }
   }
 }
