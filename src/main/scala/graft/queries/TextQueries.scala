@@ -964,26 +964,7 @@ object TextQueries {
         val base = docs(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .where(size(col("toks")) >= SubstrW)
-        // The window-hash table is MATERIALIZED once (checkpoint here;
-        // a deployment stores it — it is the ExactSubstr suffix table's
-        // lake analog, rebuilt per ingest like the MinHash signature
-        // artifact): the duplicate census and the semi-join both read
-        // it, and an unshared plan would pay the O(tokens × W) hashing
-        // pass twice. The hash expression must be TOTAL (empty array for
-        // short docs) even though a size filter precedes it: explode's
-        // inferred non-empty constraint lands in the same Filter
-        // conjunction and evaluates the transform on unfiltered rows,
-        // where a bare sequence(1, size-W+1) on a short doc yields a
-        // descending [1, 0] and slice(…, 0, …) throws.
-        val w = candCache.getOrElseUpdate(s, s"$dir#d30win")(
-          base.select(col("doc_id"),
-            expr(s"""CASE WHEN size(toks) >= $SubstrW THEN
-                   |  transform(sequence(1, size(toks) - ${SubstrW - 1}),
-                   |    i -> md5(CAST(array_join(slice(toks, i, $SubstrW), ' ') AS BINARY)))
-                   |ELSE array() END""".stripMargin)
-              .as("hs"))
-            .select(col("doc_id"), explode(col("hs")).as("h"))
-            .localCheckpoint())
+        val w = windowHashTable(s, dir).select(col("doc_id"), col("h"))
         val dup = w.groupBy(col("h")).agg(count(lit(1)).as("c"))
           .where(col("c") > 1).select(col("h"))
         val dupPerDoc = w.join(dup, Seq("h"), "left_semi")
@@ -1025,10 +1006,7 @@ object TextQueries {
       // the stored index end-to-end — matches bit-for-bit.
       (s, dir) => {
         val terms = Seq("batch", "scan", "window")
-        val buckets = terms.map { t =>
-          val c = new java.util.zip.CRC32(); c.update(t.getBytes("UTF-8"))
-          (c.getValue % InvBuckets).toInt
-        }.distinct
+        val buckets = terms.map(termBucket).distinct
         val idx = invertedIndex(s, dir)
           .where(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
         val dfreq = idx.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1065,10 +1043,7 @@ object TextQueries {
       // recomputes positions from RAW text, proving the stored index.
       (s, dir) => {
         val phrase = Seq("table", "hash")
-        val buckets = phrase.map { t =>
-          val c = new java.util.zip.CRC32(); c.update(t.getBytes("UTF-8"))
-          (c.getValue % InvBuckets).toInt
-        }.distinct
+        val buckets = phrase.map(termBucket).distinct
         val idx = positionalIndex(s, dir)
           .where(col("bucket").isin(buckets: _*) && col("tok").isin(phrase: _*))
         phrase.zipWithIndex.map { case (t, i) =>
@@ -1106,17 +1081,7 @@ object TextQueries {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
         val toks = base.select(col("doc_id"), posexplode(col("toks")))
           .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
-        // positional window hashes — d30's expression with the window
-        // start kept (1-based; same totality guard, see d30)
-        val w = candCache.getOrElseUpdate(s, s"$dir#d33win")(
-          base.select(col("doc_id"),
-            expr(s"""CASE WHEN size(toks) >= $SubstrW THEN
-                   |  transform(sequence(1, size(toks) - ${SubstrW - 1}),
-                   |    i -> struct(i AS wpos, md5(CAST(array_join(slice(toks, i, $SubstrW), ' ') AS BINARY)) AS h))
-                   |ELSE array() END""".stripMargin).as("ws"))
-            .select(col("doc_id"), explode(col("ws")).as("w"))
-            .select(col("doc_id"), col("w.wpos").as("wpos"), col("w.h").as("h"))
-            .localCheckpoint())
+        val w = windowHashTable(s, dir)
         val dup = w.groupBy(col("h")).agg(count(lit(1)).as("c"))
           .where(col("c") > 1).select(col("h"))
         val covered = w.join(dup, Seq("h"), "left_semi")
@@ -1166,6 +1131,32 @@ object TextQueries {
     * object init (see the init-order note at [[ChunkGear]]). */
   private final val SubstrW = 20
 
+  /** The SHARED positional window-hash table (doc_id, wpos, h): one
+    * 1-based-start md5 per W-token window, materialized ONCE (checkpoint;
+    * a deployment stores it — the ExactSubstr suffix table's lake analog,
+    * rebuilt per ingest like the MinHash signature artifact). d30's
+    * census, its semi-join, and d33's removal all read this one table —
+    * an unshared plan would pay the O(tokens × W) hashing pass per
+    * consumer. The hash expression must be TOTAL (empty array for short
+    * docs) even though callers size-filter first: explode's inferred
+    * non-empty constraint lands in the same Filter conjunction and
+    * evaluates the transform on unfiltered rows, where a bare
+    * sequence(1, size-W+1) on a short doc yields a descending [1, 0]
+    * and slice(…, 0, …) throws. */
+  private def windowHashTable(s: SparkSession, dir: String): DataFrame =
+    candCache.getOrElseUpdate(s, s"$dir#exwin")(
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= SubstrW)
+        .select(col("doc_id"),
+          expr(s"""CASE WHEN size(toks) >= $SubstrW THEN
+                 |  transform(sequence(1, size(toks) - ${SubstrW - 1}),
+                 |    i -> struct(i AS wpos, md5(CAST(array_join(slice(toks, i, $SubstrW), ' ') AS BINARY)) AS h))
+                 |ELSE array() END""".stripMargin).as("ws"))
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .select(col("doc_id"), col("w.wpos").as("wpos"), col("w.h").as("h"))
+        .localCheckpoint())
+
   /** d31's token-hash partition fan-out. 64 directories keeps the demo
     * artifact small; a 100 TB deployment raises it the same way
     * `sizeShufflePartitions` scales — the probe math is fan-out-agnostic
@@ -1179,22 +1170,30 @@ object TextQueries {
     * stays splittable across tasks instead of materializing as one giant
     * array value. Cached per session as a plain parquet reader — nothing
     * pinned, so [[releaseCaches]] only drops the handle. */
-  /** d32's positional posting table: (tok, doc_id, pos) rows, bucket-
-    * partitioned like [[invertedIndex]]. Positions are 1-based to match
-    * the oracle's `generate_series`. Stored separately from d31's
-    * tf-rollup — positions triple the index size, so a deployment opts
-    * in per-corpus exactly like a search engine's positional postings. */
-  private def positionalIndex(s: SparkSession, dir: String): DataFrame =
-    invCache.getOrElseUpdate(s, s"$dir#pos") {
+  /** Driver-side bucket of a probe term — ONE definition of the
+    * "CRC32 over UTF-8 bytes mod [[InvBuckets]]" contract that must stay
+    * bit-identical to the write-side `pmod(crc32(cast binary))` column
+    * in [[buildPostingArtifact]], or directory pruning silently reads
+    * the wrong buckets. */
+  private def termBucket(t: String): Int = {
+    val c = new java.util.zip.CRC32(); c.update(t.getBytes("UTF-8"))
+    (c.getValue % InvBuckets).toInt
+  }
+
+  private val invCache = new graft.util.SessionCache[DataFrame]
+
+  /** Shared posting-artifact builder: digest-keyed ArtifactStore publish
+    * of `postings(docs)` rows (must carry a `tok` column), written
+    * PARTITIONED by the token-hash bucket [[termBucket]] mirrors. */
+  private def buildPostingArtifact(s: SparkSession, dir: String, tag: String, prefix: String)(
+      postings: DataFrame => DataFrame): DataFrame =
+    invCache.getOrElseUpdate(s, s"$dir#$prefix") {
       import org.apache.hadoop.fs.Path
       val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "documents.parquet"), "invpos")
+        s, new Path(new Path(dir), "documents.parquet"), tag)
       graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.artifactDir", s"graft_invpos_$digest") { path =>
-        docs(s, dir)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .select(col("doc_id"), col("col").as("tok"),
-            (col("pos") + 1).cast("int").as("pos"))
+        s, "spark.graft.artifactDir", s"${prefix}_$digest") { path =>
+        postings(docs(s, dir))
           .withColumn("bucket",
             pmod(crc32(col("tok").cast("binary")), lit(InvBuckets.toLong)).cast("int"))
           .repartition(col("bucket"))
@@ -1202,23 +1201,23 @@ object TextQueries {
       }
     }
 
-  private val invCache = new graft.util.SessionCache[DataFrame]
+  /** d31's posting table: (tok, doc_id, tf) rows. Rows-not-arrays on
+    * purpose: a hot token's posting list stays splittable across tasks
+    * instead of materializing as one giant array value. */
   private def invertedIndex(s: SparkSession, dir: String): DataFrame =
-    invCache.getOrElseUpdate(s, dir) {
-      import org.apache.hadoop.fs.Path
-      val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "documents.parquet"), "invidx")
-      graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.artifactDir", s"graft_inv_$digest") { path =>
-        docs(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-          .withColumn("bucket",
-            pmod(crc32(col("tok").cast("binary")), lit(InvBuckets.toLong)).cast("int"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(path)
-      }
-    }
+    buildPostingArtifact(s, dir, "invidx", "graft_inv")(
+      _.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf")))
+
+  /** d32's positional posting table: (tok, doc_id, pos) rows, 1-based to
+    * match the oracle's `generate_series`. Stored separately from d31's
+    * tf-rollup — positions triple the index size, so a deployment opts
+    * in per-corpus exactly like a search engine's positional postings. */
+  private def positionalIndex(s: SparkSession, dir: String): DataFrame =
+    buildPostingArtifact(s, dir, "invpos", "graft_invpos")(
+      _.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("col").as("tok"),
+          (col("pos") + 1).cast("int").as("pos")))
 
   /** d28's per-source keep budget. */
   private final val SourceCap = 10
