@@ -59,12 +59,22 @@ object GraftExtensions {
     require(args.length == 2, "decimal_dot(x: array<float>, y: array<float>) takes two arguments")
     DecimalDotProduct(args.head, args(1))
   }
+  private val windowMd5Builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "window_md5_hashes(tokens: array<string>, w: int) takes two arguments")
+    val w = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"window_md5_hashes: width must be an integer literal, got $other")
+    }
+    WindowMd5Hashes(args.head, w)
+  }
 
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("minhash_signature", classOf[MinHashSignature], minhashBuilder),
     ("simhash", classOf[SimHash], simhashBuilder),
     ("shingle_hashes", classOf[ShingleHashes], shingleBuilder),
-    ("decimal_dot", classOf[DecimalDotProduct], dotBuilder))
+    ("decimal_dot", classOf[DecimalDotProduct], dotBuilder),
+    ("window_md5_hashes", classOf[WindowMd5Hashes], windowMd5Builder))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, cls, b) =>

@@ -1149,12 +1149,16 @@ object TextQueries {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= SubstrW)
         .select(col("doc_id"),
-          expr(s"""CASE WHEN size(toks) >= $SubstrW THEN
-                 |  transform(sequence(1, size(toks) - ${SubstrW - 1}),
-                 |    i -> struct(i AS wpos, md5(CAST(array_join(slice(toks, i, $SubstrW), ' ') AS BINARY)) AS h))
-                 |ELSE array() END""".stripMargin).as("ws"))
-        .select(col("doc_id"), explode(col("ws")).as("w"))
-        .select(col("doc_id"), col("w.wpos").as("wpos"), col("w.h").as("h"))
+          // one-pass native window hashing (see WindowMd5Hashes: the
+          // interpreted transform-lambda form paid ~0.4 ms/window of
+          // expression-dispatch overhead — 30× the md5 work itself);
+          // the expression is TOTAL (empty array below W tokens), so
+          // explode's inferred non-empty constraint is safe on
+          // unfiltered rows
+          GraftBridge.column(graft.functions.WindowMd5Hashes(
+            GraftBridge.expression(col("toks")), SubstrW)).as("hs"))
+        .select(col("doc_id"), posexplode(col("hs")))
+        .select(col("doc_id"), (col("pos") + 1).as("wpos"), col("col").as("h"))
         .localCheckpoint())
 
   /** d31's token-hash partition fan-out. 64 directories keeps the demo

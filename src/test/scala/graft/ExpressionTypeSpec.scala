@@ -51,11 +51,13 @@ class ExpressionTypeSpec extends SparkSpec {
         """SELECT simhash(array(CAST(3 AS BIGINT))) AS sh,
           |  decimal_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
           |              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
-          |  size(shingle_hashes(array('a','b','c','d'))) AS n""".stripMargin)
+          |  size(shingle_hashes(array('a','b','c','d'))) AS n,
+          |  window_md5_hashes(array('a','b','c'), 2) AS wh""".stripMargin)
         .collect().head
       assert(row.getLong(0) === 3L) // one hash with bits {0,1} set → signature 3
       assert(row.getDouble(1) === 11.0)
       assert(row.getInt(2) === 2) // 4 tokens → 2 word-3-shingle windows
+      assert(row.getSeq[String](3).size === 2) // 3 tokens → 2 two-token windows
     }
 
     it("DecimalDotProduct rejects array<double> and accepts array<float>") {

@@ -189,4 +189,29 @@ class NativeExprPropertySpec extends SparkSpec {
       assert(got(i.toLong) == model(hs), s"case $i: $hs")
     }
   }
+
+  it("WindowMd5Hashes equals the declarative slice/array_join/md5 transform on 200 random token arrays") {
+    import spark.implicits._
+    val W = 4
+    val token: Gen[Option[String]] = Gen.frequency(
+      8 -> Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(cs => Some(cs.mkString))),
+      1 -> Gen.oneOf("", "日本", "a b", "naïve").map(Option(_)),
+      1 -> Gen.const(None))
+    val tokArray: Gen[Seq[Option[String]]] =
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, token))
+    val cases = Gen.listOfN(200, tokArray)
+      .apply(Gen.Parameters.default, Seed(41L))
+      .getOrElse(fail("generator exhausted"))
+    val df = cases.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }.toDF("id", "toks")
+    val both = df.select(
+      col("id"),
+      GraftBridge.column(graft.functions.WindowMd5Hashes(
+        GraftBridge.expression(col("toks")), W)).as("native"),
+      expr(s"""CASE WHEN size(toks) >= $W THEN
+             |  transform(sequence(1, size(toks) - ${W - 1}),
+             |    i -> md5(CAST(array_join(slice(toks, i, $W), ' ') AS BINARY)))
+             |ELSE array() END""".stripMargin).as("declarative"))
+    val diverging = both.where(!(col("native") <=> col("declarative"))).collect()
+    assert(diverging.isEmpty, diverging.take(5).mkString("\n"))
+  }
 }

@@ -37,6 +37,12 @@ def make_con():
     c = duckdb.connect()
     c.execute("SET temp_directory='/tmp/duck_spill'")
     c.execute("SET memory_limit='80GB'")
+    # window-operator memory scales with threads; 8 is plenty for an
+    # oracle run and keeps peak allocation well under the limit on the
+    # heavy window oracles (d30/d33's per-doc windowed string_agg at
+    # sf10+), which matters when the harness itself runs under a
+    # memory-constrained sandbox
+    c.execute("SET threads=8")
     for t in glob.glob(f"{sf}/*.parquet"):
         name = os.path.basename(t)[:-len(".parquet")]
         # a table is either a single parquet file (driver layout) or a
@@ -66,10 +72,18 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(pdir):
         fails.append(name); print(f"{name}: MISSING spark output"); continue
     try:
+        # separate fresh connections for the two sides: same rationale as
+        # the per-query fresh connection (buffer-pool state accumulates on
+        # a connection), applied within one query's compare so the spark
+        # read's pool never inflates the heavy oracle's peak
         con = make_con()
         try:
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetchdf()
+        finally:
+            con.close()
+        con = make_con()
+        try:
             ora_df = con.execute(sql).fetchdf()
         finally:
             con.close()
