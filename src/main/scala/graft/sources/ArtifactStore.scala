@@ -89,9 +89,22 @@ object ArtifactStore {
     val orphanMs = s.conf.get("spark.graft.artifact.orphanMs", "604800000").toLong
     val now = System.currentTimeMillis()
     val re = legacyRegex.r
-    fs.listStatus(root).foreach { st =>
-      if (re.pattern.matcher(st.getPath.getName).matches() &&
-          now - st.getModificationTime > orphanMs)
+    val matched = fs.listStatus(root)
+      .filter(st => re.pattern.matcher(st.getPath.getName).matches())
+    // a mixed-version deployment may still SERVE the legacy names: an
+    // old-release binary's resolves touch only its pointer, so a version
+    // dir's mtime alone doesn't prove idleness. A family with a FRESH
+    // pointer is live — skip it entirely (same pointer-idleness rule as
+    // the sibling orphan sweep in getOrBuild).
+    val freshFamilies = matched.collect {
+      case st if st.getPath.getName.endsWith(".ptr") &&
+        now - st.getModificationTime <= orphanMs =>
+        st.getPath.getName.stripSuffix(".ptr")
+    }.toSet
+    matched.foreach { st =>
+      val name = st.getPath.getName
+      val family = name.replaceAll("(\\.ptr(\\.tmp\\..*)?|_v_.*)$", "")
+      if (!freshFamilies.contains(family) && now - st.getModificationTime > orphanMs)
         fs.delete(st.getPath, true)
     }
   }
@@ -206,7 +219,12 @@ object ArtifactStore {
     // collect a live artifact out from under concurrent readers.
     try {
       if (pfs.exists(ptr)) pfs.setTimes(ptr, System.currentTimeMillis(), -1)
-      fs.setTimes(target, System.currentTimeMillis(), -1)
+      // never move a target's mtime BACKWARD: a pointerless self-served
+      // staging tree is forward-dated (now + staleMs) precisely so the
+      // stale-version GC leaves it alone — rewinding it would halve that
+      // grace window
+      if (fs.getFileStatus(target).getModificationTime < System.currentTimeMillis())
+        fs.setTimes(target, System.currentTimeMillis(), -1)
     } catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
 
     // opportunistic GC 1 (same digest): unreferenced versions of this

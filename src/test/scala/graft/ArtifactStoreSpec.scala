@@ -212,5 +212,39 @@ class ArtifactStoreSpec extends SparkSpec {
         assert(ArtifactStore.getOrBuild(s, RootKey, current)(writeRange(s, 5)).count() == 5)
       }
     }
+
+    it("sweepLegacyNames spares a legacy family an old-release process still serves (fresh pointer)") {
+      withScratchDir("graft_as_legacy2") { root =>
+        val s = session(root)
+        // old-release usage pattern: resolves touch only the POINTER, the
+        // version dir's mtime stays at build time — a fresh pointer must
+        // protect the whole family
+        val servedBase = "rn2_" + "b" * 16
+        val servedV = new java.io.File(root, s"${servedBase}_v_cafe0001")
+        assert(servedV.mkdir())
+        val servedPtr = new java.io.File(root, s"$servedBase.ptr")
+        java.nio.file.Files.write(servedPtr.toPath, s"${servedBase}_v_cafe0001\n".getBytes)
+        assert(servedV.setLastModified(1000L)) // dir old; pointer fresh
+        s.conf.set("spark.graft.artifact.orphanMs", "60000")
+        ArtifactStore.sweepLegacyNames(s, RootKey, "rn2_[0-9a-f]{16}(\\.ptr(\\.tmp\\..*)?|_v_.*)")
+        assert(servedV.exists() && servedPtr.exists(),
+          "sweep collected a family whose pointer is still being used")
+      }
+    }
+
+    it("the usage marker never rewinds a forward-dated (pointerless self-served) tree") {
+      withScratchDir("graft_as_fwd") { root =>
+        val s = session(root)
+        val a = "fwd_" + "c" * 16
+        ArtifactStore.getOrBuild(s, RootKey, a)(writeRange(s, 3))
+        val v = new java.io.File(root).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith(s"${a}_v_")).head
+        val future = System.currentTimeMillis() + 3600000L
+        assert(v.setLastModified(future))
+        assert(ArtifactStore.getOrBuild(s, RootKey, a)(writeRange(s, 3)).count() == 3)
+        assert(v.lastModified() >= future - 1000L,
+          "resolve rewound a forward-dated tree's protective mtime")
+      }
+    }
   }
 }
