@@ -1122,7 +1122,50 @@ object TextQueries {
               |SELECT t.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
               |  CAST(len(t.toks) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed
               |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
-              |ORDER BY t.doc_id""".stripMargin))
+              |ORDER BY t.doc_id""".stripMargin)),
+
+    Q("d34_approx_percentile_audit",
+      // The SKETCH path for d15's corpus profiling: at 100 TB an exact
+      // percentile is a full distributed sort, while approx_percentile's
+      // mergeable sketch is one map-side pass — IF its rank-error
+      // contract actually holds. This audit prices that (the e07 recall
+      // pattern applied to quantiles): for each percentile it emits the
+      // exact value (oracle-recomputed by DuckDB's quantile_cont, the
+      // parity d15 pinned) and a within_bound flag proving the sketch
+      // estimate's TRUE rank interval [count(<v)+1, count(<=v)] overlaps
+      // pct·N ± N/accuracy — computed exactly, so a sketch regression
+      // fails the hash, not a human eyeball. The rank counts are one
+      // broadcast-audit pass over the corpus; nothing else rescans.
+      (s, dir) => {
+        val pcts = Seq(0.5, 0.9, 0.99)
+        val acc = 100 // guaranteed rank error <= N/acc (1% of rows)
+        val base = docs(s, dir).select(col("n_chars").cast("double").as("x"))
+        val agg = base.agg(
+          expr(s"percentile(x, array(${pcts.mkString(", ")}))").as("exact"),
+          expr(s"approx_percentile(x, array(${pcts.mkString(", ")}), $acc)").as("approx"),
+          count(lit(1)).cast("double").as("n"))
+        val rows = agg
+          .select(posexplode(expr("arrays_zip(exact, approx)")), col("n"))
+          .select(col("pos").as("i"), col("col.exact").as("exact_value"),
+            col("col.approx").cast("double").as("approx_v"), col("n"))
+          .withColumn("pct", element_at(lit(pcts.toArray), col("i") + 1))
+        val counts = base.crossJoin(broadcast(rows.select(col("i"), col("approx_v"))))
+          .groupBy(col("i")).agg(
+            sum(when(col("x") < col("approx_v"), 1L).otherwise(0L)).cast("double").as("lo"),
+            sum(when(col("x") <= col("approx_v"), 1L).otherwise(0L)).cast("double").as("hi"))
+        rows.join(counts, "i")
+          .select(col("pct"), col("exact_value"),
+            (col("hi") >= col("pct") * col("n") - col("n") / acc &&
+              col("lo") + 1 <= col("pct") * col("n") + col("n") / acc).as("within_bound"))
+          .orderBy("pct")
+      },
+      Some("""WITH e AS (
+             |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.5, 0.9, 0.99]) AS ps
+             |  FROM documents)
+             |SELECT CAST(0.5 AS DOUBLE) AS pct, ps[1] AS exact_value, TRUE AS within_bound FROM e
+             |UNION ALL SELECT CAST(0.9 AS DOUBLE), ps[2], TRUE FROM e
+             |UNION ALL SELECT CAST(0.99 AS DOUBLE), ps[3], TRUE FROM e
+             |ORDER BY pct""".stripMargin))
   )
 
   /** d30's token-window width. Real deployments use ~50 (Lee et al.);
