@@ -152,6 +152,22 @@ object PipelineQueries {
       (s, dir) => StreamAgg.minhashIndexStream(s, dir),
       TextQueries.all.find(_.name == "d08_minhash_signature").get.oracle),
 
+    Q("s12_stream_window_index",
+      // the exact-substring window index maintained incrementally: the
+      // batch census's native one-pass window hashing over a streaming
+      // documents source — stream and batch index builds agree
+      // row-for-row (every stored index family now has a stream path)
+      (s, dir) => StreamAgg.windowIndexStream(s, dir),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |p AS (SELECT doc_id, unnest(toks) AS tok,
+              |        unnest(generate_series(1, len(toks))) AS pos FROM t)
+              |SELECT doc_id, pos AS wpos,
+              |  md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+              |        ROWS BETWEEN CURRENT ROW AND ${TextQueries.SubstrW - 1} FOLLOWING)) AS h
+              |FROM p
+              |QUALIFY pos <= count(*) OVER (PARTITION BY doc_id) - ${TextQueries.SubstrW - 1}
+              |ORDER BY doc_id, wpos""".stripMargin)),
+
     Q("s11_stream_posting_index",
       // the d31/d32 search index maintained incrementally: per-document
       // posting rows from a stateless per-row expression over a streaming

@@ -1172,7 +1172,7 @@ object TextQueries {
     * 20 fits the short synthetic documents while exercising the same
     * plan. `final val`: interpolated into `all`'s oracle SQL above at
     * object init (see the init-order note at [[ChunkGear]]). */
-  private final val SubstrW = 20
+  private[graft] final val SubstrW = 20
 
   /** The SHARED positional window-hash table (doc_id, wpos, h): one
     * 1-based-start md5 per W-token window, materialized ONCE (checkpoint;

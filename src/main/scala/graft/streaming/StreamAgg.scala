@@ -191,6 +191,27 @@ object StreamAgg {
     replayToMemory(spark, postings, "stream_inv_", "append")(_.orderBy("tok", "doc_id"))
   }
 
+  /** The exact-substring window-hash index maintained on a document
+    * stream: the same native one-pass [[graft.functions.WindowMd5Hashes]]
+    * the batch census uses, run per arriving document — stateless, like
+    * the signature (s08) and posting (s11) index streams, so every
+    * stored index family has a streaming maintenance path. The census
+    * (duplicate counting) stays batch-side over the accumulated table,
+    * exactly as banding reads the signature table. */
+  def windowIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val W = graft.queries.TextQueries.SubstrW
+    val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
+    val w = docsStream
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.WindowMd5Hashes(
+          org.apache.spark.sql.GraftBridge.expression(col("toks")), W)).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")))
+      .select(col("doc_id"), (col("pos") + 1).as("wpos"), col("col").as("h"))
+    replayToMemory(spark, w, "stream_win_", "append")(_.orderBy("doc_id", "wpos"))
+  }
+
   /** Streaming dedup via the DEDICATED bounded-state operator,
     * `dropDuplicatesWithinWatermark`: unlike [[streamWindowedDistinct]]
     * (which bounds state by folding an event-time window into the key),
