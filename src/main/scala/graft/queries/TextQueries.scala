@@ -1165,7 +1165,69 @@ object TextQueries {
              |SELECT CAST(0.5 AS DOUBLE) AS pct, ps[1] AS exact_value, TRUE AS within_bound FROM e
              |UNION ALL SELECT CAST(0.9 AS DOUBLE), ps[2], TRUE FROM e
              |UNION ALL SELECT CAST(0.99 AS DOUBLE), ps[3], TRUE FROM e
-             |ORDER BY pct""".stripMargin))
+             |ORDER BY pct""".stripMargin)),
+
+    Q("d35_bm25_search",
+      // RANKED disjunctive retrieval over the d31 posting artifact —
+      // BM25's tf saturation + document-length normalization, the scoring
+      // model a lake-scale corpus-search / decontamination-triage stack
+      // actually runs (d31's conjunctive idf ranking is the boolean
+      // filter; this is the ranker). Adds the third stored-search
+      // artifact: a NORMS table (doc_id, dl) — a search engine's norms
+      // file — so query-time cost is the terms' posting lists plus a
+      // narrow norms join, never a corpus scan.
+      //
+      // Arithmetic is all-BIGINT so the oracle (recomputing from RAW
+      // text, proving postings + norms end-to-end) matches bit-for-bit.
+      // With k1 = 6/5 and b = 3/4, per-(term,doc):
+      //   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+      //     = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)          (avgdl = T/N)
+      // Factoring T out of the length norm keeps every intermediate in
+      // signed-64 headroom at shipped scales: lennorm_micro =
+      // (6e6·T + 18e6·dl·N) div T, then
+      //   contrib = idf_milli · tf · 44e6 div (20e6·tf + lennorm_micro)
+      // with d31's idf_milli = 1e6 div df. Both divs truncate identically
+      // in Spark (`div`) and DuckDB (`//`). Headroom note: 18e6·dl·N
+      // needs dl·N < 5e11 — beyond ~1e9 avg-length docs promote the norm
+      // arithmetic to DECIMAL(38,0); the rational structure is unchanged.
+      //
+      // Scale shape: bucket-pruned posting scan (3 of 64 dirs), df by
+      // groupBy over those rows, (N, T) from one aggregate over the
+      // norms artifact broadcast as a 1-row literal, candidate×norms an
+      // equi-join on doc_id (AQE broadcasts the candidate side when the
+      // posting lists are small).
+      (s, dir) => {
+        val terms = Seq("spark", "merge", "customer")
+        val buckets = terms.map(termBucket).distinct
+        val idx = invertedIndex(s, dir)
+          .where(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+        val dfreq = idx.groupBy("tok").agg(count(lit(1)).as("df"))
+        val norms = docLengths(s, dir)
+        val g = norms.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+        idx.join(broadcast(dfreq), "tok")
+          .join(norms, "doc_id")
+          .crossJoin(broadcast(g))
+          .withColumn("contrib", expr(
+            """(1000000 div df) * tf * 44000000
+              |  div (20000000 * tf + (6000000 * tt + 18000000 * dl * nd) div tt)""".stripMargin))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_milli"))
+          .orderBy(col("score_milli").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM n),
+             |p AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+             |      WHERE tok IN ('spark', 'merge', 'customer') GROUP BY 1, 2),
+             |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             |  CAST(sum((1000000 // df) * tf * 44000000
+             |           // (20000000 * tf + (6000000 * tt + 18000000 * dl * nd) // tt)) AS BIGINT)
+             |    AS score_milli
+             |FROM p JOIN d USING (tok) JOIN n USING (doc_id) CROSS JOIN g
+             |GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin))
   )
 
   /** d30's token-window width. Real deployments use ~50 (Lee et al.);
@@ -1265,6 +1327,26 @@ object TextQueries {
       _.select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("col").as("tok"),
           (col("pos") + 1).cast("int").as("pos")))
+
+  /** d35's stored NORMS table: (doc_id, dl) — token count per document,
+    * the BM25 length-normalization input a search engine keeps beside its
+    * postings (Lucene's norms file). Not bucket-partitioned: probes read
+    * it through a doc_id equi-join against already-pruned candidate rows,
+    * so its access pattern is a narrow columnar scan, never a directory
+    * probe. Same digest/pointer lifecycle as the posting artifacts. */
+  private def docLengths(s: SparkSession, dir: String): DataFrame =
+    invCache.getOrElseUpdate(s, s"$dir#norms") {
+      import org.apache.hadoop.fs.Path
+      val digest = graft.sources.ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "documents.parquet"), "norms")
+      graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.artifactDir", s"graft_norms_$digest") { path =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("dl"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
 
   /** d28's per-source keep budget. */
   private final val SourceCap = 10

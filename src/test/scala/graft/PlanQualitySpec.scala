@@ -191,6 +191,31 @@ class PlanQualitySpec extends SparkSpec {
       }
     }
 
+    it("d35_bm25_search prunes the posting index and keeps the norms scans narrow") {
+      // BM25 reads TWO stored artifacts: the bucket-partitioned posting
+      // table (must directory-prune to the query terms' buckets, exactly
+      // like d31) and the unpartitioned norms table (doc_id, dl) — whose
+      // scans must stay 2-column narrow (no text ever reaches the plan)
+      val df = graft.SparkEntry.queries("d35_bm25_search")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+      df.collect()
+      val scans = executedScans(df)
+      val (posting, norms) = scans.partition(
+        _.relation.partitionSchema.fieldNames.contains("bucket"))
+      assert(posting.nonEmpty, "no bucket-partitioned posting scan in\n" + plan)
+      posting.foreach { f =>
+        assert(f.metrics("numFiles").value < 64L,
+          s"posting probe read ${f.metrics("numFiles").value} files — no directory pruning")
+      }
+      assert(norms.nonEmpty, "no norms scan in\n" + plan)
+      norms.foreach { f =>
+        val cols = f.schema.fieldNames.toSet
+        assert(cols.subsetOf(Set("doc_id", "dl")),
+          s"norms scan reads ${cols.mkString(",")} — expected only doc_id/dl")
+      }
+    }
+
     it("prunes partitions when a table is partitioned by its filter column") {
       // the SURVEY §4 claim "label filter = partition pruning for free",
       // demonstrated: documents written partitioned by lang, filtered scan
