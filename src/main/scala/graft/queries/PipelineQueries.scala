@@ -177,6 +177,15 @@ object PipelineQueries {
              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
              |GROUP BY 1, 2 ORDER BY tok, doc_id""".stripMargin)),
 
+    Q("s13_stream_norms_index",
+      // the d35 norms table maintained incrementally: per-document length
+      // rows from a stateless expression over a streaming documents
+      // source — stream and batch builds agree row-for-row, so every
+      // stored search artifact family has a streaming maintenance path
+      (s, dir) => StreamAgg.normsIndexStream(s, dir),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("s10_stream_sessionize",
       // custom-state streaming: flatMapGroupsWithState sessionization
       // with event-time timeout — emitted sessions are those closed by an

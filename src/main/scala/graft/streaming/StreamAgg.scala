@@ -212,6 +212,21 @@ object StreamAgg {
     replayToMemory(spark, w, "stream_win_", "append")(_.orderBy("doc_id", "wpos"))
   }
 
+  /** The BM25 norms table (doc_id, dl — d35's length-normalization
+    * input) maintained on a document stream: one stateless per-row
+    * expression per arriving document, completing the family contract —
+    * every stored search/dedup artifact (signatures s08, postings s11,
+    * windows s12, norms s13) has a streaming maintenance path proven
+    * row-equal to its batch build. Scoring stays batch-side over the
+    * accumulated table, exactly as banding reads the signature table. */
+  def normsIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
+    val norms = docsStream
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("dl"))
+    replayToMemory(spark, norms, "stream_norms_", "append")(_.orderBy("doc_id"))
+  }
+
   /** Streaming dedup via the DEDICATED bounded-state operator,
     * `dropDuplicatesWithinWatermark`: unlike [[streamWindowedDistinct]]
     * (which bounds state by folding an event-time window into the key),
