@@ -128,6 +128,15 @@ object VectorQueries {
   private val planes: IndexedSeq[IndexedSeq[Long]] =
     (0 until NBitsMax).map(j => (0 until Dim).map(i => mdLong(s"graft:srp:$j:$i") % 17 - 8))
 
+  /** e12's JL sketch width and its ±1 sign matrix (Achlioptas-style
+    * database-friendly projection), md5-derived so the Spark plan and the
+    * DuckDB oracle embed identical literals. Declared above the eager
+    * `all` registry (object-init order). */
+  private final val JlDim = 16
+  private val jlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlDim).map(j =>
+      (0 until Dim).map(i => if ((mdLong(s"graft:jl:$j:$i") & 1L) == 0L) 1 else -1))
+
   /** Spark: sign bit j of dot(embedding, plane_j) via the native decimal
     * dot (hyperplane components are small integers, exact as floats, so
     * the per-element double products — and therefore the decimal sum and
@@ -824,6 +833,61 @@ object VectorQueries {
       Some("""SELECT vec_id, sqrt(CAST(list_sum(list_transform(embedding,
              |  x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)) AS l2_norm
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    Q("e12_jl_projection_knn",
+      // Johnson–Lindenstrauss sketching ahead of ANN: every embedding is
+      // projected onto JlDim=16 md5-derived ±1 hyperplanes (the
+      // database-friendly JL transform — Achlioptas 2003), the sketch is
+      // stored as float32 (the production representation, 4× less scan
+      // than the 64-dim corpus), candidates are ranked by SKETCH-space
+      // dot product, and the winners are re-ranked exactly in the
+      // original space via a narrow id join — e11's re-rank join with a
+      // dimensionality-reduced (not scalar-quantized) first pass.
+      // Determinism: each coordinate is a decimal-exact ±sum of float
+      // elements cast to float32 (IEEE round-to-nearest, identical in
+      // both engines); the sketch dot reuses the same decimal-exact
+      // float machinery, so scores are bit-stable across engines and
+      // partitionings. Per-row map + one broadcast 1-row join + top-k —
+      // no corpus shuffle.
+      (s, dir) => {
+        val e = emb(s, dir)
+        val proj = e.select(col("vec_id"),
+          array((0 until JlDim).map(j =>
+            dotNativeC(col("embedding"),
+              array(jlSigns(j).map(v => lit(v.toFloat)): _*))): _*)
+            .cast("array<float>").as("pvec"))
+        val q = proj.where(col("vec_id") === 0).select(col("pvec").as("qp"))
+        val top = proj.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNativeC(col("pvec"), col("qp")).as("pscore"))
+          .orderBy(col("pscore").desc, col("vec_id").asc)
+          .limit(10)
+        top.join(e, Seq("vec_id"))
+          .crossJoin(broadcast(
+            e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))))
+          .select(col("vec_id"), col("pscore"),
+            dotNative("embedding", "qvec").as("exact_score"))
+          .orderBy(col("pscore").desc, col("vec_id").asc)
+      },
+      Some {
+        def coordSql(j: Int): String =
+          s"""CAST(CAST(list_sum(list_transform(list_zip(embedding, [${jlSigns(j).mkString(",")}]),
+             |    z -> CAST(CAST(z[1] AS DOUBLE) * z[2] AS DECIMAL(38,12)))) AS DOUBLE) AS REAL)""".stripMargin
+        s"""WITH pr AS (SELECT vec_id,
+           |    [${(0 until JlDim).map(coordSql).mkString(",\n     ")}] AS pvec
+           |  FROM embeddings),
+           |q AS (SELECT pvec AS qp FROM pr WHERE vec_id = 0),
+           |top AS (
+           |  SELECT pr.vec_id,
+           |    CAST(list_sum(list_transform(list_zip(pr.pvec, q.qp),
+           |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE) AS pscore
+           |  FROM pr, q WHERE pr.vec_id <> 0
+           |  ORDER BY pscore DESC, pr.vec_id LIMIT 10)
+           |SELECT t.vec_id, t.pscore, ${dotSqlOf("e.embedding", "qe.qvec")} AS exact_score
+           |FROM top t JOIN embeddings e ON t.vec_id = e.vec_id,
+           |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) qe
+           |ORDER BY t.pscore DESC, t.vec_id""".stripMargin
+      }),
 
     semDedupQ
   )
