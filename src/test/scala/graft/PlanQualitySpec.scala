@@ -114,6 +114,26 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), plan)
     }
 
+    it("e12's sketch pass is shuffle-free: broadcast joins only, embeddings never exchanged") {
+      // the JL first pass must be a per-row map over the corpus — the
+      // query sketch and the exact re-rank vector are 1-row broadcasts,
+      // the candidate join is a 10-row broadcast, and the only exchange
+      // is the final top-k sort of 10 rows. A SortMergeJoin or an
+      // exchange carrying 'embedding'/'pvec' would shuffle the corpus
+      // (or its 16-dim sketch) at 100 TB.
+      val df = SparkEntry.queries("e12_jl_projection_knn")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(!planStr.contains("SortMergeJoin"), planStr)
+      assert(!planStr.contains("CartesianProduct"), planStr)
+      val exchanged = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
+      }.flatten
+      assert(!exchanged.exists(n => n.contains("embedding") || n.contains("pvec")),
+        s"corpus vectors crossed an exchange: $exchanged\n$planStr")
+    }
+
     it("d26's corpus cumsum windows on (lang, shard), never a whole language") {
       // a PARTITION BY lang window over the corpus would serialize a
       // 100 TB language onto one task; the two-level prefix sum keeps the
