@@ -838,8 +838,10 @@ object VectorQueries {
       // Johnson–Lindenstrauss sketching ahead of ANN: every embedding is
       // projected onto JlDim=16 md5-derived ±1 hyperplanes (the
       // database-friendly JL transform — Achlioptas 2003), the sketch is
-      // stored as float32 (the production representation, 4× less scan
-      // than the 64-dim corpus), candidates are ranked by SKETCH-space
+      // carried as float32 (the representation a deployment would persist
+      // next to the corpus — 4× less scan than the 64-dim vectors; here
+      // it is computed inline, one per-row map), candidates are ranked by
+      // SKETCH-space
       // dot product, and the winners are re-ranked exactly in the
       // original space via a narrow id join — e11's re-rank join with a
       // dimensionality-reduced (not scalar-quantized) first pass.
