@@ -23,6 +23,26 @@ object PipelineQueries {
              |  md5(text) AS content_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("m05_attachment_hashes",
+      // the reference's attachment Hasher (utils/Hash.scala:16-43:
+      // Hasher("SHA-256", "MD5") streams each stored blob through a set
+      // of MessageDigests for IOC/attachment records) re-expressed as
+      // ONE codegen'd pass over the blob column: every algorithm's
+      // digest rides the same scan — per-row, no shuffle, no re-read
+      // per algorithm (the streaming-digest shape a single-node engine
+      // needs is unnecessary when the blob is already a column value).
+      (s, dir) => {
+        val blobs = TestData.graph(s, dir).V("documents").df
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        blobs.select(col("doc_id"),
+          md5(col("blob")).as("hash_md5"),
+          sha2(col("blob"), 256).as("hash_sha256"))
+          .orderBy("doc_id")
+      },
+      // text is ASCII so the blob bytes equal the string bytes
+      Some("""SELECT doc_id, md5(text) AS hash_md5, sha256(text) AS hash_sha256
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("m03_blob_chunk_roundtrip",
       // chunked blob storage round-trip: split payloads into 64-byte
       // chunks, reassemble from the chunk table, prove the md5 matches the
