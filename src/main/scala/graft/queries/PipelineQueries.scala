@@ -197,6 +197,20 @@ object PipelineQueries {
              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
              |GROUP BY 1, 2 ORDER BY tok, doc_id""".stripMargin)),
 
+    Q("s14_stream_jl_sketch",
+      // e12's stored JL sketch maintained incrementally: the factored
+      // batch projection over a streaming embeddings source — stream and
+      // stored-artifact builds agree row-for-row, so the round's new
+      // artifact family keeps the "every stored index has a stream path"
+      // contract. Oracle recomputes every coordinate from raw embeddings.
+      (s, dir) => StreamAgg.jlSketchStream(s, dir),
+      Some {
+        import graft.queries.VectorQueries.{jlCoordSql, jlDim}
+        s"""SELECT vec_id,
+           |  [${(0 until jlDim).map(jlCoordSql).mkString(",\n   ")}] AS pvec
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }),
+
     Q("s13_stream_norms_index",
       // the d35 norms table maintained incrementally: per-document length
       // rows from a stateless expression over a streaming documents

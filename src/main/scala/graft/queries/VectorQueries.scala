@@ -155,14 +155,29 @@ object VectorQueries {
         s, new Path(new Path(dir), "embeddings.parquet"), "jlsketch")
       graft.sources.ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_jl_$digest") { path =>
-        emb(s, dir).select(col("vec_id"),
-          array((0 until JlDim).map(j =>
-            dotNativeC(col("embedding"),
-              array(jlSigns(j).map(v => lit(v.toFloat)): _*))): _*)
-            .cast("array<float>").as("pvec"))
-          .write.mode("overwrite").parquet(path)
+        jlProjection(emb(s, dir)).write.mode("overwrite").parquet(path)
       }
     }
+
+  /** The per-row (vec_id, pvec) projection [[jlSketch]] stores — factored
+    * so the streaming maintenance path (s14) runs the IDENTICAL
+    * expression over arriving vectors; stateless, like every other index
+    * stream (the projection depends only on the row). */
+  private[graft] def jlProjection(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      array((0 until JlDim).map(j =>
+        dotNativeC(col("embedding"),
+          array(jlSigns(j).map(v => lit(v.toFloat)): _*))): _*)
+        .cast("array<float>").as("pvec"))
+
+  /** e12's oracle SQL for one sketch coordinate — shared with s14's
+    * oracle so batch query, stored artifact, and stream maintenance all
+    * pin the same arithmetic. */
+  private[graft] def jlCoordSql(j: Int): String =
+    s"""CAST(CAST(list_sum(list_transform(list_zip(embedding, [${jlSigns(j).mkString(",")}]),
+       |    z -> CAST(CAST(z[1] AS DOUBLE) * z[2] AS DECIMAL(38,12)))) AS DOUBLE) AS REAL)""".stripMargin
+
+  private[graft] final def jlDim: Int = JlDim
 
   /** Spark: sign bit j of dot(embedding, plane_j) via the native decimal
     * dot (hyperplane components are small integers, exact as floats, so
@@ -893,11 +908,8 @@ object VectorQueries {
           .orderBy(col("pscore").desc, col("vec_id").asc)
       },
       Some {
-        def coordSql(j: Int): String =
-          s"""CAST(CAST(list_sum(list_transform(list_zip(embedding, [${jlSigns(j).mkString(",")}]),
-             |    z -> CAST(CAST(z[1] AS DOUBLE) * z[2] AS DECIMAL(38,12)))) AS DOUBLE) AS REAL)""".stripMargin
         s"""WITH pr AS (SELECT vec_id,
-           |    [${(0 until JlDim).map(coordSql).mkString(",\n     ")}] AS pvec
+           |    [${(0 until JlDim).map(jlCoordSql).mkString(",\n     ")}] AS pvec
            |  FROM embeddings),
            |q AS (SELECT pvec AS qp FROM pr WHERE vec_id = 0),
            |top AS (

@@ -219,6 +219,21 @@ object StreamAgg {
     * windows s12, norms s13) has a streaming maintenance path proven
     * row-equal to its batch build. Scoring stays batch-side over the
     * accumulated table, exactly as banding reads the signature table. */
+  /** The e12 JL sketch table maintained on an embeddings stream: the
+    * IDENTICAL per-row projection the stored artifact is built with
+    * ([[graft.queries.VectorQueries.jlProjection]] — factored, not
+    * duplicated), run per arriving vector with zero state. Completes the
+    * family contract for the round's new artifact: every stored index
+    * family (signatures s08, postings s11, windows s12, norms s13, JL
+    * sketch s14) has a streaming maintenance path row-equal to batch.
+    * Ranking stays batch-side over the accumulated table. */
+  def jlSketchStream(spark: SparkSession, dir: String): DataFrame = {
+    val embStream = graft.model.Conform("embeddings",
+      stagedFileStream(spark, s"$dir/embeddings.parquet"))
+    val sketch = graft.queries.VectorQueries.jlProjection(embStream)
+    replayToMemory(spark, sketch, "stream_jl_", "append")(_.orderBy("vec_id"))
+  }
+
   def normsIndexStream(spark: SparkSession, dir: String): DataFrame = {
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
     val norms = docsStream
