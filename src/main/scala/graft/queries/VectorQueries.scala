@@ -889,8 +889,10 @@ object VectorQueries {
       // dimensionality-reduced (not scalar-quantized) first pass.
       // Query-time cost: one 16-float dot per stored-sketch row (a 4×
       // narrower scan than the corpus) + one broadcast 1-row join +
-      // top-k + a 10-row exact re-rank — no corpus shuffle, and the
-      // 64-dim vectors are read only for the 10 winners.
+      // top-k + the exact re-rank: a 10-row broadcast id join against a
+      // (vec_id, embedding)-pruned corpus scan — only the winners' exact
+      // dots are computed (a deployment with a row-lookup index skips
+      // even that scan). No corpus shuffle anywhere.
       (s, dir) => {
         val e = emb(s, dir)
         val proj = jlSketch(s, dir)
