@@ -1227,7 +1227,54 @@ object TextQueries {
              |           // (20000000 * tf + (6000000 * tt + 18000000 * dl * nd) // tt)) AS BIGINT)
              |    AS score_milli
              |FROM p JOIN d USING (tok) JOIN n USING (doc_id) CROSS JOIN g
-             |GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin))
+             |GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin)),
+
+    Q("d36_bigram_surprise",
+      // CORPUS-TRAINED statistical quality scoring — the CCNet/KenLM
+      // pattern (score text by an n-gram model fit on the corpus itself)
+      // with the LM reduced to its deterministic core: each document's
+      // mean bigram rarity, surprise(bg) = 1e6 div corpus_count(bg), in
+      // all-integer arithmetic (log-probs would hash-diverge at ULPs
+      // between engines; this monotone rarity score ranks the same tail).
+      // Distinct from d29 (externally-trained weights) and d19
+      // (within-document repetition): the signal here is trained on the
+      // corpus being scored, so boilerplate scores common and garbled
+      // text scores rare.
+      //
+      // Scale shape: corpus statistics are an index-build-class pass
+      // (same cost family as the d31 posting build). Only (doc_id,
+      // 32-hex bigram md5) reaches any exchange — never the text; the
+      // count groupBy and the per-doc re-aggregation are both narrow,
+      // and the counts join is an equi-join on the digest (AQE
+      // broadcast-eligible when the vocabulary is small).
+      (s, dir) => {
+        val bg = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> md5(concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""".stripMargin))
+            .as("bg"))
+        val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        bg.join(counts, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bg"),
+            sum(expr("1000000 div cnt")).as("surprise_sum"))
+          .select(col("doc_id"), col("n_bg"),
+            expr("surprise_sum div n_bg").as("avg_surprise_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |b AS (SELECT doc_id,
+             |        unnest(list_transform(generate_series(1, len(toks) - 1),
+             |          i -> md5(concat(toks[i], ' ', toks[i + 1])))) AS bg
+             |      FROM t WHERE len(toks) >= 2),
+             |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+             |  CAST(CAST(sum(1000000 // cnt) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+             |    AS avg_surprise_micro
+             |FROM b JOIN c USING (bg)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 
   /** d30's token-window width. Real deployments use ~50 (Lee et al.);
