@@ -1274,7 +1274,59 @@ object TextQueries {
              |  CAST(CAST(sum(1000000 // cnt) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
              |    AS avg_surprise_micro
              |FROM b JOIN c USING (bg)
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    Q("d37_incremental_posting_rollforward",
+      // The stored-index LIFECYCLE closed end-to-end, preserving the
+      // artifact protocol's immutability invariant (any committed pointer
+      // is valid because equal inputs build equal content — mutable
+      // version chains would forfeit the race proofs): rolling the
+      // posting index forward for a grown corpus does NOT re-tokenize the
+      // old corpus. The new content-addressed artifact unions the STORED
+      // old-corpus artifact with postings computed from the delta docs
+      // only — d27's incremental economics applied to the index build
+      // itself (the streaming paths s11-s14 are the row-equal delta
+      // producers). The delta is the only TEXT processed; the merge is a
+      // narrow posting-row copy — at 100 TB a file-level append/compact
+      // of the immutable index, never a corpus re-tokenization. The
+      // oracle recomputes the FULL corpus's postings from raw text, so a
+      // hash match proves rolled-forward == from-scratch.
+      (s, dir) => {
+        def postings(d: DataFrame) = d
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        def withBucket(d: DataFrame) = d.withColumn("bucket",
+          pmod(crc32(col("tok").cast("binary")), lit(InvBuckets.toLong)).cast("int"))
+        import org.apache.hadoop.fs.Path
+        val src = new Path(new Path(dir), "documents.parquet")
+        // the stored old-corpus index (doc_id % 10 != 0): in production
+        // this artifact already exists from the last roll-forward
+        val oldIdx = invCache.getOrElseUpdate(s, s"$dir#invold") {
+          val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "invold")
+          graft.sources.ArtifactStore.getOrBuild(
+            s, "spark.graft.artifactDir", s"graft_invold_$dg") { path =>
+            withBucket(postings(docs(s, dir).where(pmod(col("doc_id"), lit(10)) =!= 0)))
+              .repartition(col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket").parquet(path)
+          }
+        }
+        val merged = invCache.getOrElseUpdate(s, s"$dir#invroll") {
+          val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "invroll")
+          graft.sources.ArtifactStore.getOrBuild(
+            s, "spark.graft.artifactDir", s"graft_invroll_$dg") { path =>
+            oldIdx.select("tok", "doc_id", "tf", "bucket")
+              .unionByName(withBucket(postings(
+                docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0))))
+              .repartition(col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket").parquet(path)
+          }
+        }
+        merged.select(col("tok"), col("doc_id"), col("tf"))
+          .orderBy("tok", "doc_id")
+      },
+      Some("""SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY 1, 2 ORDER BY tok, doc_id""".stripMargin))
   )
 
   /** d30's token-window width. Real deployments use ~50 (Lee et al.);
