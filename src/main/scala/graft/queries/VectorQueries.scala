@@ -926,6 +926,74 @@ object VectorQueries {
            |ORDER BY t.pscore DESC, t.vec_id""".stripMargin
       }),
 
+    Q("e13_incremental_ann_rollforward",
+      // The vector-side lifecycle closure (d37's pattern on the ANN
+      // index): a grown corpus rolls the stored coded-vector index
+      // forward WITHOUT re-coding the old vectors and WITHOUT retraining
+      // the quantizer — the FAISS add()-vs-train() split. The quantizer
+      // width is FROZEN at the old corpus's derived setting (baked into
+      // both artifact names, exactly as the live index keys by nbits):
+      // production retrains/re-sizes on a schedule, not per ingest, so a
+      // probe between retrains runs against old-setting codes — which is
+      // what the oracle prices by deriving b from the OLD subset count.
+      // The roll build codes ONLY the delta vectors (the merge is a
+      // narrow coded-row copy; file-level append in production), and the
+      // probe is e09's shape over the rolled index: client-side code
+      // lookup, Hamming-ball IN filter, broadcast exact re-rank.
+      (s, dir) => {
+        import org.apache.hadoop.fs.Path
+        val src = new Path(new Path(dir), "embeddings.parquet")
+        val e = emb(s, dir)
+        val nbOld = deriveNBits(e.where(pmod(col("vec_id"), lit(10)) =!= 0).count())
+        val oldIdx = idxCache.getOrElseUpdate(s, s"$dir#annold") {
+          val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "annold")
+          graft.sources.ArtifactStore.getOrBuild(
+            s, "spark.graft.ann.indexDir", s"graft_annold_${nbOld}_$dg") { path =>
+            codeVectors(e.where(pmod(col("vec_id"), lit(10)) =!= 0), nbOld)
+              .write.mode("overwrite").partitionBy("code").parquet(path)
+          }
+        }
+        val merged = idxCache.getOrElseUpdate(s, s"$dir#annroll") {
+          val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "annroll")
+          graft.sources.ArtifactStore.getOrBuild(
+            s, "spark.graft.ann.indexDir", s"graft_annroll_${nbOld}_$dg") { path =>
+            // the artifact's partition column reads back as the narrowest
+            // inferred type — normalize to the coder's LONG before union
+            oldIdx.select(col("vec_id"), col("embedding"), col("norm"),
+                col("code").cast("long").as("code"))
+              .unionByName(codeVectors(e.where(pmod(col("vec_id"), lit(10)) === 0), nbOld)
+                .select("vec_id", "embedding", "norm", "code"))
+              .write.mode("overwrite").partitionBy("code").parquet(path)
+          }
+        }
+        // vec 0 lands in the DELTA (0 % 10 == 0): the probe exercises a
+        // freshly rolled-in vector against old- and new-corpus members
+        val qcode = merged.where(col("vec_id") === 0)
+          .select(col("code").cast("long")).head().getLong(0)
+        val probes = probeMasksFor(nbOld).map(_ ^ qcode)
+        val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        merged.where(col("code").isin(probes: _*))
+          .where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some(s"""WITH nbt AS (
+              |  SELECT COALESCE(MIN(b), $NBitsMax) AS nb
+              |  FROM (SELECT unnest(range($NBitsFloor, ${NBitsMax + 1})) AS b) bs,
+              |       (SELECT count(*) AS n FROM embeddings WHERE vec_id % 10 <> 0) c
+              |  WHERE c.n <= $TargetOccupancy * (CAST(1 AS BIGINT) << b)),
+              |codes AS (
+              |  SELECT vec_id, embedding,
+              |    (($codeFullSql) & ((CAST(1 AS BIGINT) << nbt.nb) - 1)) AS code
+              |  FROM embeddings, nbt),
+              |q AS (SELECT code AS qcode, embedding AS qvec FROM codes WHERE vec_id = 0)
+              |SELECT a.vec_id, ${dotSqlOf("a.embedding", "q.qvec")} AS score
+              |FROM codes a CROSS JOIN q
+              |WHERE a.vec_id <> 0 AND bit_count(xor(a.code, q.qcode)) <= $ProbeRadius
+              |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
+
     semDedupQ
   )
 
