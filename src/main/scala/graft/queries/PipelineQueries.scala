@@ -203,11 +203,21 @@ object PipelineQueries {
       // stored-artifact builds agree row-for-row, so the round's new
       // artifact family keeps the "every stored index has a stream path"
       // contract. Oracle recomputes every coordinate from raw embeddings.
-      (s, dir) => StreamAgg.jlSketchStream(s, dir),
+      // Registry shape: the sketch is emitted as SCALAR REAL columns
+      // c00..c15 (the driver's compare harness sorts rows with pandas
+      // before hashing, which cannot sort an array-typed column — the
+      // r10 red row); the stream itself still maintains (vec_id, pvec),
+      // the stored-artifact shape, and the flatten is a free projection.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val jlDim = graft.queries.VectorQueries.jlDim
+        StreamAgg.jlSketchStream(s, dir).select(
+          col("vec_id") +: (0 until jlDim).map(j => col("pvec")(j).as(f"c$j%02d")): _*)
+      },
       Some {
         import graft.queries.VectorQueries.{jlCoordSql, jlDim}
         s"""SELECT vec_id,
-           |  [${(0 until jlDim).map(jlCoordSql).mkString(",\n   ")}] AS pvec
+           |  ${(0 until jlDim).map(j => f"${jlCoordSql(j)} AS c$j%02d").mkString(",\n   ")}
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }),
 
