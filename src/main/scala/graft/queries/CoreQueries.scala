@@ -87,6 +87,24 @@ object CoreQueries {
              |  AND (c_nationkey IS DISTINCT FROM 3) AND c_name LIKE '%1%'
              |ORDER BY c_custkey""".stripMargin)),
 
+    Q("q99_string_filter_ignored",
+      // legacy `_string` full-text filter inside an `_and`: reference
+      // parity is ignore-with-warning → match-all (reference
+      // query/Filter.scala:177-179), so the surrounding conjunction is
+      // unchanged — a legacy TheHive client sending `{"_string": …}`
+      // gets the permissive match, not an error
+      (s, dir) => G(s, dir).V("customer")
+        .where(FilterParser.parse(
+          """{"_and":[
+            |  {"_string":"full text the engine must ignore"},
+            |  {"_is":{"c_mktsegment":"BUILDING"}},
+            |  {"_gte":{"c_acctbal":5000}}]}""".stripMargin,
+          Properties.passthrough))
+        .sortBy(col("c_custkey")).toDF,
+      Some("""SELECT * FROM customer
+             |WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 5000
+             |ORDER BY c_custkey""".stripMargin)),
+
     Q("q06_computed_property_filter",
       (s, dir) => {
         val props = Properties(PublicProperty("priorityClass", substring(col("o_orderpriority"), 1, 1))) ++ Properties.passthrough

@@ -21,9 +21,13 @@ import org.json4s._
  *  - `_like` / `_wildcard`: `*` affixes    (Filter.scala:122-129,188-191)
  *  - `_contains` field-name: existence     (Filter.scala:32-46,187)
  *  - `_id`                                 (Filter.scala:94-101,169-173)
+ *  - `_string`: legacy full-text filter — ignored with a warning,
+ *    matches all (Filter.scala:177-179)
  *  - bare `{field: value}`: equality (deprecated form, Filter.scala:192-194)
  */
 object FilterParser {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Builds the Column for one field-level predicate leaf:
     * (field, op, raw JSON value) → predicate. The executor swaps in a
@@ -57,6 +61,12 @@ object FilterParser {
     case "_contains" => leaf(str(v), key, JNothing)
     case "_id" =>
       props.idColumn <=> lit(value(v \ "_id" match { case JNothing => v; case x => x }))
+    case "_string" =>
+      // reference parity (query/Filter.scala:177-179): the legacy full-text
+      // `_string` filter is NOT supported — the reference logs a warning and
+      // matches everything rather than erroring, so old clients keep working
+      log.warn("string filter is not supported, it is ignored")
+      lit(true)
     case field if !field.startsWith("_") =>
       // deprecated bare {field: value} equality
       leaf(field, "_is", v)
@@ -99,7 +109,7 @@ object FilterParser {
       fields.flatMap {
         case ("_and" | "_or", v) => asArray(v).flatMap(referencedFields)
         case ("_not", v) => referencedFields(v)
-        case ("_any" | "_id", _) => Nil
+        case ("_any" | "_id" | "_string", _) => Nil
         case ("_between" | "_in", v) => List(str(v \ "_field"))
         case ("_contains", v) => List(str(v))
         case (op, v) if op.startsWith("_") => List(fieldValue(v)._1)

@@ -70,8 +70,13 @@ class FilterGrammarPropertySpec extends SparkSpec {
 
   private val anyLeaf: Gen[JValue] = Gen.const(obj("_any" -> JBool(true)))
 
+  // legacy full-text filter: reference parity is ignore-with-warning →
+  // match-all, whatever the payload (reference query/Filter.scala:177-179)
+  private val stringLeaf: Gen[JValue] =
+    Gen.oneOf(namePool).map(v => obj("_string" -> JString(v)))
+
   private val leaf: Gen[JValue] =
-    Gen.oneOf(nameLeaf, likeLeaf, ageLeaf, betweenLeaf, inLeaf, containsLeaf, bareLeaf, anyLeaf)
+    Gen.oneOf(nameLeaf, likeLeaf, ageLeaf, betweenLeaf, inLeaf, containsLeaf, bareLeaf, anyLeaf, stringLeaf)
 
   private def tree(depth: Int): Gen[JValue] =
     if (depth <= 0) leaf
@@ -102,6 +107,7 @@ class FilterGrammarPropertySpec extends SparkSpec {
     case "_or" => kOr(arr(v).map(evalTree(_, r)))
     case "_not" => evalTree(v, r).map(!_)
     case "_any" => Some(true)
+    case "_string" => Some(true) // ignored legacy filter = match-all
     case "_between" =>
       val from = num(v \ "_from"); val to = num(v \ "_to")
       r.age.map(a => a >= from && a < to)
