@@ -36,9 +36,31 @@ object Bench {
   // surfaces any query expensive enough to matter (bench_full.json keeps
   // the complete map)
 
+  /** 1-minute load average at call time (-1.0 where unsupported). */
+  private def load1: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** MemAvailable from /proc/meminfo in GiB (-1.0 where unreadable). */
+  private def availGb: Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toDouble / (1024 * 1024)
+      }.getOrElse(-1.0)
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Environment telemetry: round 10's driver bench was uniformly ~+25%
+    // from machine load, and only forensics (bench_full first-pass vs
+    // min-of-2 deltas) revealed it. Capture load/memory at start and end,
+    // and the min2/first ratio over the headline keys, so a contended run
+    // self-identifies in the permanent BENCH_r{N} record (SCALE.md:
+    // min2/first < 0.7 ⇒ treat the run as contended).
+    val loadStart = load1
     val spark = SparkSession.builder()
       // GraftExtensions injects the optimizer rules into the MAIN
       // operator-optimization batch (the post-hoc extraOptimizations
@@ -180,6 +202,7 @@ object Bench {
     // sum over all queries so totals remain comparable round-over-round.
     val top5 = timings.toSeq.sortBy(-_._2).take(5).map(_._1)
     val headKeys = (headline ++ top5).distinct.filter(timings.contains).sorted
+    val headFirstPass = headKeys.map(k => timings(k)).sum
     val fns = SparkEntry.queries
     fam = ""
     headKeys.foreach { k =>
@@ -199,6 +222,13 @@ object Bench {
         }
       }
     }
+    // min2/first over the SAME key set: on an idle machine re-runs sit
+    // close to first passes (ratio ≳ 0.8 — warm caches buy a little);
+    // under contention first passes are inflated and the ratio collapses
+    val min2Ratio =
+      if (headFirstPass > 0) headKeys.map(k => timings(k)).sum / headFirstPass else 1.0
+    val env = s"""{"load1_start":${ms(loadStart)},"load1_end":${ms(load1)},""" +
+      s""""avail_gb":${ms(availGb)},"min2_first_ratio":${ms(min2Ratio)}}"""
     val head = headKeys.map(k => k -> timings(k))
     val qs = jmap(scala.collection.immutable.ListMap(head.map { case (k, v) => k -> ms(v) }: _*))
     // the printed line must survive the driver's ~2000-char tail capture
@@ -223,10 +253,10 @@ object Bench {
     // capture): first-pass values under "queries", headline min-of-2
     // under "headline_min2", errors (untruncated) incl. <name>#rerun.
     val fw = new java.io.PrintWriter("bench_full.json")
-    try fw.println(s"""{"total":${ms(total)},"queries":${jmap(firstPass)},"headline_min2":$qs,"errors":$esFull,"sf":"${esc(sfDir)}"}""")
+    try fw.println(s"""{"total":${ms(total)},"queries":${jmap(firstPass)},"headline_min2":$qs,"errors":$esFull,"env":$env,"sf":"${esc(sfDir)}"}""")
     finally fw.close()
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs,"errors":$es,"env":$env,"sf":"${esc(sfDir)}"}"""
     println(line)
     spark.stop()
   }
