@@ -235,6 +235,30 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  /** Session-start warm hook (resolve-only — see [[graft.services.Warm]]):
+    * thunks pulling each text-side stored family that ALREADY EXISTS into
+    * this session's caches (pointer read + parquet open, batched in
+    * parallel by the runner). Absent families are skipped — warm never
+    * builds. d27's pair is warmed only when BOTH its artifacts are live
+    * (the member build would otherwise re-sign the corpus). */
+  private[graft] def warmResolve(s: SparkSession, dir: String): Seq[(String, () => Unit)] = {
+    def dg(tag: String) = graft.sources.ArtifactStore.sourceDigest(
+      s, new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), "documents.parquet"), tag)
+    def live(name: String) = graft.sources.ArtifactStore.isLive(
+      s, "spark.graft.artifactDir", name)
+    Seq(
+      "text:sig" -> (() => if (live(s"graft_sig_${dg("minhash")}")) { sigTable(s, dir); () }),
+      "text:bands" -> (() => if (live(s"graft_sig_${dg("minhash")}") &&
+        live(s"graft_bands_${dg("lshbands")}")) { bandsTable(s, dir); () }),
+      "text:inv" -> (() => if (live(s"graft_inv_${dg("invidx")}")) { invertedIndex(s, dir); () }),
+      "text:invpos" -> (() => if (live(s"graft_invpos_${dg("invpos")}")) { positionalIndex(s, dir); () }),
+      "text:norms" -> (() => if (live(s"graft_norms_${dg("norms")}")) { docLengths(s, dir); () }),
+      "text:chunks" -> (() => if (live(s"graft_chunks_${dg("cdcchunks")}")) { chunkTable(s, dir); () }),
+      "text:d27" -> (() => if (live(s"graft_d27_hashes_${dg("d27idx")}") &&
+        live(s"graft_d27_bands_${dg("d27idx")}") &&
+        live(s"graft_sig_${dg("minhash")}")) { corpusIndex(s, dir); () }))
+  }
+
   /** Drop this session's cached index artifacts (signatures, candidate
     * pairs, verified pairs) and free their checkpoint blocks. The bench
     * harness calls this between query families so one family's retained

@@ -54,10 +54,13 @@ object VectorQueries {
     * metadata, exactly like the partition layout it determines.
     * GRAFT_SRP_NBITS remains as an explicit override for A/B runs (it
     * bypasses the store and keys the stored index by its value).
-    * TargetOccupancy=64 keeps expected buckets ~30× under VecBucketCap,
+    * TargetOccupancy=64 keeps expected occupancy ~30× under VecBucketCap,
     * so d12 runs full (uncapped) verification by default at every shipped
-    * scale: sf0.01 → 7 bits (~47/bucket), sf0.1 → 10 (~59), sf100 → 16
-    * (~915, still under the 2000 cap at NBitsMax). */
+    * scale. Worked examples from the ACTUAL embeddings counts per SF
+    * (these match SkewStressSpec's pins): sf0.01 → 500 vectors → 6 bits
+    * (the floor, ~8/bucket), sf0.1 → 2 000 → 6 (~31), sf1 → 20 000 → 9
+    * (~39), sf10 → 200 000 → 12 (~49), sf100 → 2 000 000 → 15 (~61,
+    * ~32× under the 2000 cap; NBitsMax=16 first binds past 4.2 M). */
   private val NBitsFloor = 6
   private val NBitsMax = 16
   private val TargetOccupancy = 64L
@@ -204,9 +207,34 @@ object VectorQueries {
   private def codedVectors(s: SparkSession, dir: String): DataFrame =
     // cached per (session, dir): this IS the stored index table — e02/e03/
     // e05/d12 all read it, as a production deployment reads the
-    // materialized code table rather than re-quantizing the corpus
-    codedCache.getOrElseUpdate(s, dir)(
-      codeVectors(emb(s, dir), nbitsOf(s, dir)).localCheckpoint())
+    // materialized code table rather than re-quantizing the corpus.
+    // When the stored partitioned index (e09's artifact — the SAME rows,
+    // written partitionBy(code)) is already live, LOAD it instead of
+    // re-coding: a fresh session then pays one stored-index read, not a
+    // corpus re-quantization (r10's e06 probe paid ~3.5 s of exactly
+    // that on rep 1; the Warm hook runs this load in the session-start
+    // batch so no query absorbs it at all). Loaded INTO a checkpoint,
+    // not served as the partitioned reader: the consumers here (Lloyd
+    // iterations, the d12 self-join) are full-scan-iterative, and
+    // re-opening a 2^nbits-directory layout per iteration is small-file
+    // death at sf10+ (measured: e06 steady 2.9 s vs 1.3 s). Probe-style
+    // pruned access keeps using [[partitionedIndex]] directly. The
+    // partition column round-trips as a directory key (inferred int) —
+    // restore the canonical column order and long type.
+    codedCache.getOrElseUpdate(s, dir) {
+      import org.apache.hadoop.fs.Path
+      val nb = nbitsOf(s, dir)
+      val digest = graft.sources.ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
+      val base =
+        if (graft.sources.ArtifactStore.isLive(
+              s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest"))
+          partitionedIndex(s, dir).select(
+            col("vec_id"), col("embedding"),
+            col("code").cast("long").as("code"), col("norm"))
+        else codeVectors(emb(s, dir), nb)
+      base.localCheckpoint()
+    }
 
   /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
     * the same select [[codedVectors]] materializes; seam for the skew
@@ -375,6 +403,34 @@ object VectorQueries {
         codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)
       }
     }
+
+  /** Session-start warm hook (resolve-only — see [[graft.services.Warm]]):
+    * thunks that pull each vector-side stored family that ALREADY EXISTS
+    * into this session's caches, so the first e-family query doesn't
+    * absorb the pointer reads, parquet opens and partition discovery
+    * serially (r10's e06 probe: 6.5 s rep 1 vs 1.15 s steady). A family
+    * whose artifact is absent is SKIPPED — warm never builds, so a cold
+    * root costs nothing here and the first real query builds exactly as
+    * before. The IVF thunk also pre-populates the coded-vector cache:
+    * with the stored index live, [[codedVectors]] is a parquet read. */
+  private[graft] def warmResolve(s: SparkSession, dir: String): Seq[(String, () => Unit)] = {
+    import org.apache.hadoop.fs.Path
+    def dg(tag: String) = graft.sources.ArtifactStore.sourceDigest(
+      s, new Path(new Path(dir), "embeddings.parquet"), tag)
+    def live(name: String) = graft.sources.ArtifactStore.isLive(
+      s, "spark.graft.ann.indexDir", name)
+    Seq(
+      "vec:srpmeta" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) { nbitsOf(s, dir); () }),
+      "vec:jl" -> (() => if (live(s"graft_jl_${dg("jlsketch")}")) { jlSketch(s, dir); () }),
+      "vec:ivf" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) {
+        val nb = nbitsOf(s, dir)
+        if (live(s"graft_ivf_idx_${nb}_${dg("ivfidx")}")) {
+          partitionedIndex(s, dir)
+          codedVectors(s, dir)
+          ()
+        }
+      }))
+  }
 
   /** Drop this session's cached coded-vector table and free its
     * checkpoint blocks (bench inter-family release; rebuilds lazily).

@@ -109,37 +109,62 @@ object ArtifactStore {
     }
   }
 
+  /** (data fs, pointer fs, root) for an artifact root — the pointer fs is
+    * the RAW filesystem when the root is checksummed (see the protocol
+    * note above: sidecar-free pointer renames are atomic on POSIX). */
+  private def rootFs(s: SparkSession, rootConfKey: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.FileSystem, Path) = {
+    val root = resolvedRoot(s, rootConfKey)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pfs = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    (fs, pfs, root)
+  }
+
+  /** Read the live version dir named by `ptr`, if any: pointer present,
+    * newline-terminated (not torn), pointee carries Spark's _SUCCESS
+    * completeness marker. Shared by [[getOrBuild]] and [[isLive]]. */
+  private def readLive(fs: org.apache.hadoop.fs.FileSystem,
+                       pfs: org.apache.hadoop.fs.FileSystem,
+                       root: Path, ptr: Path): Option[Path] = {
+    val name =
+      try {
+        if (!pfs.exists(ptr)) None
+        else {
+          val in = pfs.open(ptr)
+          val raw = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+          if (raw.endsWith("\n")) Some(raw.trim) else None
+        }
+      } catch { case _: java.io.IOException => None }
+    name.map(new Path(root, _)).filter(p => fs.exists(new Path(p, "_SUCCESS")))
+  }
+
+  /** Whether a live, complete artifact exists for `baseName` — a pure
+    * pointer read, never builds and never touches usage markers. The
+    * session-start warm path uses this to resolve only what EXISTS
+    * (calling the regular accessor on a cold root would trigger a full
+    * index build at warm time). */
+  def isLive(s: SparkSession, rootConfKey: String, baseName: String): Boolean = {
+    val (fs, pfs, root) = rootFs(s, rootConfKey)
+    readLive(fs, pfs, root, new Path(root, s"$baseName.ptr")).isDefined
+  }
+
   def getOrBuild(s: SparkSession, rootConfKey: String, baseName: String)
                 (write: String => Unit): DataFrame = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val root = resolvedRoot(s, rootConfKey)
-    val fs = root.getFileSystem(conf)
+    val (fs, pfs, root) = rootFs(s, rootConfKey)
     if (!fs.exists(root)) {
       fs.mkdirs(root)
       try fs.setPermission(root,
         new org.apache.hadoop.fs.permission.FsPermission("700"))
       catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
     }
-    val pfs = fs match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
     val ptr = new Path(root, s"$baseName.ptr")
 
-    def resolveLive(): Option[Path] = {
-      val name =
-        try {
-          if (!pfs.exists(ptr)) None
-          else {
-            val in = pfs.open(ptr)
-            val raw = try new String(
-              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-            finally in.close()
-            if (raw.endsWith("\n")) Some(raw.trim) else None
-          }
-        } catch { case _: java.io.IOException => None }
-      name.map(new Path(root, _)).filter(p => fs.exists(new Path(p, "_SUCCESS")))
-    }
+    def resolveLive(): Option[Path] = readLive(fs, pfs, root, ptr)
 
     def commitPointer(dirName: String): Unit = {
       // per-writer unique tmp: concurrent committers never share a tmp
@@ -256,7 +281,20 @@ object ArtifactStore {
       // sweep of its versions, never default them to sweepable
       val protectedFamilies = scala.collection.mutable.Set.empty[String]
       val livePointees = pfs.globStatus(new Path(root, s"${prefix}_*.ptr")).flatMap { pst =>
-        val dead = now - pst.getModificationTime > orphanMs
+        // re-stat before declaring the family dead: the glob's mtimes are
+        // a snapshot, and a concurrent session's resolve (which touches
+        // the pointer) landing between the listing and this delete must
+        // veto it — else that session's just-resolved version dir is
+        // collected out from under its long-lived cached reader. A
+        // pointer that vanished since the listing (another GC won) stays
+        // "dead"; any other stat failure conservatively reads as live.
+        val dead = now - pst.getModificationTime > orphanMs && {
+          try now - pfs.getFileStatus(pst.getPath).getModificationTime > orphanMs
+          catch {
+            case _: java.io.FileNotFoundException => true
+            case _: java.io.IOException => false
+          }
+        }
         val pointee =
           try {
             val in = pfs.open(pst.getPath)
