@@ -123,8 +123,16 @@ object Mutations {
       case Cardinality.List =>
         when(cur.isNull, array(value)).otherwise(concat(cur, array(value)))
       case Cardinality.Set =>
+        // array_contains is three-valued: NULL for a null `value`, and
+        // NULL when the array holds a null but no match — either way the
+        // membership branch silently never matched, so repeated adds
+        // accumulated duplicate nulls, violating add-if-absent. Null-safe
+        // membership: a null value is "present" iff the set already holds
+        // a null; an indeterminate no-match-over-nulls reads as absent.
+        val present = coalesce(array_contains(cur, value), lit(false)) ||
+          (value.isNull && exists(cur, _.isNull))
         when(cur.isNull, array(value))
-          .when(array_contains(cur, value), cur)
+          .when(present, cur)
           .otherwise(concat(cur, array(value)))
       case single =>
         throw new IllegalArgumentException(

@@ -103,6 +103,29 @@ class IntegritySpec extends SparkSpec {
       }
     }
 
+    it("Set addValue is null-safe: a null value adds once and repeated adds stay idempotent") {
+      // array_contains is three-valued — NULL for a null probe, NULL when
+      // the array holds a null but no match. The naive membership branch
+      // never matched on those, so every repeated add appended another
+      // null. Pinned here: null joins the set once; a non-null add into a
+      // null-holding set still works.
+      val at = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val rows = Seq((1L, Seq("a")), (2L, Seq("a", null)), (3L, null))
+        .toDF("id", "vals")
+      val once = Mutations.addValueWhere(rows, lit(true), "vals",
+        lit(null).cast("string"), Cardinality.Set, "admin", at)
+      val twice = Mutations.addValueWhere(once, lit(true), "vals",
+        lit(null).cast("string"), Cardinality.Set, "admin", at)
+        .orderBy("id").collect().map(_.getSeq[String](1).toList)
+      assert(twice.toList == List(List("a", null), List("a", null), List(null)))
+      // non-null add into a set that already carries a null: indeterminate
+      // array_contains must read as ABSENT, not skip the add
+      val addB = Mutations.addValueWhere(rows, lit(true), "vals", lit("b"),
+        Cardinality.Set, "admin", at)
+        .orderBy("id").collect().map(_.getSeq[String](1).toList)
+      assert(addB.toList == List(List("a", "b"), List("a", null, "b"), List("b")))
+    }
+
     it("removeValue strips every occurrence; the model-aware overload resolves cardinality") {
       val at = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
       val rows = Seq((1L, Seq("a", "b", "a")), (2L, Seq("b"))).toDF("id", "vals")
