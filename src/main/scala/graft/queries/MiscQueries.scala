@@ -257,8 +257,13 @@ object MiscQueries {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey,
-             |  array_to_string(CASE WHEN c_custkey % 2 = 0
-             |    THEN list_filter(plist, x -> x <> '3-MEDIUM') ELSE plist END, ',') AS plist_str,
+             |  -- COALESCE pins the emptied-list edge: Spark's array_join([])
+             |  -- is '' while DuckDB's array_to_string([]) is NULL — a
+             |  -- divergence the CSV-serializing compare path cannot see
+             |  -- (both render as an empty field) but the aggregate-hash
+             |  -- path (NULL -> chr(0)) catches
+             |  COALESCE(array_to_string(CASE WHEN c_custkey % 2 = 0
+             |    THEN list_filter(plist, x -> x <> '3-MEDIUM') ELSE plist END, ','), '') AS plist_str,
              |  CAST(len(CASE WHEN c_custkey % 2 = 0
              |    THEN list_filter(plist, x -> x <> '3-MEDIUM') ELSE plist END) AS INT) AS n_list
              |FROM (

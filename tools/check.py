@@ -64,6 +64,59 @@ if os.path.exists(reg_path):
     if no_oracle and not only:
         print(f"REGISTERED-WITHOUT-ORACLE ({len(no_oracle)}): {no_oracle}")
 
+# ---- aggregate-hash compare (large outputs) --------------------------------
+# The pandas materialize-sort-hash path holds BOTH result sets in driver
+# memory — at s12@sf100 (~183 M rows) that is not a compare harness, it is
+# an OOM. Aggregate mode computes, INSIDE DuckDB on each side, an
+# order-independent row-set fingerprint with no materialization:
+#   per row:  h = md5_number(concat_ws(US, columns sorted by name,
+#                                      NULL -> chr(0)))     (128-bit)
+#   per side: (count(*), bit_xor(h), sum(h % p))            p = max prime < 2^63
+# bit_xor alone would let duplicate-pair insert/delete cancel; the modular
+# sum breaks that symmetry (sum stays < 2^91 at 183 M rows, inside
+# HUGEINT), and count pins cardinality. Both sides are formatted by the
+# SAME engine (DuckDB casts), so the full-precision discipline of the
+# pandas path (%.17g on both sides) is preserved by construction.
+# Activated per query when the spark output exceeds GRAFT_AGG_HASH_ROWS
+# (default 20 M — comfortably above every gate-scale result) or with
+# --agg for all compared queries (used to cross-validate the two paths).
+AGG_THRESHOLD = int(os.environ.get("GRAFT_AGG_HASH_ROWS", "20000000"))
+force_agg = "--agg" in args
+
+def agg_fingerprint(con, src_sql, cols):
+    parts = ", ".join(f'COALESCE(CAST("{c}" AS VARCHAR), chr(0))'
+                      for c in sorted(cols))
+    q = (f"SELECT count(*) AS n, "
+         f"COALESCE(bit_xor(h), 0::HUGEINT) AS hx, "
+         f"COALESCE(sum(h % 9223372036854775783::HUGEINT), 0::HUGEINT) AS hs "
+         f"FROM (SELECT md5_number(concat_ws(chr(31), {parts})) AS h "
+         f"      FROM ({src_sql}))")
+    return con.execute(q).fetchone()
+
+def agg_compare(name, spark_src, sql):
+    c = make_con()
+    try:
+        s_cols = [r[0] for r in c.execute(f"DESCRIBE {spark_src}").fetchall()]
+        o_cols = [r[0] for r in c.execute(f"DESCRIBE {sql}").fetchall()]
+        ok_schema = sorted(s_cols) == sorted(o_cols)
+        s_fp = agg_fingerprint(c, spark_src, s_cols)
+    finally:
+        c.close()
+    c = make_con()
+    try:
+        o_fp = agg_fingerprint(c, sql, o_cols)
+    finally:
+        c.close()
+    ok = ok_schema and s_fp == o_fp
+    if ok:
+        print(f"{name}: ok-agg ({s_fp[0]} rows, xor/sum fingerprint)")
+    else:
+        print(f"{name}: rows {s_fp[0]}/{o_fp[0]} schema_match={ok_schema} "
+              f"fingerprint={'match' if s_fp[1:] == o_fp[1:] else 'MISMATCH'}")
+        if not ok_schema:
+            print(f"  spark cols: {sorted(s_cols)}\n  oracle cols: {sorted(o_cols)}")
+    return ok
+
 fails = list(no_oracle) if not only else []
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
@@ -71,6 +124,20 @@ for name, sql in sorted(oracle.items()):
     pdir = f"{out}/{name}"
     if not os.path.isdir(pdir):
         fails.append(name); print(f"{name}: MISSING spark output"); continue
+    spark_src = f"SELECT * FROM read_parquet('{pdir}/*.parquet')"
+    try:
+        con = make_con()
+        try:
+            n_spark = con.execute(
+                f"SELECT count(*) FROM read_parquet('{pdir}/*.parquet')").fetchone()[0]
+        finally:
+            con.close()
+        if force_agg or n_spark > AGG_THRESHOLD:
+            if not agg_compare(name, spark_src, sql):
+                fails.append(name)
+            continue
+    except Exception as e:
+        fails.append(name); print(f"{name}: ERROR {e}"); continue
     try:
         # separate fresh connections for the two sides: same rationale as
         # the per-query fresh connection (buffer-pool state accumulates on
