@@ -169,7 +169,10 @@ object Bench {
     // exactly this).
     def familyOf(n: String) = n.takeWhile(_.isLetter)
     def releaseFamily(f: String): Unit = {
-      if (f == "d") graft.queries.TextQueries.releaseCaches(spark)
+      if (f == "d") {
+        graft.queries.TextQueries.releaseCaches(spark)
+        graft.queries.SearchQueries.releaseCaches(spark)
+      }
       if (f == "e") graft.queries.VectorQueries.releaseCaches(spark)
       if (f.nonEmpty) System.gc()
     }

@@ -11,7 +11,7 @@ object SparkEntry {
   /** Package-visible for QueryRegistrySpec's hygiene gate: the RAW
     * concatenation, before toMap silently collapses a duplicate name. */
   private[graft] def registry: Seq[CoreQueries.Q] =
-    CoreQueries.all ++ TimeQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+    CoreQueries.all ++ TimeQueries.all ++ TextQueries.all ++ SearchQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++ PropertyQueries.all ++
       BranchQueries.all ++ IntegrityQueries.all ++ CoverageQueries.all ++ AnalyticalQueries.all ++
       JoinQueries.all ++ SideChannelQueries.all ++ RenderQueries.all ++ MigrationQueries.all

@@ -183,9 +183,9 @@ object PipelineQueries {
               |        unnest(generate_series(1, len(toks))) AS pos FROM t)
               |SELECT doc_id, pos AS wpos,
               |  md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
-              |        ROWS BETWEEN CURRENT ROW AND ${TextQueries.SubstrW - 1} FOLLOWING)) AS h
+              |        ROWS BETWEEN CURRENT ROW AND ${SearchQueries.SubstrW - 1} FOLLOWING)) AS h
               |FROM p
-              |QUALIFY pos <= count(*) OVER (PARTITION BY doc_id) - ${TextQueries.SubstrW - 1}
+              |QUALIFY pos <= count(*) OVER (PARTITION BY doc_id) - ${SearchQueries.SubstrW - 1}
               |ORDER BY doc_id, wpos""".stripMargin)),
 
     Q("s11_stream_posting_index",

@@ -33,7 +33,7 @@ import CoreQueries.Q
  */
 object TextQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docs(s: SparkSession, dir: String): DataFrame =
     TestData.graph(s, dir).V("documents").df
 
   // ------------------------------------------------ MinHash-LSH parameters
@@ -250,9 +250,6 @@ object TextQueries {
       "text:sig" -> (() => if (live(s"graft_sig_${dg("minhash")}")) { sigTable(s, dir); () }),
       "text:bands" -> (() => if (live(s"graft_sig_${dg("minhash")}") &&
         live(s"graft_bands_${dg("lshbands")}")) { bandsTable(s, dir); () }),
-      "text:inv" -> (() => if (live(s"graft_inv_${dg("invidx")}")) { invertedIndex(s, dir); () }),
-      "text:invpos" -> (() => if (live(s"graft_invpos_${dg("invpos")}")) { positionalIndex(s, dir); () }),
-      "text:norms" -> (() => if (live(s"graft_norms_${dg("norms")}")) { docLengths(s, dir); () }),
       "text:chunks" -> (() => if (live(s"graft_chunks_${dg("cdcchunks")}")) { chunkTable(s, dir); () }),
       "text:d27" -> (() => if (live(s"graft_d27_hashes_${dg("d27idx")}") &&
         live(s"graft_d27_bands_${dg("d27idx")}") &&
@@ -271,7 +268,7 @@ object TextQueries {
     // their pointer)
     Seq(candCache, verCache, d27Cache).foreach(
       _.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint))
-    Seq(sigCache, chunkCache, invCache).foreach(_.removeAll(s))
+    Seq(sigCache, chunkCache).foreach(_.removeAll(s))
     corpusIdxCache.removeAll(s)
   }
 
@@ -964,189 +961,7 @@ object TextQueries {
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
               |  FROM documents) t ORDER BY doc_id""".stripMargin)),
 
-    Q("d30_exact_substring_windows",
-      // Exact-substring duplication (the Lee et al. 2022 "Deduplicating
-      // Training Data" ExactSubstr shape, re-expressed for a data lake):
-      // every W-token window of every document is hashed; a window hash
-      // seen more than once across the corpus marks a verbatim repeated
-      // span (boilerplate, licenses, templated text) that MinHash's
-      // whole-document similarity misses and CDC chunking (d24) only
-      // catches at chunk granularity. Output: per-doc window counts and
-      // how many of its windows are corpus-duplicated — the signal a
-      // curation pipeline thresholds to strip or down-weight docs.
-      //
-      // Scale shape: the window table is (doc_id, 16-byte hash) — one
-      // narrow row per token, generated by a per-row codegen'd transform
-      // (no explode of text, no UDF). One shuffle on the hash for the
-      // duplicate census (map-side partial count), one semi-join back on
-      // the hash, one groupBy doc_id — never any text through an
-      // exchange, never a pairwise doc join. (Suffix arrays give the
-      // asymptotically tighter answer single-node; at 1000 executors the
-      // hash census IS the suffix array's duplicate-detection byproduct,
-      // minus the driver-side index.)
-      (s, dir) => {
-        val base = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= SubstrW)
-        val w = windowHashTable(s, dir).select(col("doc_id"), col("h"))
-        val dup = w.groupBy(col("h")).agg(count(lit(1)).as("c"))
-          .where(col("c") > 1).select(col("h"))
-        val dupPerDoc = w.join(dup, Seq("h"), "left_semi")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
-        // totals need no second window pass: every qualifying doc has
-        // exactly size(toks) - W + 1 windows
-        base.select(col("doc_id"),
-          (size(col("toks")) - lit(SubstrW - 1)).cast("bigint").as("total_windows"))
-          .join(dupPerDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("total_windows"),
-            coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-              |p AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
-              |w AS (SELECT doc_id, pos,
-              |        md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
-              |              ROWS BETWEEN CURRENT ROW AND ${SubstrW - 1} FOLLOWING)) AS h,
-              |        count(*) OVER (PARTITION BY doc_id) AS ntok
-              |      FROM p QUALIFY pos <= ntok - ${SubstrW - 1}),
-              |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1)
-              |SELECT w.doc_id, count(*) AS total_windows, count(d.h) AS dup_windows
-              |FROM w LEFT JOIN d ON w.h = d.h
-              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    Q("d31_inverted_index_search",
-      // Conjunctive token search over a STORED inverted index — the
-      // exact-lookup counterpart to d27's similarity index: corpus search
-      // and n-gram decontamination at lake scale both need "which docs
-      // contain these terms" answered WITHOUT a corpus scan. The posting
-      // table (tok, doc_id, tf) lives as a parquet artifact partitioned
-      // by a 64-way token-hash bucket; a probe computes its terms'
-      // buckets DRIVER-SIDE (plain CRC32, matching the write-side
-      // crc32() column exactly) so the scan directory-prunes to the
-      // terms' buckets and row-filters to the terms — per-query cost
-      // scales with the terms' posting lists, never the corpus. Ranking
-      // is idf-weighted in pure BIGINT arithmetic (tf × (1e6 div df)) so
-      // the oracle — which recomputes everything from RAW text, proving
-      // the stored index end-to-end — matches bit-for-bit.
-      (s, dir) => {
-        val terms = Seq("batch", "scan", "window")
-        val buckets = terms.map(termBucket).distinct
-        val idx = invertedIndex(s, dir)
-          .where(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
-        val dfreq = idx.groupBy("tok").agg(count(lit(1)).as("df"))
-        idx.join(broadcast(dfreq), "tok")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("hits"),
-            sum(expr("tf * (1000000 div df)")).as("score_milli"))
-          .where(col("n_terms") === terms.size)
-          .orderBy(col("score_milli").desc, col("doc_id"))
-          .limit(50)
-      },
-      Some("""WITH p AS (
-             |  SELECT t AS tok, doc_id, CAST(count(*) AS BIGINT) AS tf
-             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-             |  WHERE t IN ('batch', 'scan', 'window') GROUP BY 1, 2),
-             |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(tf) AS BIGINT) AS hits,
-             |  CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score_milli
-             |FROM p JOIN d USING (tok)
-             |GROUP BY 1 HAVING count(*) = 3
-             |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin)),
-
-    Q("d32_phrase_search",
-      // Exact-phrase search over a POSITIONAL posting artifact — the
-      // query-driven counterpart to d30's window census: decontamination
-      // asks "does this benchmark sentence appear verbatim anywhere?"
-      // per sentence, and answering it from stored (tok, doc_id, pos)
-      // rows costs the phrase terms' posting lists, not a corpus scan.
-      // Each term's positions are normalized to the phrase START
-      // (pos − term offset), so a k-term phrase is k−1 equi-joins on
-      // (doc_id, start) over bucket-pruned narrow rows — no window
-      // functions, no arrays, no text. Occurrence counts per doc come
-      // out of one final groupBy. Same trust story as d31: the oracle
-      // recomputes positions from RAW text, proving the stored index.
-      (s, dir) => {
-        val phrase = Seq("table", "hash")
-        val buckets = phrase.map(termBucket).distinct
-        val idx = positionalIndex(s, dir)
-          .where(col("bucket").isin(buckets: _*) && col("tok").isin(phrase: _*))
-        phrase.zipWithIndex.map { case (t, i) =>
-            idx.where(col("tok") === t)
-              .select(col("doc_id"), (col("pos") - i).as("start"))
-          }
-          .reduce(_.join(_, Seq("doc_id", "start")))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |p AS (SELECT doc_id, unnest(toks) AS tok,
-             |        unnest(generate_series(1, len(toks))) AS pos FROM t)
-             |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
-             |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-             |WHERE a.tok = 'table' AND b.tok = 'hash'
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    Q("d33_exact_substring_removal",
-      // The REWRITE step d30's census feeds (Lee et al. 2022 remove the
-      // duplicated spans, not the documents): every token position
-      // covered by ANY corpus-duplicated W-window is cut, and the
-      // surviving tokens are reassembled in order. Docs shorter than W
-      // (no windows) pass through verbatim; a fully-boilerplate doc
-      // collapses to the empty string.
-      //
-      // Scale shape: the positional window table and the duplicate
-      // census are d30's narrow rows; covered positions explode ONLY
-      // duplicated windows (W rows each, bounded by the dup fraction);
-      // the kept-token anti-join and the per-doc reassembly shuffle
-      // (pos, tok) pairs once — the unavoidable cost of materializing
-      // the rewritten corpus, same order as any re-tokenization pass.
-      (s, dir) => {
-        val base = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val toks = base.select(col("doc_id"), posexplode(col("toks")))
-          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
-        val w = windowHashTable(s, dir)
-        val dup = w.groupBy(col("h")).agg(count(lit(1)).as("c"))
-          .where(col("c") > 1).select(col("h"))
-        val covered = w.join(dup, Seq("h"), "left_semi")
-          .select(col("doc_id"),
-            explode(sequence(col("wpos"), col("wpos") + lit(SubstrW - 1))).as("pos"))
-          .distinct()
-        val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-          .groupBy(col("doc_id"))
-          .agg(
-            array_join(
-              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-                x => x.getField("tok")), " ").as("clean_text"),
-            count(lit(1)).as("n_kept"))
-        base.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_total"))
-          .join(kept, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("clean_text"), lit("")).as("clean_text"),
-            (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-              |p AS (SELECT doc_id, unnest(toks) AS tok,
-              |        unnest(generate_series(1, len(toks))) AS pos FROM t),
-              |w AS (SELECT doc_id, pos AS wpos,
-              |        md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
-              |              ROWS BETWEEN CURRENT ROW AND ${SubstrW - 1} FOLLOWING)) AS h,
-              |        count(*) OVER (PARTITION BY doc_id) AS ntok
-              |      FROM p QUALIFY pos <= ntok - ${SubstrW - 1}),
-              |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
-              |cov AS (SELECT DISTINCT w.doc_id,
-              |          unnest(generate_series(wpos, wpos + ${SubstrW - 1})) AS pos
-              |        FROM w SEMI JOIN d ON w.h = d.h),
-              |kept AS (
-              |  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text,
-              |    CAST(count(*) AS BIGINT) AS n_kept
-              |  FROM p ANTI JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
-              |  GROUP BY 1)
-              |SELECT t.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
-              |  CAST(len(t.toks) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed
-              |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
-              |ORDER BY t.doc_id""".stripMargin)),
 
     Q("d34_approx_percentile_audit",
       // The SKETCH path for d15's corpus profiling: at 100 TB an exact
@@ -1191,285 +1006,8 @@ object TextQueries {
              |UNION ALL SELECT CAST(0.99 AS DOUBLE), ps[3], TRUE FROM e
              |ORDER BY pct""".stripMargin)),
 
-    Q("d35_bm25_search",
-      // RANKED disjunctive retrieval over the d31 posting artifact —
-      // BM25's tf saturation + document-length normalization, the scoring
-      // model a lake-scale corpus-search / decontamination-triage stack
-      // actually runs (d31's conjunctive idf ranking is the boolean
-      // filter; this is the ranker). Adds the third stored-search
-      // artifact: a NORMS table (doc_id, dl) — a search engine's norms
-      // file — so query-time cost is the terms' posting lists plus a
-      // narrow norms join, never a corpus scan.
-      //
-      // Arithmetic is all-BIGINT so the oracle (recomputing from RAW
-      // text, proving postings + norms end-to-end) matches bit-for-bit.
-      // With k1 = 6/5 and b = 3/4, per-(term,doc):
-      //   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-      //     = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)          (avgdl = T/N)
-      // Factoring T out of the length norm keeps every intermediate in
-      // signed-64 headroom at shipped scales: lennorm_micro =
-      // (6e6·T + 18e6·dl·N) div T, then
-      //   contrib = idf_milli · tf · 44e6 div (20e6·tf + lennorm_micro)
-      // with d31's idf_milli = 1e6 div df. Both divs truncate identically
-      // in Spark (`div`) and DuckDB (`//`). Headroom note: 18e6·dl·N
-      // needs dl·N < 5e11 — beyond ~1e9 avg-length docs promote the norm
-      // arithmetic to DECIMAL(38,0); the rational structure is unchanged.
-      //
-      // Scale shape: bucket-pruned posting scan (3 of 64 dirs), df by
-      // groupBy over those rows, (N, T) from one aggregate over the
-      // norms artifact broadcast as a 1-row literal, candidate×norms an
-      // equi-join on doc_id (AQE broadcasts the candidate side when the
-      // posting lists are small).
-      (s, dir) => {
-        val terms = Seq("spark", "merge", "customer")
-        val buckets = terms.map(termBucket).distinct
-        val idx = invertedIndex(s, dir)
-          .where(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
-        val dfreq = idx.groupBy("tok").agg(count(lit(1)).as("df"))
-        val norms = docLengths(s, dir)
-        val g = norms.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-        idx.join(broadcast(dfreq), "tok")
-          .join(norms, "doc_id")
-          .crossJoin(broadcast(g))
-          .withColumn("contrib", expr(
-            """(1000000 div df) * tf * 44000000
-              |  div (20000000 * tf + (6000000 * tt + 18000000 * dl * nd) div tt)""".stripMargin))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_milli"))
-          .orderBy(col("score_milli").desc, col("doc_id"))
-          .limit(50)
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
-             |g AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM n),
-             |p AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
-             |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-             |      WHERE tok IN ('spark', 'merge', 'customer') GROUP BY 1, 2),
-             |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-             |  CAST(sum((1000000 // df) * tf * 44000000
-             |           // (20000000 * tf + (6000000 * tt + 18000000 * dl * nd) // tt)) AS BIGINT)
-             |    AS score_milli
-             |FROM p JOIN d USING (tok) JOIN n USING (doc_id) CROSS JOIN g
-             |GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin)),
-
-    Q("d36_bigram_surprise",
-      // CORPUS-TRAINED statistical quality scoring — the CCNet/KenLM
-      // pattern (score text by an n-gram model fit on the corpus itself)
-      // with the LM reduced to its deterministic core: each document's
-      // mean bigram rarity, surprise(bg) = 1e6 div corpus_count(bg), in
-      // all-integer arithmetic (log-probs would hash-diverge at ULPs
-      // between engines; this monotone rarity score ranks the same tail).
-      // Distinct from d29 (externally-trained weights) and d19
-      // (within-document repetition): the signal here is trained on the
-      // corpus being scored, so boilerplate scores common and garbled
-      // text scores rare.
-      //
-      // Scale shape: corpus statistics are an index-build-class pass
-      // (same cost family as the d31 posting build). Only (doc_id,
-      // 32-hex bigram md5) reaches any exchange — never the text; the
-      // count groupBy and the per-doc re-aggregation are both narrow,
-      // and the counts join is an equi-join on the digest (AQE
-      // broadcast-eligible when the vocabulary is small).
-      (s, dir) => {
-        val bg = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(toks) - 1),
-              |  i -> md5(concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""".stripMargin))
-            .as("bg"))
-        val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
-        bg.join(counts, "bg")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bg"),
-            sum(expr("1000000 div cnt")).as("surprise_sum"))
-          .select(col("doc_id"), col("n_bg"),
-            expr("surprise_sum div n_bg").as("avg_surprise_micro"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |b AS (SELECT doc_id,
-             |        unnest(list_transform(generate_series(1, len(toks) - 1),
-             |          i -> md5(concat(toks[i], ' ', toks[i + 1])))) AS bg
-             |      FROM t WHERE len(toks) >= 2),
-             |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
-             |  CAST(CAST(sum(1000000 // cnt) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
-             |    AS avg_surprise_micro
-             |FROM b JOIN c USING (bg)
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
-
-    Q("d37_incremental_posting_rollforward",
-      // The stored-index LIFECYCLE closed end-to-end, preserving the
-      // artifact protocol's immutability invariant (any committed pointer
-      // is valid because equal inputs build equal content — mutable
-      // version chains would forfeit the race proofs): rolling the
-      // posting index forward for a grown corpus does NOT re-tokenize the
-      // old corpus. The new content-addressed artifact unions the STORED
-      // old-corpus artifact with postings computed from the delta docs
-      // only — d27's incremental economics applied to the index build
-      // itself (the streaming paths s11-s14 are the row-equal delta
-      // producers). The delta is the only TEXT processed; the merge is a
-      // narrow posting-row copy — at 100 TB a file-level append/compact
-      // of the immutable index, never a corpus re-tokenization. The
-      // oracle recomputes the FULL corpus's postings from raw text, so a
-      // hash match proves rolled-forward == from-scratch.
-      (s, dir) => {
-        def postings(d: DataFrame) = d
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        def withBucket(d: DataFrame) = d.withColumn("bucket",
-          pmod(crc32(col("tok").cast("binary")), lit(InvBuckets.toLong)).cast("int"))
-        import org.apache.hadoop.fs.Path
-        val src = new Path(new Path(dir), "documents.parquet")
-        // the stored old-corpus index (doc_id % 10 != 0): in production
-        // this artifact already exists from the last roll-forward
-        val oldIdx = invCache.getOrElseUpdate(s, s"$dir#invold") {
-          val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "invold")
-          graft.sources.ArtifactStore.getOrBuild(
-            s, "spark.graft.artifactDir", s"graft_invold_$dg") { path =>
-            withBucket(postings(docs(s, dir).where(pmod(col("doc_id"), lit(10)) =!= 0)))
-              .repartition(col("bucket"))
-              .write.mode("overwrite").partitionBy("bucket").parquet(path)
-          }
-        }
-        val merged = invCache.getOrElseUpdate(s, s"$dir#invroll") {
-          val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "invroll")
-          graft.sources.ArtifactStore.getOrBuild(
-            s, "spark.graft.artifactDir", s"graft_invroll_$dg") { path =>
-            oldIdx.select("tok", "doc_id", "tf", "bucket")
-              .unionByName(withBucket(postings(
-                docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 0))))
-              .repartition(col("bucket"))
-              .write.mode("overwrite").partitionBy("bucket").parquet(path)
-          }
-        }
-        merged.select(col("tok"), col("doc_id"), col("tf"))
-          .orderBy("tok", "doc_id")
-      },
-      Some("""SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
-             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-             |GROUP BY 1, 2 ORDER BY tok, doc_id""".stripMargin))
   )
 
-  /** d30's token-window width. Real deployments use ~50 (Lee et al.);
-    * 20 fits the short synthetic documents while exercising the same
-    * plan. `final val`: interpolated into `all`'s oracle SQL above at
-    * object init (see the init-order note at [[ChunkGear]]). */
-  private[graft] final val SubstrW = 20
-
-  /** The SHARED positional window-hash table (doc_id, wpos, h): one
-    * 1-based-start md5 per W-token window, materialized ONCE (checkpoint;
-    * a deployment stores it — the ExactSubstr suffix table's lake analog,
-    * rebuilt per ingest like the MinHash signature artifact). d30's
-    * census, its semi-join, and d33's removal all read this one table —
-    * an unshared plan would pay the O(tokens × W) hashing pass per
-    * consumer. The hash expression must be TOTAL (empty array for short
-    * docs) even though callers size-filter first: explode's inferred
-    * non-empty constraint lands in the same Filter conjunction and
-    * evaluates the transform on unfiltered rows, where a bare
-    * sequence(1, size-W+1) on a short doc yields a descending [1, 0]
-    * and slice(…, 0, …) throws. */
-  private def windowHashTable(s: SparkSession, dir: String): DataFrame =
-    candCache.getOrElseUpdate(s, s"$dir#exwin")(
-      docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= SubstrW)
-        .select(col("doc_id"),
-          // one-pass native window hashing (see WindowMd5Hashes: the
-          // interpreted transform-lambda form paid ~0.4 ms/window of
-          // expression-dispatch overhead — 30× the md5 work itself);
-          // the expression is TOTAL (empty array below W tokens), so
-          // explode's inferred non-empty constraint is safe on
-          // unfiltered rows
-          GraftBridge.column(graft.functions.WindowMd5Hashes(
-            GraftBridge.expression(col("toks")), SubstrW)).as("hs"))
-        .select(col("doc_id"), posexplode(col("hs")))
-        .select(col("doc_id"), (col("pos") + 1).as("wpos"), col("col").as("h"))
-        .localCheckpoint())
-
-  /** d31's token-hash partition fan-out. 64 directories keeps the demo
-    * artifact small; a 100 TB deployment raises it the same way
-    * `sizeShufflePartitions` scales — the probe math is fan-out-agnostic
-    * (driver CRC32 mod the same constant). */
-  private final val InvBuckets = 64
-
-  /** d31's stored posting table: (tok, doc_id, tf) rows, written once per
-    * corpus digest via [[graft.sources.ArtifactStore]] and PARTITIONED by
-    * the token-hash bucket so probes directory-prune to their terms'
-    * buckets. Rows-not-arrays on purpose: a hot token's posting list
-    * stays splittable across tasks instead of materializing as one giant
-    * array value. Cached per session as a plain parquet reader — nothing
-    * pinned, so [[releaseCaches]] only drops the handle. */
-  /** Driver-side bucket of a probe term — ONE definition of the
-    * "CRC32 over UTF-8 bytes mod [[InvBuckets]]" contract that must stay
-    * bit-identical to the write-side `pmod(crc32(cast binary))` column
-    * in [[buildPostingArtifact]], or directory pruning silently reads
-    * the wrong buckets. */
-  private def termBucket(t: String): Int = {
-    val c = new java.util.zip.CRC32(); c.update(t.getBytes("UTF-8"))
-    (c.getValue % InvBuckets).toInt
-  }
-
-  private val invCache = new graft.util.SessionCache[DataFrame]
-
-  /** Shared posting-artifact builder: digest-keyed ArtifactStore publish
-    * of `postings(docs)` rows (must carry a `tok` column), written
-    * PARTITIONED by the token-hash bucket [[termBucket]] mirrors. */
-  private def buildPostingArtifact(s: SparkSession, dir: String, tag: String, prefix: String)(
-      postings: DataFrame => DataFrame): DataFrame =
-    invCache.getOrElseUpdate(s, s"$dir#$prefix") {
-      import org.apache.hadoop.fs.Path
-      val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "documents.parquet"), tag)
-      graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.artifactDir", s"${prefix}_$digest") { path =>
-        postings(docs(s, dir))
-          .withColumn("bucket",
-            pmod(crc32(col("tok").cast("binary")), lit(InvBuckets.toLong)).cast("int"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(path)
-      }
-    }
-
-  /** d31's posting table: (tok, doc_id, tf) rows. Rows-not-arrays on
-    * purpose: a hot token's posting list stays splittable across tasks
-    * instead of materializing as one giant array value. */
-  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
-    buildPostingArtifact(s, dir, "invidx", "graft_inv")(
-      _.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf")))
-
-  /** d32's positional posting table: (tok, doc_id, pos) rows, 1-based to
-    * match the oracle's `generate_series`. Stored separately from d31's
-    * tf-rollup — positions triple the index size, so a deployment opts
-    * in per-corpus exactly like a search engine's positional postings. */
-  private def positionalIndex(s: SparkSession, dir: String): DataFrame =
-    buildPostingArtifact(s, dir, "invpos", "graft_invpos")(
-      _.select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), col("col").as("tok"),
-          (col("pos") + 1).cast("int").as("pos")))
-
-  /** d35's stored NORMS table: (doc_id, dl) — token count per document,
-    * the BM25 length-normalization input a search engine keeps beside its
-    * postings (Lucene's norms file). Not bucket-partitioned: probes read
-    * it through a doc_id equi-join against already-pruned candidate rows,
-    * so its access pattern is a narrow columnar scan, never a directory
-    * probe. Same digest/pointer lifecycle as the posting artifacts. */
-  private def docLengths(s: SparkSession, dir: String): DataFrame =
-    invCache.getOrElseUpdate(s, s"$dir#norms") {
-      import org.apache.hadoop.fs.Path
-      val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "documents.parquet"), "norms")
-      graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.artifactDir", s"graft_norms_$digest") { path =>
-        docs(s, dir)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("bigint").as("dl"))
-          .write.mode("overwrite").parquet(path)
-      }
-    }
 
   /** d28's per-source keep budget. */
   private final val SourceCap = 10

@@ -34,6 +34,7 @@ object Warm {
   def resolve(s: SparkSession, dir: String, timeoutSec: Int = 120): Seq[String] = {
     val hooks: Seq[(String, () => Unit)] =
       graft.queries.TextQueries.warmResolve(s, dir) ++
+        graft.queries.SearchQueries.warmResolve(s, dir) ++
         graft.queries.VectorQueries.warmResolve(s, dir)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(hooks.size, 8),

@@ -199,7 +199,7 @@ object StreamAgg {
     * (duplicate counting) stays batch-side over the accumulated table,
     * exactly as banding reads the signature table. */
   def windowIndexStream(spark: SparkSession, dir: String): DataFrame = {
-    val W = graft.queries.TextQueries.SubstrW
+    val W = graft.queries.SearchQueries.SubstrW
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
     val w = docsStream
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
