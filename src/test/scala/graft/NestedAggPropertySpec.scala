@@ -256,6 +256,45 @@ class NestedAggPropertySpec extends SparkSpec {
 
   // ----------------------------------------------------------------- test
 
+  /** Attach a deterministic `_query` pre-filter to every NESTED (depth>0)
+    * field/time node that lacks one. A filtered nested sub is exactly the
+    * host-delegation disqualifier (Aggregation.scala `groupedWithSubs`:
+    * hostPlan requires `nestedFilter(n).isEmpty`), so trees rewritten this
+    * way are guaranteed to exercise the dedicated re-aggregation fallback
+    * rather than the single-scan partials path — the branch the plain
+    * random mix only hits occasionally. */
+  private def forceInnerFilters(j: JValue, depth: Int, salt: Int): JValue = j match {
+    case JObject(fields) =>
+      val isGroup = fields.collectFirst { case ("_agg", JString(k)) => k }
+        .exists(k => k == "field" || k == "time")
+      val hasQuery = fields.exists(_._1 == "_query")
+      val recursed = fields.map {
+        case ("_select", JArray(subs)) =>
+          "_select" -> JArray(subs.zipWithIndex.map { case (s, i) =>
+            forceInnerFilters(s, depth + 1, salt * 31 + i)
+          })
+        case other => other
+      }
+      val injected =
+        if (isGroup && depth > 0 && !hasQuery) {
+          val x = ((math.abs(salt) % 24) - 4) * 0.25 // mix of thresholds incl. row-dropping ones
+          recursed :+ ("_query" -> obj("_gte" -> obj("v" -> JDouble(x))))
+        } else recursed
+      JObject(injected)
+    case other => other
+  }
+
+  private def hasInnerGroup(j: JValue, depth: Int = 0): Boolean = j match {
+    case JObject(fields) =>
+      val isGroup = fields.collectFirst { case ("_agg", JString(k)) => k }
+        .exists(k => k == "field" || k == "time")
+      (isGroup && depth > 0) || fields.exists {
+        case ("_select", JArray(subs)) => subs.exists(hasInnerGroup(_, depth + 1))
+        case _ => false
+      }
+    case _ => false
+  }
+
   describe("random nested aggregation trees (compiled+rendered vs in-memory evaluator)") {
     it("agree byte-for-byte on 60 random trees") {
       val gen = groupGen(2, Set.empty)
@@ -270,6 +309,30 @@ class NestedAggPropertySpec extends SparkSpec {
           failures ::= s"tree #$i\n  json: ${JsonRenderer.compact(tree)}\n  compiled: $compiled\n  expected: $expected"
       }
       assert(failures.isEmpty, failures.mkString("\n\n"))
+    }
+
+    it("agree byte-for-byte on 40 trees whose EVERY inner group agg carries a _query filter") {
+      // the dedicated re-aggregation fallback, proven head-on: each tree
+      // with nesting gets a filter on every inner field/time node, which
+      // disqualifies single-scan host delegation by construction
+      val gen = groupGen(2, Set.empty)
+      var failures = List.empty[String]
+      var exercised = 0
+      (0 until 40).foreach { i =>
+        val raw = gen(Gen.Parameters.default, Seed(9100L + i)).getOrElse(fail("gen failed"))
+        val tree = forceInnerFilters(raw, 0, 17 * i + 3)
+        if (hasInnerGroup(tree)) exercised += 1
+        val agg = AggregationParser.fromJValue(tree, Properties.passthrough)
+        val compiled = JsonRenderer.compact(
+          JsonRenderer.renderAggregation(AggCompiler(df, agg, Properties.passthrough), agg))
+        val expected = JsonRenderer.compact(evalGroup(rows, tree))
+        if (compiled != expected)
+          failures ::= s"tree #$i\n  json: ${JsonRenderer.compact(tree)}\n  compiled: $compiled\n  expected: $expected"
+      }
+      assert(failures.isEmpty, failures.mkString("\n\n"))
+      // coverage floor: a generator drift toward flat trees must fail
+      // loudly, not silently stop proving the fallback path
+      assert(exercised >= 15, s"only $exercised/40 trees had a filtered inner group agg")
     }
   }
 }
