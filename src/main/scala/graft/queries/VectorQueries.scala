@@ -424,6 +424,20 @@ object VectorQueries {
       "vec:jl" -> (() => if (live(s"graft_jl_${dg("jlsketch")}")) { jlSketch(s, dir); () }),
       "vec:cents1" -> (() => if (live(s"graft_cents1_${dg("cents1")}") &&
         live(s"graft_srp_meta_${dg("srpmeta")}")) { trainedCentroids(s, dir); () }),
+      "vec:annroll" -> (() => {
+        // the exact names carry the frozen quantizer width; only pay the
+        // deriving count when SOME pointer for these digests exists
+        val (dgo, dgr) = (dg("annold"), dg("annroll"))
+        def any(g: String) = graft.sources.ArtifactStore.anyPointer(
+          s, "spark.graft.ann.indexDir", g)
+        if (any(s"graft_annold_*_$dgo") && any(s"graft_annroll_*_$dgr")) {
+          val nb = annNbOld(s, dir)
+          if (live(s"graft_annold_${nb}_$dgo") && live(s"graft_annroll_${nb}_$dgr")) {
+            annRolledIndex(s, dir, nb)
+            ()
+          }
+        }
+      }),
       "vec:ivf" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) {
         val nb = nbitsOf(s, dir)
         if (live(s"graft_ivf_idx_${nb}_${dg("ivfidx")}")) {
@@ -479,6 +493,47 @@ object VectorQueries {
     * and the oracle (which retrains from raw embeddings every run) still
     * hash-matches. e06b keeps training live on purpose — it IS the
     * training-loop diagnostic. */
+  /** e13's frozen quantizer width: derived from the OLD corpus subset
+    * (doc 10-residue split), exactly what the oracle prices. One count
+    * job; callers cache per session via the artifact resolve. */
+  private def annNbOld(s: SparkSession, dir: String): Int =
+    deriveNBits(emb(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0).count())
+
+  /** e13's stored OLD-corpus coded index (see the e13 entry for the
+    * lifecycle story): coded at the frozen width, partitioned by code. */
+  private def annOldIndex(s: SparkSession, dir: String, nbOld: Int): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#annold") {
+      import org.apache.hadoop.fs.Path
+      val src = new Path(new Path(dir), "embeddings.parquet")
+      val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "annold")
+      graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_annold_${nbOld}_$dg") { path =>
+        codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0), nbOld)
+          .write.mode("overwrite").partitionBy("code").parquet(path)
+      }
+    }
+
+  /** e13's ROLLED index: stored old-corpus artifact unioned with codes
+    * computed from the delta vectors only (the frozen-quantizer
+    * add()-path; delta-proportional build cost). */
+  private def annRolledIndex(s: SparkSession, dir: String, nbOld: Int): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#annroll") {
+      import org.apache.hadoop.fs.Path
+      val src = new Path(new Path(dir), "embeddings.parquet")
+      val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "annroll")
+      graft.sources.ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_annroll_${nbOld}_$dg") { path =>
+        // the artifact's partition column reads back as the narrowest
+        // inferred type — normalize to the coder's LONG before union
+        annOldIndex(s, dir, nbOld)
+          .select(col("vec_id"), col("embedding"), col("norm"),
+            col("code").cast("long").as("code"))
+          .unionByName(codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) === 0), nbOld)
+            .select("vec_id", "embedding", "norm", "code"))
+          .write.mode("overwrite").partitionBy("code").parquet(path)
+      }
+    }
+
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame =
     idxCache.getOrElseUpdate(s, s"$dir#cents1") {
       import org.apache.hadoop.fs.Path
@@ -1024,31 +1079,9 @@ object VectorQueries {
       // probe is e09's shape over the rolled index: client-side code
       // lookup, Hamming-ball IN filter, broadcast exact re-rank.
       (s, dir) => {
-        import org.apache.hadoop.fs.Path
-        val src = new Path(new Path(dir), "embeddings.parquet")
         val e = emb(s, dir)
-        val nbOld = deriveNBits(e.where(pmod(col("vec_id"), lit(10)) =!= 0).count())
-        val oldIdx = idxCache.getOrElseUpdate(s, s"$dir#annold") {
-          val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "annold")
-          graft.sources.ArtifactStore.getOrBuild(
-            s, "spark.graft.ann.indexDir", s"graft_annold_${nbOld}_$dg") { path =>
-            codeVectors(e.where(pmod(col("vec_id"), lit(10)) =!= 0), nbOld)
-              .write.mode("overwrite").partitionBy("code").parquet(path)
-          }
-        }
-        val merged = idxCache.getOrElseUpdate(s, s"$dir#annroll") {
-          val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "annroll")
-          graft.sources.ArtifactStore.getOrBuild(
-            s, "spark.graft.ann.indexDir", s"graft_annroll_${nbOld}_$dg") { path =>
-            // the artifact's partition column reads back as the narrowest
-            // inferred type — normalize to the coder's LONG before union
-            oldIdx.select(col("vec_id"), col("embedding"), col("norm"),
-                col("code").cast("long").as("code"))
-              .unionByName(codeVectors(e.where(pmod(col("vec_id"), lit(10)) === 0), nbOld)
-                .select("vec_id", "embedding", "norm", "code"))
-              .write.mode("overwrite").partitionBy("code").parquet(path)
-          }
-        }
+        val nbOld = annNbOld(s, dir)
+        val merged = annRolledIndex(s, dir, nbOld)
         // vec 0 lands in the DELTA (0 % 10 == 0): the probe exercises a
         // freshly rolled-in vector against old- and new-corpus members
         val qcode = merged.where(col("vec_id") === 0)

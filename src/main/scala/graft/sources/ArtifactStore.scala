@@ -153,6 +153,19 @@ object ArtifactStore {
     readLive(fs, pfs, root, new Path(root, s"$baseName.ptr")).isDefined
   }
 
+  /** Whether ANY pointer file matching `baseGlob` exists under the root —
+    * a cheap existence probe for families whose exact name carries a
+    * DERIVED component (e.g. the quantizer width in
+    * `graft_annold_<nb>_<digest>`): a warm hook uses this to decide
+    * whether deriving that component (a count job) is worth running at
+    * all, then validates the exact name with [[isLive]]. Pointer
+    * presence only — no torn/_SUCCESS validation here. */
+  def anyPointer(s: SparkSession, rootConfKey: String, baseGlob: String): Boolean = {
+    val (_, pfs, root) = rootFs(s, rootConfKey)
+    try Option(pfs.globStatus(new Path(root, baseGlob + ".ptr"))).exists(_.nonEmpty)
+    catch { case _: java.io.IOException => false }
+  }
+
   def getOrBuild(s: SparkSession, rootConfKey: String, baseName: String)
                 (write: String => Unit): DataFrame = {
     val (fs, pfs, root) = rootFs(s, rootConfKey)
