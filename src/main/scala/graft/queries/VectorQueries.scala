@@ -226,14 +226,20 @@ object VectorQueries {
       val nb = nbitsOf(s, dir)
       val digest = graft.sources.ArtifactStore.sourceDigest(
         s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
-      val base =
-        if (graft.sources.ArtifactStore.isLive(
-              s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest"))
-          partitionedIndex(s, dir).select(
+      if (graft.sources.ArtifactStore.isLive(
+            s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest"))
+        // COALESCE before checkpointing: the stored layout is one small
+        // file per code directory (2^nbits of them — 4096 at sf10), and
+        // localCheckpoint freezes the scan's partitioning, so without
+        // this every downstream stage pays thousands of near-empty
+        // tasks per action (measured at sf10: e05 steady 18 s vs 1.6 s
+        // recomputed; with the coalesce the load path wins again)
+        partitionedIndex(s, dir).select(
             col("vec_id"), col("embedding"),
             col("code").cast("long").as("code"), col("norm"))
-        else codeVectors(emb(s, dir), nb)
-      base.localCheckpoint()
+          .coalesce(s.sparkContext.defaultParallelism)
+          .localCheckpoint()
+      else codeVectors(emb(s, dir), nb).localCheckpoint()
     }
 
   /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
@@ -1083,9 +1089,14 @@ object VectorQueries {
         val nbOld = annNbOld(s, dir)
         val merged = annRolledIndex(s, dir, nbOld)
         // vec 0 lands in the DELTA (0 % 10 == 0): the probe exercises a
-        // freshly rolled-in vector against old- and new-corpus members
-        val qcode = merged.where(col("vec_id") === 0)
-          .select(col("code").cast("long")).head().getLong(0)
+        // freshly rolled-in vector against old- and new-corpus members.
+        // The query's code is the CLIENT's own quantization (e09's
+        // contract) — one pushdown row off the compact source file, NOT a
+        // lookup against the rolled artifact: filtering the 2^nb-directory
+        // index by vec_id opens every code directory (measured at sf10:
+        // the unpruned lookup alone held the probe at ~15 s)
+        val qcode = codeVectors(e.where(col("vec_id") === 0), nbOld)
+          .select(col("code")).head().getLong(0)
         val probes = probeMasksFor(nbOld).map(_ ^ qcode)
         val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
         merged.where(col("code").isin(probes: _*))
