@@ -204,7 +204,7 @@ object VectorQueries {
     * pruning; the stored norm means cosine scoring costs one dot per
     * pair, not three). */
   private val codedCache = new graft.util.SessionCache[DataFrame]
-  private def codedVectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def codedVectors(s: SparkSession, dir: String): DataFrame =
     // cached per (session, dir): this IS the stored index table — e02/e03/
     // e05/d12 all read it, as a production deployment reads the
     // materialized code table rather than re-quantizing the corpus.

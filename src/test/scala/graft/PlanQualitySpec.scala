@@ -166,6 +166,24 @@ class PlanQualitySpec extends SparkSpec {
         s"probed=${filesRead(probed)} full=${idx.inputFiles.length}")
     }
 
+    it("coded-vector checkpoint loaded from the stored index keeps a sane partition count") {
+      // The sf10-only defect this pins: the stored index spans 2^nbits
+      // code DIRECTORIES, the scan gives ~one partition per small file,
+      // and localCheckpoint FREEZES that layout — without the coalesce,
+      // every downstream stage of every full-scan consumer (Lloyd, d12)
+      // pays thousands of near-empty tasks per action (measured at sf10:
+      // e05 steady ~6× slower than recomputing). A fresh session forces
+      // the load path (its codedCache entry is empty while the artifact
+      // from the e09 gate above is live).
+      graft.queries.VectorQueries.partitionedIndex(spark, sfDir) // ensure stored
+      val s2 = spark.newSession()
+      val coded = graft.queries.VectorQueries.codedVectors(s2, sfDir)
+      val parts = coded.rdd.getNumPartitions
+      assert(parts <= s2.sparkContext.defaultParallelism,
+        s"checkpointed coded table froze $parts partitions (files of the " +
+          s"partitioned artifact?) — expected <= ${s2.sparkContext.defaultParallelism}")
+    }
+
     // AQE wraps the tree in AdaptiveSparkPlanExec / QueryStageExec —
     // unwrap to reach the executed file scans and their numFiles metrics
     def executedScans(df: org.apache.spark.sql.DataFrame)
