@@ -221,6 +221,16 @@ object PipelineQueries {
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }),
 
+    Q("s15_stream_dedup_probe",
+      // the stored dedup index SERVING a stream (vs s08-s14, which
+      // maintain indexes FROM streams): arriving delta docs band their
+      // signatures statelessly and stream-static join the stored capped
+      // corpus member table, emitting (batch_id, corpus_id, band)
+      // candidate hits at ingest time — d27's candidate stage as an
+      // online probe. Oracle recomputes both sides from raw text.
+      (s, dir) => StreamAgg.dedupProbeStream(s, dir),
+      Some(TextQueries.streamProbeOracleSql)),
+
     Q("s13_stream_norms_index",
       // the d35 norms table maintained incrementally: per-document length
       // rows from a stateless expression over a streaming documents

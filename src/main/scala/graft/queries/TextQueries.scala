@@ -235,6 +235,36 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  /** s15's stream-probe seam: the banding select over arriving documents
+    * — shingle → MinHash → band keys is row-local (the same stateless
+    * plan [[streamSignatures]] proves for s08, extended one select
+    * further), so it runs unchanged under Structured Streaming. */
+  private[graft] def streamBands(source: DataFrame): DataFrame =
+    bandsFromSig(signatures(source))
+
+  /** s15's static join side: the stored capped corpus member table
+    * (d27's LSH index artifact — (corpus_id, band, bkey) rows). */
+  private[graft] def corpusMemberTable(s: SparkSession, dir: String): DataFrame =
+    corpusIndex(s, dir)._2
+
+  /** s15's oracle: the delta batch's band keys joined to the capped
+    * corpus member table — d27's candidate-generation stage observed
+    * per band (one row per (batch doc, corpus rep, band) bucket hit;
+    * unique by construction, so the append-mode stream replay needs no
+    * dedup state). */
+  private[graft] def streamProbeOracleSql: String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+       |batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+       |creps AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |          FROM corpus) WHERE rn = 1),
+       |cbands AS (${bandsSql("SELECT * FROM creps")}),
+       |ok AS (SELECT band, bkey FROM cbands GROUP BY 1, 2 HAVING count(*) <= $BucketCap),
+       |member AS (SELECT b.doc_id AS corpus_id, b.band, b.bkey FROM cbands b JOIN ok USING (band, bkey)),
+       |bbands AS (${bandsSql("SELECT * FROM batch")})
+       |SELECT bb.doc_id AS batch_id, m.corpus_id, bb.band
+       |FROM bbands bb JOIN member m USING (band, bkey)
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** Session-start warm hook (resolve-only — see [[graft.services.Warm]]):
     * thunks pulling each text-side stored family that ALREADY EXISTS into
     * this session's caches (pointer read + parquet open, batched in

@@ -234,6 +234,29 @@ object StreamAgg {
     replayToMemory(spark, sketch, "stream_jl_", "append")(_.orderBy("vec_id"))
   }
 
+  /** The stored dedup index serving a STREAM PROBE (s15): d27's
+    * candidate-generation stage moved to ingest time. Arriving delta
+    * documents (doc_id ≡ 0 mod 10, the same "today's crawl" split d27
+    * prices) band their MinHash signatures row-locally — zero state —
+    * and stream-static inner-join the STORED capped corpus member table
+    * ([[graft.queries.TextQueries.corpusMemberTable]], d27's LSH index
+    * artifact), emitting (batch_id, corpus_id, band) bucket hits as they
+    * arrive. At 100 TB the static side is the narrow stored index (the
+    * corpus text never participates), the join is stateless (static side
+    * re-resolved per micro-batch, broadcast-eligible per bucket), and
+    * downstream verification consumes the candidate stream exactly as
+    * d27's batch tail does. Completes the lifecycle picture: indexes are
+    * MAINTAINED by streams (s08/s11-s14) and now also SERVE streams. */
+  def dedupProbeStream(spark: SparkSession, dir: String): DataFrame = {
+    val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
+    val delta = docsStream.where(pmod(col("doc_id"), lit(10)) === 0)
+    val hits = graft.queries.TextQueries.streamBands(delta)
+      .join(graft.queries.TextQueries.corpusMemberTable(spark, dir), Seq("band", "bkey"))
+      .select(col("doc_id").as("batch_id"), col("corpus_id"), col("band"))
+    replayToMemory(spark, hits, "stream_probe_", "append")(
+      _.orderBy("batch_id", "corpus_id", "band"))
+  }
+
   def normsIndexStream(spark: SparkSession, dir: String): DataFrame = {
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
     val norms = docsStream
