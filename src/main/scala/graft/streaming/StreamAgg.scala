@@ -241,12 +241,18 @@ object StreamAgg {
     * and stream-static inner-join the STORED capped corpus member table
     * ([[graft.queries.TextQueries.corpusMemberTable]], d27's LSH index
     * artifact), emitting (batch_id, corpus_id, band) bucket hits as they
-    * arrive. At 100 TB the static side is the narrow stored index (the
-    * corpus text never participates), the join is stateless (static side
-    * re-resolved per micro-batch, broadcast-eligible per bucket), and
-    * downstream verification consumes the candidate stream exactly as
-    * d27's batch tail does. Completes the lifecycle picture: indexes are
-    * MAINTAINED by streams (s08/s11-s14) and now also SERVE streams. */
+    * arrive. 100 TB cost shape, stated honestly: a stream-static join
+    * re-plans the STATIC side every trigger, so each micro-batch pays
+    * one scan of the narrow stored index (B band rows × corpus reps —
+    * the corpus TEXT never participates) hash-joined against the small
+    * delta; that is the same per-probe cost shape as d27's batch
+    * candidate stage, amortized by the trigger interval (hourly/daily
+    * crawl increments, not per-event). A deployment needing per-event
+    * latency replicates the member table into a keyed store and keeps
+    * this job as the batch-interval tier. Downstream verification
+    * consumes the candidate stream exactly as d27's batch tail does.
+    * Completes the lifecycle picture: indexes are MAINTAINED by streams
+    * (s08/s11-s14) and now also SERVE streams. */
   def dedupProbeStream(spark: SparkSession, dir: String): DataFrame = {
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
     val delta = docsStream.where(pmod(col("doc_id"), lit(10)) === 0)
