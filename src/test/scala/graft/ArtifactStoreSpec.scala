@@ -44,6 +44,34 @@ class ArtifactStoreSpec extends SparkSpec {
       }
     }
 
+    it("isLive/anyPointer: pure probes — never build, agree with the resolve states") {
+      withScratchDir("graft_as_live") { root =>
+        val s = session(root)
+        // cold root: both probes false, nothing created
+        assert(!ArtifactStore.isLive(s, RootKey, "probe_x_00ff"))
+        assert(!ArtifactStore.anyPointer(s, RootKey, "probe_x_*"))
+        assert(!new java.io.File(root, "probe_x_00ff.ptr").exists())
+        // built artifact: both true (exact name and the derived-component
+        // glob the warm hooks use)
+        ArtifactStore.getOrBuild(s, RootKey, "probe_x_00ff")(writeRange(s, 5))
+        assert(ArtifactStore.isLive(s, RootKey, "probe_x_00ff"))
+        assert(ArtifactStore.anyPointer(s, RootKey, "probe_x_*"))
+        assert(!ArtifactStore.anyPointer(s, RootKey, "probe_y_*"))
+        // torn pointer: anyPointer (presence-only) still true, isLive
+        // (validating) false — exactly the warm-hook division of labor
+        val ptr = new java.io.File(root, "probe_x_00ff.ptr")
+        val name = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+        java.nio.file.Files.write(ptr.toPath, name.getBytes("UTF-8")) // no newline
+        assert(ArtifactStore.anyPointer(s, RootKey, "probe_x_*"))
+        assert(!ArtifactStore.isLive(s, RootKey, "probe_x_00ff"))
+        // pointee missing its _SUCCESS marker: isLive false
+        java.nio.file.Files.write(ptr.toPath, (name + "\n").getBytes("UTF-8"))
+        assert(ArtifactStore.isLive(s, RootKey, "probe_x_00ff"))
+        assert(new java.io.File(new java.io.File(root, name), "_SUCCESS").delete())
+        assert(!ArtifactStore.isLive(s, RootKey, "probe_x_00ff"))
+      }
+    }
+
     it("a torn pointer (no newline terminator) reads as absent and self-heals") {
       withScratchDir("graft_as_torn") { root =>
         val s = session(root)
