@@ -24,10 +24,33 @@ object Multimodal {
   /** Extracted features for one binary payload. */
   final case class BinaryFeatures(doc_id: Long, byte_len: Long, first_byte: Long, content_md5: String)
 
-  /** Stand-in for a real image/audio decoder. A production build would
-    * initialize the codec once per partition and emit real features
-    * (dimensions, duration, frame samples). Deterministic by design. */
-  object FakeCodec {
+  /** THE CODEC SEAM: everything a decoder needs to provide to run inside
+    * the per-partition decode stage. A deployment with real image/audio
+    * libraries implements this trait (initializing its native decoder in
+    * [[open]], once per partition/task — NOT per row) and passes it to
+    * [[extractFeatures]]; nothing else in the pipeline changes. The
+    * contract the spec pins (MultimodalSeamSpec):
+    *   - instances are Serializable (they ship inside task closures);
+    *   - [[open]] is called once per partition before any [[features]]
+    *     call and returns the per-partition decode function;
+    *   - [[features]] is total over arbitrary bytes (a corrupt payload
+    *     yields a row describing it, never a task failure — at 100 TB a
+    *     single bad blob must not kill a stage);
+    *   - output is deterministic for identical bytes (rebuilds and
+    *     speculative task retries must agree). */
+  trait Codec extends Serializable {
+    /** Per-partition initialization hook; the returned function is the
+      * actual decoder. The default wires [[features]] straight through —
+      * a real codec overrides this to allocate its native context once. */
+    def open(): (Long, Array[Byte]) => BinaryFeatures = features
+    def features(id: Long, bytes: Array[Byte]): BinaryFeatures
+  }
+
+  /** Stand-in for a real image/audio decoder — the codec LIBRARIES are
+    * not in this container, so this emits deterministic byte-level
+    * features through the same seam a real decoder would. A production
+    * build swaps it via [[extractFeatures]]'s codec parameter. */
+  object FakeCodec extends Codec {
     def features(id: Long, bytes: Array[Byte]): BinaryFeatures = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(bytes).map(b => f"$b%02x").mkString
@@ -35,15 +58,16 @@ object Multimodal {
     }
   }
 
-  /** Binary feature extraction over (id, blob) rows: one codec per
+  /** Binary feature extraction over (id, blob) rows: one codec open per
     * partition, one output row per payload. */
-  def extractFeatures(spark: SparkSession, withBlob: DataFrame): DataFrame = {
+  def extractFeatures(spark: SparkSession, withBlob: DataFrame,
+                      codec: Codec = FakeCodec): DataFrame = {
     import spark.implicits._
     withBlob.select(col("doc_id").cast("long"), col("blob").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec init would go here
-        rows.map { case (id, bytes) => FakeCodec.features(id, bytes) }
+        val decode = codec.open() // per-partition codec init
+        rows.map { case (id, bytes) => decode(id, bytes) }
       }
       .toDF()
   }

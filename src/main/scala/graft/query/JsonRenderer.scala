@@ -25,10 +25,6 @@ import org.json4s._
  */
 object JsonRenderer {
 
-  /** A traversal result as a JSON array, one object per row. */
-  def renderRows(df: DataFrame, renderer: Row => JValue): JValue =
-    JArray(df.collect().iterator.map(renderer).toList)
-
   /** A traversal result as a JSON array, bounded: rows stream to the
     * driver one partition at a time (`toLocalIterator`, never a full
     * `collect`) and rendering FAILS once `cap` rows have been drawn —
@@ -36,7 +32,10 @@ object JsonRenderer {
     * misuse (the reference defaults list outputs to the streamed source,
     * reference QueryExecutor.scala:39-45; the in-memory golden-JSON shape
     * is for pages and aggregates). No silent truncation: a capped result
-    * rendered as-if-complete would be a wrong answer. */
+    * rendered as-if-complete would be a wrong answer. A list genuinely
+    * larger than any sane cap belongs on the streamed delivery path —
+    * [[graft.query.QueryExecutor]]'s `executeStream` — not in one JSON
+    * payload. */
   def renderRowsBounded(df: DataFrame, renderer: Row => JValue, cap: Long): JValue = {
     import scala.jdk.CollectionConverters._
     val it = df.limit(math.addExact(cap, 1L).toInt).toLocalIterator().asScala
