@@ -173,7 +173,7 @@ object Bench {
         graft.queries.TextQueries.releaseCaches(spark)
         graft.queries.SearchQueries.releaseCaches(spark)
       }
-      if (f == "e") graft.queries.VectorQueries.releaseCaches(spark)
+      if (f == "e") graft.sources.AnnIndex.releaseCaches(spark)
       if (f.nonEmpty) System.gc()
     }
     var fam = ""

@@ -210,12 +210,12 @@ object PipelineQueries {
       // the stored-artifact shape, and the flatten is a free projection.
       (s, dir) => {
         import org.apache.spark.sql.functions.col
-        val jlDim = graft.queries.VectorQueries.jlDim
+        val jlDim = graft.sources.AnnIndex.jlDim
         StreamAgg.jlSketchStream(s, dir).select(
           col("vec_id") +: (0 until jlDim).map(j => col("pvec")(j).as(f"c$j%02d")): _*)
       },
       Some {
-        import graft.queries.VectorQueries.{jlCoordSql, jlDim}
+        import graft.sources.AnnIndex.{jlCoordSql, jlDim}
         s"""SELECT vec_id,
            |  ${(0 until jlDim).map(j => f"${jlCoordSql(j)} AS c$j%02d").mkString(",\n   ")}
            |FROM embeddings ORDER BY vec_id""".stripMargin

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.TestData
 import CoreQueries.Q
 
 /**
@@ -17,94 +16,50 @@ import CoreQueries.Q
  * ANN design: a data-derived coarse quantizer — sign random projection
  * (SRP-LSH) over corpus-sized md5-derived integer hyperplanes (bit count
  * auto-derived from the corpus and stored as index metadata, see
- * [[VectorQueries.deriveNBits]]) — assigns every vector a bucket code; signs are computed with exact
- * decimal accumulation so bucket assignment is deterministic across
- * engines and partitionings. The code table is materialized (the stored
- * IVF index of a production deployment, where it is also the partition
- * key). Queries multi-probe all buckets within Hamming distance
- * [[VectorQueries.ProbeRadius]] and rescore candidates exactly. The k-NN
- * JOIN explodes each query into its probe codes and equi-joins on the
- * code — one broadcast/shuffle join on a short key, not an O(N×Q) cross
- * join.
+ * [[graft.sources.AnnIndex.deriveNBits]]) — assigns every vector a bucket
+ * code; signs are computed with exact decimal accumulation so bucket
+ * assignment is deterministic across engines and partitionings. The code
+ * table is materialized (the stored IVF index of a production deployment,
+ * where it is also the partition key). Queries multi-probe all buckets
+ * within Hamming distance [[VectorQueries.ProbeRadius]] and rescore
+ * candidates exactly. The k-NN JOIN explodes each query into its probe
+ * codes and equi-joins on the code — one broadcast/shuffle join on a
+ * short key, not an O(N×Q) cross join.
+ *
+ * QUERY-VECTOR SOURCING CONTRACT: every single-query probe fetches its
+ * query vector from the COMPACT source table with a pushed-down vec_id
+ * filter, and quantizes it client-side ([[graft.sources.AnnIndex
+ * .codeVectors]] over that one row) — never by filtering a stored
+ * code-partitioned index by vec_id, which at production layout opens
+ * every code directory to find one row (measured at sf10: the unpruned
+ * lookup alone held the e13 probe at ~15 s). A production client holds
+ * its own vector; the pushdown scan is the test-harness stand-in.
+ *
+ * Index/quantizer LIFECYCLE (training, stored artifacts, warm hooks)
+ * lives in [[graft.sources.AnnIndex]]; this object holds the probe plans
+ * and their DuckDB oracles, which recompute everything from raw
+ * embeddings — index reads and fresh computation are bit-identical, so
+ * the oracles gate the whole lifecycle.
  *
  * Parameter note: nbits/ProbeRadius trade recall for scan fraction; nbits
- * sizes itself from the corpus. The synthetic testdata embeddings are near-random unit
- * vectors (top-5 neighbor cosine ≈ 0.37, no cluster structure), the
- * hardest possible geometry; 6 bits/radius 2 measures recall@5 ≈ 0.5 at a
- * 35 % scan fraction there. Real embedding corpora with tight neighbor
- * cosines (≥ 0.9) support more bits and a smaller probe radius, i.e. far
- * smaller scan fractions at high recall.
+ * sizes itself from the corpus. The synthetic testdata embeddings are
+ * near-random unit vectors (top-5 neighbor cosine ≈ 0.37, no cluster
+ * structure), the hardest possible geometry; 6 bits/radius 2 measures
+ * recall@5 ≈ 0.5 at a 35 % scan fraction there. Real embedding corpora
+ * with tight neighbor cosines (≥ 0.9) support more bits and a smaller
+ * probe radius, i.e. far smaller scan fractions at high recall.
  */
 object VectorQueries {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    TestData.graph(s, dir).V("embeddings").df
+  // quantizer definitions + stored-index lifecycle (split out in r12;
+  // private[graft] members, so the wildcard exposes them here only)
+  import graft.sources.AnnIndex._
 
-  // -------------------------------------------------- SRP coarse quantizer
-  private val Dim = 64
-  /** Hyperplane count — THE corpus-scale knob (buckets = 2^nbits, expected
-    * occupancy = N/2^nbits) — is now DERIVED FROM THE CORPUS at index-build
-    * time instead of being a deployment setting: the smallest b in
-    * [NBitsFloor, NBitsMax] with N ≤ TargetOccupancy·2^b (pure integer
-    * comparison, so the Spark side and the DuckDB oracle — which derives
-    * the same b from count(*) in SQL — agree bit-exactly, no float-log2
-    * boundary). The derived value is STORED as a digest-keyed artifact
-    * next to the ANN index ([[nbitsOf]]), so probes read the stored
-    * quantizer setting rather than re-deriving — the quantizer is index
-    * metadata, exactly like the partition layout it determines.
-    * GRAFT_SRP_NBITS remains as an explicit override for A/B runs (it
-    * bypasses the store and keys the stored index by its value).
-    * TargetOccupancy=64 keeps expected occupancy ~30× under VecBucketCap,
-    * so d12 runs full (uncapped) verification by default at every shipped
-    * scale. Worked examples from the ACTUAL embeddings counts per SF
-    * (these match SkewStressSpec's pins): sf0.01 → 500 vectors → 6 bits
-    * (the floor, ~8/bucket), sf0.1 → 2 000 → 6 (~31), sf1 → 20 000 → 9
-    * (~39), sf10 → 200 000 → 12 (~49), sf100 → 2 000 000 → 15 (~61,
-    * ~32× under the 2000 cap; NBitsMax=16 first binds past 4.2 M). */
-  private val NBitsFloor = 6
-  private val NBitsMax = 16
-  private val TargetOccupancy = 64L
-  private val envNBits: Option[Int] = sys.env.get("GRAFT_SRP_NBITS").map(_.toInt)
-  envNBits.foreach(n => require(n >= 1 && n <= NBitsMax,
-    s"GRAFT_SRP_NBITS must be in [1, $NBitsMax] (planes and the oracle's full-width code stop there)"))
-
-  /** Smallest bit count keeping expected occupancy ≤ TargetOccupancy —
-    * integer-exact, identical to the oracle's SQL derivation. */
-  private[graft] def deriveNBits(n: Long): Int =
-    (NBitsFloor to NBitsMax).find(b => n <= (TargetOccupancy << b)).getOrElse(NBitsMax)
-
-  /** The stored quantizer setting: resolve-or-build a 1-row parquet
-    * artifact (nbits, corpus_n) keyed by the embeddings source digest,
-    * through the same versioned-dir + atomic-pointer protocol as the ANN
-    * index itself. First build pays one metadata-only parquet count; every
-    * later session — probes included — reads the stored setting, so index
-    * and probe can never disagree (a regenerated corpus changes the
-    * digest, invalidating setting AND index together). */
-  private val nbitsCache = new graft.util.SessionCache[Int]
-  private def nbitsOf(s: SparkSession, dir: String): Int = envNBits.getOrElse(
-    nbitsCache.getOrElseUpdate(s, dir) {
-      import org.apache.hadoop.fs.Path
-      val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "embeddings.parquet"), "srpmeta")
-      val meta = graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.ann.indexDir", s"graft_srp_meta_$digest") { path =>
-        import s.implicits._
-        val n = emb(s, dir).count()
-        Seq((deriveNBits(n), n, NBitsMax, TargetOccupancy))
-          .toDF("nbits", "corpus_n", "nbits_max", "target_occupancy")
-          .coalesce(1).write.mode("overwrite").parquet(path)
-      }
-      meta.head().getAs[Int]("nbits")
-    })
   private val ProbeRadius = 2
-  /** IVF quantizer (e05): centroid count and probed buckets per query. */
-  private val KCent = 8
+  /** IVF probe width: buckets probed per query (KCent lives with the
+    * training machinery in AnnIndex). */
   private val NProbe = 2
-  /** PQ quantizer (e08): M subspaces of SubDim dims, KSub codebook
-    * entries per subspace, ReRank approx candidates exact-rescored. */
-  private val MSub = 4
-  private val SubDim = Dim / MSub
-  private val KSub = 16
+  /** Approximate-first-pass candidates exact-rescored (e08/e11/e12). */
   private val ReRank = 10
   /** Hot-bucket cap for the d12 self-join (mirrors TextQueries.BucketCap):
     * an SRP bucket larger than this is skipped entirely, so a skewed or
@@ -122,133 +77,16 @@ object VectorQueries {
   private def probeMasksFor(nbits: Int): Seq[Long] =
     (0L until (1L << nbits)).filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
 
-  private def mdLong(seed: String): Long = graft.functions.MinHashDefaults.mdLong(seed)
-  /** Integer hyperplane components in [-8, 8], md5-derived so the plan and
-    * the DuckDB oracle embed the same literals. Defined out to NBitsMax;
-    * a corpus' code uses the first `nbits` of them, so a code at b bits is
-    * exactly the NBitsMax-bit code masked to its low b bits — the identity
-    * the oracle SQL uses. */
-  private val planes: IndexedSeq[IndexedSeq[Long]] =
-    (0 until NBitsMax).map(j => (0 until Dim).map(i => mdLong(s"graft:srp:$j:$i") % 17 - 8))
+  /** The client side of the sourcing contract: the query vector as a
+    * 1-row pushdown off the compact source. */
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).where(col("vec_id") === 0).select(col("embedding").as("qvec"))
 
-  /** e12's JL sketch width and its ±1 sign matrix (Achlioptas-style
-    * database-friendly projection), md5-derived so the Spark plan and the
-    * DuckDB oracle embed identical literals. Declared above the eager
-    * `all` registry (object-init order). */
-  private final val JlDim = 16
-  private val jlSigns: IndexedSeq[IndexedSeq[Int]] =
-    (0 until JlDim).map(j =>
-      (0 until Dim).map(i => if ((mdLong(s"graft:jl:$j:$i") & 1L) == 0L) 1 else -1))
-
-  /** e12's STORED JL sketch table (vec_id, pvec: array<float>[JlDim]) —
-    * the representation a deployment persists beside the corpus (4× less
-    * scan than the 64-dim vectors). Built ONCE per corpus digest through
-    * the shared artifact protocol (same economics as the IVF index: the
-    * 16-dots-per-row projection is index-build cost, not query cost — an
-    * sf10 probe of the inline form ranked SLOWER than brute force, which
-    * is exactly the measurement that forced the artifact). Each
-    * coordinate is a decimal-exact ±sum of float elements cast float32
-    * (IEEE round-to-nearest, identical in both engines), so the stored
-    * sketch is bit-stable across partitionings and rebuilds. */
-  private val jlCache = new graft.util.SessionCache[DataFrame]
-  private[graft] def jlSketch(s: SparkSession, dir: String): DataFrame =
-    jlCache.getOrElseUpdate(s, dir) {
-      import org.apache.hadoop.fs.Path
-      val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "embeddings.parquet"), "jlsketch")
-      graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.ann.indexDir", s"graft_jl_$digest") { path =>
-        jlProjection(emb(s, dir)).write.mode("overwrite").parquet(path)
-      }
-    }
-
-  /** The per-row (vec_id, pvec) projection [[jlSketch]] stores — factored
-    * so the streaming maintenance path (s14) runs the IDENTICAL
-    * expression over arriving vectors; stateless, like every other index
-    * stream (the projection depends only on the row). */
-  private[graft] def jlProjection(df: DataFrame): DataFrame =
-    df.select(col("vec_id"),
-      array((0 until JlDim).map(j =>
-        dotNativeC(col("embedding"),
-          array(jlSigns(j).map(v => lit(v.toFloat)): _*))): _*)
-        .cast("array<float>").as("pvec"))
-
-  /** e12's oracle SQL for one sketch coordinate — shared with s14's
-    * oracle so batch query, stored artifact, and stream maintenance all
-    * pin the same arithmetic. */
-  private[graft] def jlCoordSql(j: Int): String =
-    s"""CAST(CAST(list_sum(list_transform(list_zip(embedding, [${jlSigns(j).mkString(",")}]),
-       |    z -> CAST(CAST(z[1] AS DOUBLE) * z[2] AS DECIMAL(38,12)))) AS DOUBLE) AS REAL)""".stripMargin
-
-  private[graft] final def jlDim: Int = JlDim
-
-  /** Spark: sign bit j of dot(embedding, plane_j) via the native decimal
-    * dot (hyperplane components are small integers, exact as floats, so
-    * the per-element double products — and therefore the decimal sum and
-    * the sign — are bit-identical to the interpreted zip_with/aggregate
-    * form the DuckDB oracle uses, at compiled-loop speed). */
-  private def planeLit(j: Int): org.apache.spark.sql.Column =
-    array(planes(j).map(v => lit(v.toFloat)): _*)
-  private def codeCol(nbits: Int): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.GraftBridge
-    (0 until nbits).map { j =>
-      val dot = GraftBridge.column(graft.functions.DecimalDotProduct(
-        GraftBridge.expression(col("embedding")), GraftBridge.expression(planeLit(j))))
-      when(dot > 0d, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
-  /** The stored "index": every vector with its SRP bucket code and L2
-    * norm, materialized once (a production table keeps this precomputed
-    * and partitioned/bucketed BY the code, so a probe is partition
-    * pruning; the stored norm means cosine scoring costs one dot per
-    * pair, not three). */
-  private val codedCache = new graft.util.SessionCache[DataFrame]
-  private[graft] def codedVectors(s: SparkSession, dir: String): DataFrame =
-    // cached per (session, dir): this IS the stored index table — e02/e03/
-    // e05/d12 all read it, as a production deployment reads the
-    // materialized code table rather than re-quantizing the corpus.
-    // When the stored partitioned index (e09's artifact — the SAME rows,
-    // written partitionBy(code)) is already live, LOAD it instead of
-    // re-coding: a fresh session then pays one stored-index read, not a
-    // corpus re-quantization (r10's e06 probe paid ~3.5 s of exactly
-    // that on rep 1; the Warm hook runs this load in the session-start
-    // batch so no query absorbs it at all). Loaded INTO a checkpoint,
-    // not served as the partitioned reader: the consumers here (Lloyd
-    // iterations, the d12 self-join) are full-scan-iterative, and
-    // re-opening a 2^nbits-directory layout per iteration is small-file
-    // death at sf10+ (measured: e06 steady 2.9 s vs 1.3 s). Probe-style
-    // pruned access keeps using [[partitionedIndex]] directly. The
-    // partition column round-trips as a directory key (inferred int) —
-    // restore the canonical column order and long type.
-    codedCache.getOrElseUpdate(s, dir) {
-      import org.apache.hadoop.fs.Path
-      val nb = nbitsOf(s, dir)
-      val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
-      if (graft.sources.ArtifactStore.isLive(
-            s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest"))
-        // COALESCE before checkpointing: the stored layout is one small
-        // file per code directory (2^nbits of them — 4096 at sf10), and
-        // localCheckpoint freezes the scan's partitioning, so without
-        // this every downstream stage pays thousands of near-empty
-        // tasks per action (measured at sf10: e05 steady 18 s vs 1.6 s
-        // recomputed; with the coalesce the load path wins again)
-        partitionedIndex(s, dir).select(
-            col("vec_id"), col("embedding"),
-            col("code").cast("long").as("code"), col("norm"))
-          .coalesce(s.sparkContext.defaultParallelism)
-          .localCheckpoint()
-      else codeVectors(emb(s, dir), nb).localCheckpoint()
-    }
-
-  /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
-    * the same select [[codedVectors]] materializes; seam for the skew
-    * stress spec. */
-  private[graft] def codeVectors(embDf: DataFrame, nbits: Int = NBitsFloor): DataFrame =
-    embDf.select(
-      col("vec_id"), col("embedding"), codeCol(nbits).as("code"),
-      sqrt(dotNative("embedding", "embedding")).as("norm"))
+  /** The client's own SRP quantization of its query vector (one tiny
+    * pushdown scan + the coding expression — never an index lookup). */
+  private def queryCode(s: SparkSession, dir: String, nbits: Int): Long =
+    codeVectors(emb(s, dir).where(col("vec_id") === 0), nbits)
+      .select(col("code")).head().getLong(0)
 
   /** The d12 plan from a coded-vector table (shared by the oracle query
     * and the skew stress spec). Hot-bucket cap: a bucket outside
@@ -278,7 +116,7 @@ object VectorQueries {
   }
 
   /** DuckDB: same quantizer. The oracle derives the SAME nbits from
-    * count(*) with the SAME integer comparison as [[deriveNBits]] (no
+    * count(*) with the SAME integer comparison as deriveNBits (no
     * float log2 on either side), builds the full NBitsMax-bit code, and
     * masks it to the low nbits — bit-identical to the Spark side's
     * nbits-plane sum for any corpus size, so the gate holds at every
@@ -306,54 +144,17 @@ object VectorQueries {
     s"""CAST(list_sum(list_transform(list_zip($x, $y),
        |  z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)""".stripMargin
 
-  /** Native decimal-exact dot (same result as the declarative pattern,
-    * one compiled pass — Spark higher-order lambdas are interpreted). */
-  private def dotNative(x: String, y: String): org.apache.spark.sql.Column =
-    dotNativeC(col(x), col(y))
-
-  /** [[dotNative]] over arbitrary Column expressions (sub-vector slices). */
-  private def dotNativeC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.GraftBridge
-    GraftBridge.column(graft.functions.DecimalDotProduct(
-      GraftBridge.expression(x), GraftBridge.expression(y)))
-  }
-
   private val dotSql =
     """CAST(list_sum(list_transform(list_zip(a.embedding, q.qvec),
       |  x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)""".stripMargin
 
-  // ------------------------------------------ shared IVF machinery (e05/e06)
-  // ONE definition each of the seed-centroid sample, the nearest-centroid
-  // assignment, and the probe+rescore tail, in BOTH engines — a change to
-  // the tie-break, the probe count, or the assignment shape lands in every
-  // variant at once instead of silently breaking cross-engine bit-parity
-  // in one of four hand-copied blocks.
-
-  /** Deterministic hash-sample seed centroids: the `k` vectors with the
-    * smallest md5(vec_id). */
-  private def seedCentroids(coded: DataFrame, k: Int = KCent): DataFrame =
-    coded.orderBy(expr("md5(cast(vec_id AS STRING))"), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
-
-  /** Nearest-centroid assignment: map-side cosine scores against the
-    * broadcast centroid table, argmax over NARROW (vec_id, cid, cos) rows
-    * — shuffling K copies of the full embedding would be a K× data blowup
-    * at scale; embeddings are re-fetched by id only where needed. */
-  private def assignToCentroids(coded: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
-    coded.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dotNative("embedding", "cvec") / col("cnorm")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-  }
-
-  /** Query side: probe the NProbe nearest centroid buckets of vec 0 and
-    * exact-rescore only inside them (bucket pruning on the stored index). */
-  private def probeAndRescore(coded: DataFrame, cents: DataFrame, assign: DataFrame): DataFrame = {
-    val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+  // ------------------------------------------ shared IVF probe (e05/e06)
+  /** Query side: probe the NProbe nearest centroid buckets of the query
+    * vector (sourced per the client contract) and exact-rescore only
+    * inside them (bucket pruning on the stored index). */
+  private def probeAndRescore(s: SparkSession, dir: String,
+      coded: DataFrame, cents: DataFrame, assign: DataFrame): DataFrame = {
+    val q = queryVec(s, dir)
     // top-NProbe via orderBy+limit (TakeOrderedAndProject), not a global
     // row_number window: same deterministic result over the K-row
     // centroid table, but no WindowExec single-partition move — the
@@ -373,100 +174,8 @@ object VectorQueries {
       .limit(5)
   }
 
-  /** The stored index in its PRODUCTION layout: the coded vectors
-    * written once as a parquet table PARTITIONED BY the bucket code, so a
-    * probe is directory-level partition pruning — the scan never opens a
-    * non-probed bucket's files (asserted in PlanQualitySpec). Written to
-    * a scratch dir keyed by a strong digest of the data dir, once per
-    * (session, dir); a 100 TB deployment keeps exactly this table (plus
-    * the norm column) as its ANN index. */
-  private val idxCache = new graft.util.SessionCache[DataFrame]
-  private[graft] def partitionedIndex(s: SparkSession, dir: String): DataFrame =
-    idxCache.getOrElseUpdate(s, dir) {
-      import org.apache.hadoop.fs.Path
-      // Concurrency-safe resolve-or-build via the shared stored-artifact
-      // protocol (graft.sources.ArtifactStore: versioned dirs + atomic
-      // raw-FS pointer; stress-covered by IndexRaceSpec). The digest
-      // covers the SOURCE FILE's size+mtime, so regenerated data at the
-      // same path invalidates the index; the root is configurable
-      // (spark.graft.ann.indexDir, default local tmp) and may be HDFS or
-      // an object store.
-      val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
-      // the quantizer setting is part of the index identity: an env
-      // override must never be served a stored index built at a
-      // different width (the auto-derived value is digest-stable, so
-      // it normally never varies for one digest)
-      val nb = nbitsOf(s, dir)
-      // the nb-suffixed family name replaced the bare-digest one when the
-      // quantizer width became part of the index identity — age out
-      // artifacts stranded under the old names (digest-only: 16 hex
-      // chars where the current names carry the decimal nb first)
-      graft.sources.ArtifactStore.sweepLegacyNames(s, "spark.graft.ann.indexDir",
-        "graft_ivf_idx_[0-9a-f]{16}(\\.ptr(\\.tmp\\..*)?|_v_.*)")
-      graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest") { path =>
-        codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)
-      }
-    }
-
-  /** Session-start warm hook (resolve-only — see [[graft.services.Warm]]):
-    * thunks that pull each vector-side stored family that ALREADY EXISTS
-    * into this session's caches, so the first e-family query doesn't
-    * absorb the pointer reads, parquet opens and partition discovery
-    * serially (r10's e06 probe: 6.5 s rep 1 vs 1.15 s steady). A family
-    * whose artifact is absent is SKIPPED — warm never builds, so a cold
-    * root costs nothing here and the first real query builds exactly as
-    * before. The IVF thunk also pre-populates the coded-vector cache:
-    * with the stored index live, [[codedVectors]] is a parquet read. */
-  private[graft] def warmResolve(s: SparkSession, dir: String): Seq[(String, () => Unit)] = {
-    import org.apache.hadoop.fs.Path
-    def dg(tag: String) = graft.sources.ArtifactStore.sourceDigest(
-      s, new Path(new Path(dir), "embeddings.parquet"), tag)
-    def live(name: String) = graft.sources.ArtifactStore.isLive(
-      s, "spark.graft.ann.indexDir", name)
-    Seq(
-      "vec:srpmeta" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) { nbitsOf(s, dir); () }),
-      "vec:jl" -> (() => if (live(s"graft_jl_${dg("jlsketch")}")) { jlSketch(s, dir); () }),
-      "vec:cents1" -> (() => if (live(s"graft_cents1_${dg("cents1")}") &&
-        live(s"graft_srp_meta_${dg("srpmeta")}")) { trainedCentroids(s, dir); () }),
-      "vec:annroll" -> (() => {
-        // the exact names carry the frozen quantizer width; only pay the
-        // deriving count when SOME pointer for these digests exists
-        val (dgo, dgr) = (dg("annold"), dg("annroll"))
-        def any(g: String) = graft.sources.ArtifactStore.anyPointer(
-          s, "spark.graft.ann.indexDir", g)
-        if (any(s"graft_annold_*_$dgo") && any(s"graft_annroll_*_$dgr")) {
-          val nb = annNbOld(s, dir)
-          if (live(s"graft_annold_${nb}_$dgo") && live(s"graft_annroll_${nb}_$dgr")) {
-            annRolledIndex(s, dir, nb)
-            ()
-          }
-        }
-      }),
-      "vec:ivf" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) {
-        val nb = nbitsOf(s, dir)
-        if (live(s"graft_ivf_idx_${nb}_${dg("ivfidx")}")) {
-          partitionedIndex(s, dir)
-          codedVectors(s, dir)
-          ()
-        }
-      }))
-  }
-
-  /** Drop this session's cached coded-vector table and free its
-    * checkpoint blocks (bench inter-family release; rebuilds lazily).
-    * The partitioned-index entries are parquet-backed — dropping them
-    * frees only driver references; the on-disk index is reused via its
-    * _SUCCESS marker. */
-  def releaseCaches(s: SparkSession): Unit = {
-    codedCache.removeAll(s).foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
-    idxCache.removeAll(s)
-    jlCache.removeAll(s) // parquet-backed: drops only the driver reference
-  }
-
-  /** DuckDB mirrors of the three blocks above (CTE bodies/tails
-    * parameterized by the centroid/assignment CTE names). */
+  /** DuckDB mirrors of the IVF blocks (CTE bodies/tails parameterized by
+    * the centroid/assignment CTE names). */
   private val seedCentsSqlBody: String =
     s"""SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm FROM codes
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KCent""".stripMargin
@@ -478,103 +187,10 @@ object VectorQueries {
        |        ORDER BY ${dotSqlOf("v.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
        |    FROM codes v CROSS JOIN $cents c) t WHERE rn = 1""".stripMargin
 
-  /** One spherical-Lloyd iteration (shared by e06/e06b): assign to the
-    * given centroids, then rebuild each centroid as the per-cluster
-    * per-dimension exact-decimal component SUM (cosine assignment is
-    * invariant to positive scaling, so no division — the whole update is
-    * bit-reproducible across engines and partitionings; see e06 notes).
-    * Checkpointed: every trained centroid table has multiple consumers. */
-  private def lloydIterate(coded: DataFrame, cents: DataFrame): DataFrame =
-    centsFromSums(lloydSums(coded, cents))
-
-  /** e06's TRAINED centroids as a stored artifact — the FAISS
-    * train()-vs-add() split applied to the coarse quantizer (the same
-    * probe-driven precedent as e12's index-build-time projection and the
-    * stored SRP quantizer metadata): training is one Lloyd pass over the
-    * corpus, deterministic from the corpus digest, and production trains
-    * on a schedule, not per query. The artifact is K rows of
-    * (cid BIGINT, cvec array<float>, cnorm double) — every component an
-    * exact parquet round-trip (the sums are decimal-exact doubles cast
-    * float), so the stored table is bit-identical to a fresh iteration
-    * and the oracle (which retrains from raw embeddings every run) still
-    * hash-matches. e06b keeps training live on purpose — it IS the
-    * training-loop diagnostic. */
-  /** e13's frozen quantizer width: derived from the OLD corpus subset
-    * (doc 10-residue split), exactly what the oracle prices. One count
-    * job; callers cache per session via the artifact resolve. */
-  private def annNbOld(s: SparkSession, dir: String): Int =
-    deriveNBits(emb(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0).count())
-
-  /** e13's stored OLD-corpus coded index (see the e13 entry for the
-    * lifecycle story): coded at the frozen width, partitioned by code. */
-  private def annOldIndex(s: SparkSession, dir: String, nbOld: Int): DataFrame =
-    idxCache.getOrElseUpdate(s, s"$dir#annold") {
-      import org.apache.hadoop.fs.Path
-      val src = new Path(new Path(dir), "embeddings.parquet")
-      val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "annold")
-      graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.ann.indexDir", s"graft_annold_${nbOld}_$dg") { path =>
-        codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0), nbOld)
-          .write.mode("overwrite").partitionBy("code").parquet(path)
-      }
-    }
-
-  /** e13's ROLLED index: stored old-corpus artifact unioned with codes
-    * computed from the delta vectors only (the frozen-quantizer
-    * add()-path; delta-proportional build cost). */
-  private def annRolledIndex(s: SparkSession, dir: String, nbOld: Int): DataFrame =
-    idxCache.getOrElseUpdate(s, s"$dir#annroll") {
-      import org.apache.hadoop.fs.Path
-      val src = new Path(new Path(dir), "embeddings.parquet")
-      val dg = graft.sources.ArtifactStore.sourceDigest(s, src, "annroll")
-      graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.ann.indexDir", s"graft_annroll_${nbOld}_$dg") { path =>
-        // the artifact's partition column reads back as the narrowest
-        // inferred type — normalize to the coder's LONG before union
-        annOldIndex(s, dir, nbOld)
-          .select(col("vec_id"), col("embedding"), col("norm"),
-            col("code").cast("long").as("code"))
-          .unionByName(codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) === 0), nbOld)
-            .select("vec_id", "embedding", "norm", "code"))
-          .write.mode("overwrite").partitionBy("code").parquet(path)
-      }
-    }
-
-  private def trainedCentroids(s: SparkSession, dir: String): DataFrame =
-    idxCache.getOrElseUpdate(s, s"$dir#cents1") {
-      import org.apache.hadoop.fs.Path
-      val digest = graft.sources.ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "embeddings.parquet"), "cents1")
-      graft.sources.ArtifactStore.getOrBuild(
-        s, "spark.graft.ann.indexDir", s"graft_cents1_$digest") { path =>
-        val coded = codedVectors(s, dir)
-        lloydIterate(coded, seedCentroids(coded))
-          .coalesce(1).write.mode("overwrite").parquet(path)
-      }
-    }
-
-  /** The iteration's narrow (cid, pos, sv) component-sum table; `sv` is
-    * the exact DECIMAL(38,6) sum emitted as double (exact round-trip:
-    * ≤ 9 significant digits). */
-  private def lloydSums(coded: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val a = assignToCentroids(coded, cents)
-    coded.join(a, "vec_id")
-      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(graft.functions.DuckDecimalCast.duckDouble(
-        sum(graft.functions.DuckDecimalCast.duckDecimal6(col("v").cast("double")))).as("sv"))
-  }
-
-  private def centsFromSums(sums: DataFrame): DataFrame =
-    sums.groupBy(col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> CAST(x.sv AS FLOAT))").as("cvec"))
-      .withColumn("cnorm", sqrt(dotNative("cvec", "cvec")))
-      .localCheckpoint()
-
-  /** DuckDB mirror of [[lloydIterate]]: CTEs `aN` (assignment against
-    * `inCents`), `sumsN`, `outBase` (raw sums) and `outBase + "n"` (with
-    * norm) — the table produced for the next step is `outBase + "n"`. */
+  /** DuckDB mirror of one spherical-Lloyd iteration (AnnIndex
+    * .lloydIterate): CTEs `aN` (assignment against `inCents`), `sumsN`,
+    * `outBase` (raw sums) and `outBase + "n"` (with norm) — the table
+    * produced for the next step is `outBase + "n"`. */
   private def lloydSqlCtes(inCents: String, aName: String, sumsName: String, outBase: String): String =
     s"""$aName AS (${assignSqlBody(inCents)}),
        |$sumsName AS (
@@ -600,7 +216,7 @@ object VectorQueries {
     Q("e01_knn_bruteforce",
       (s, dir) => {
         val e = emb(s, dir)
-        val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val q = queryVec(s, dir)
         e.where(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
@@ -665,13 +281,18 @@ object VectorQueries {
 
     Q("e02_ann_srp_probe",
       // single-query ANN: multi-probe the query's SRP bucket out to
-      // Hamming distance ProbeRadius, exact rescore inside candidates only
+      // Hamming distance ProbeRadius, exact rescore inside candidates
+      // only. The query's code is the CLIENT's own quantization off the
+      // compact source (see the sourcing contract above) — identical by
+      // construction to the stored code, so the oracle (which derives it
+      // from its codes CTE) agrees.
       (s, dir) => {
         val coded = codedVectors(s, dir)
-        val q = coded.where(col("vec_id") === 0)
-          .select(col("code").as("qcode"), col("embedding").as("qvec"))
+        val qcode = queryCode(s, dir, nbitsOf(s, dir))
+        val q = queryVec(s, dir)
         coded.where(col("vec_id") =!= 0)
-          .join(broadcast(q), expr(s"bit_count(code ^ qcode) <= $ProbeRadius"))
+          .crossJoin(broadcast(q))
+          .where(expr(s"bit_count(code ^ ${qcode}L) <= $ProbeRadius"))
           .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
           .orderBy(col("score").desc, col("vec_id").asc)
           .limit(5)
@@ -690,14 +311,13 @@ object VectorQueries {
       // filter on the partition column — the scan prunes to the probed
       // bucket directories and never opens the rest (PlanQualitySpec
       // asserts the PartitionFilters). Same answer as e02 by
-      // construction; the one-row code lookup is the production client's
-      // own quantization, not a corpus pass.
+      // construction; the code lookup is the client's own quantization
+      // off the compact source, not an index scan.
       (s, dir) => {
-        val coded = codedVectors(s, dir)
         val idx = partitionedIndex(s, dir)
-        val qrow = coded.where(col("vec_id") === 0).select(col("code")).head()
-        val probes = probeMasksFor(nbitsOf(s, dir)).map(_ ^ qrow.getLong(0))
-        val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val nb = nbitsOf(s, dir)
+        val probes = probeMasksFor(nb).map(_ ^ queryCode(s, dir, nb))
+        val q = queryVec(s, dir)
         idx.where(col("code").isin(probes: _*))
           .where(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
@@ -719,12 +339,13 @@ object VectorQueries {
       // to decide when NBits/ProbeRadius need retuning. Truth is a top-5
       // over the corpus (the sampled audit pays brute force ONCE to price
       // the index); candidates come via the same probe predicate the
-      // index serves. Both sides are tiny aggregates crossed at the end —
-      // nothing but the brute-force audit scan touches the corpus.
+      // index serves, seeded by the client's own quantization. Both
+      // sides are tiny aggregates crossed at the end — nothing but the
+      // brute-force audit scan touches the corpus.
       (s, dir) => {
         val coded = codedVectors(s, dir)
-        val q = coded.where(col("vec_id") === 0)
-          .select(col("code").as("qcode"), col("embedding").as("qvec"))
+        val qcode = queryCode(s, dir, nbitsOf(s, dir))
+        val q = queryVec(s, dir)
         val truth = coded.where(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
@@ -734,7 +355,7 @@ object VectorQueries {
         // and an unshared plan would re-run the probe join (a full extra
         // index scan per audit at scale)
         val cand = coded.where(col("vec_id") =!= 0)
-          .join(broadcast(q), expr(s"bit_count(code ^ qcode) <= $ProbeRadius"))
+          .where(expr(s"bit_count(code ^ ${qcode}L) <= $ProbeRadius"))
           .select(col("vec_id"))
           .localCheckpoint()
         val hits = truth.join(cand, "vec_id")
@@ -755,7 +376,10 @@ object VectorQueries {
       // k-NN JOIN: each query explodes into its probe codes (Hamming ≤
       // ProbeRadius masks); candidates arrive via an equi-join on the code
       // (broadcast here, shuffle-on-code at scale) — never an O(N×Q) cross
-      // join. Each candidate matches exactly one probe code, so no pair dedup
+      // join. Each candidate matches exactly one probe code, so no pair
+      // dedup. The queries here ARE corpus members (a batch all-pairs-ish
+      // audit), so their codes legitimately come from the stored table —
+      // the single-client sourcing contract doesn't apply.
       (s, dir) => {
         val coded = codedVectors(s, dir)
         val probeList = probeMasksFor(nbitsOf(s, dir)).map(m => s"qcode ^ $m").mkString(", ")
@@ -810,12 +434,13 @@ object VectorQueries {
       // bucket id is the partition/bucket key of the stored index, and a
       // probe is partition pruning — the complement of e02's
       // data-independent SRP quantizer. The centroid/assignment/probe
-      // machinery is shared with e06 ([[seedCentroids]],
-      // [[assignToCentroids]], [[probeAndRescore]] and the *Sql builders).
+      // machinery is shared with e06 (AnnIndex.seedCentroids,
+      // AnnIndex.assignToCentroids, [[probeAndRescore]] and the *Sql
+      // builders).
       (s, dir) => {
         val coded = codedVectors(s, dir)
         val cents = seedCentroids(coded)
-        probeAndRescore(coded, cents, assignToCentroids(coded, cents))
+        probeAndRescore(s, dir, coded, cents, assignToCentroids(coded, cents))
       },
       Some(s"""WITH codes AS ($codesSql),
               |cents AS ($seedCentsSqlBody),
@@ -838,7 +463,7 @@ object VectorQueries {
       (s, dir) => {
         val coded = codedVectors(s, dir)
         val cents1 = trainedCentroids(s, dir) // stored: train once per corpus digest
-        probeAndRescore(coded, cents1, assignToCentroids(coded, cents1))
+        probeAndRescore(s, dir, coded, cents1, assignToCentroids(coded, cents1))
       },
       Some(s"""WITH codes AS ($codesSql),
               |cents0 AS ($seedCentsSqlBody),
@@ -857,9 +482,9 @@ object VectorQueries {
       // shortest decimal repr half-to-even; Spark quantizes the exact
       // binary value), which the float-centroid dot path hits here. Each
       // iteration is one corpus pass; the movement join is over the
-      // K×Dim-row narrow sum tables.
+      // K×Dim-row narrow sum tables. Training stays LIVE here on purpose
+      // — this IS the training-loop diagnostic.
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val coded = codedVectors(s, dir)
         // sums1 has two consumers (cents1 and the movement join);
         // centsFromSums checkpoints its own output for the 3-consumer
@@ -909,60 +534,30 @@ object VectorQueries {
     Q("e08_pq_adc_ann",
       // PRODUCT QUANTIZATION + asymmetric distance computation — the
       // compressed-index ANN family (vs e02's hashing and e05/e06's
-      // coarse partitioning): each vector is encoded as M=4 sub-space
-      // codebook ids (4 small ints instead of 64 floats — the 100 TB
-      // memory story), a query builds an M×K lookup table of exact
-      // sub-dot-products against the codebooks, every vector's
-      // APPROXIMATE dot is the sum of M table lookups (map-side over the
-      // stored code table), and only the top ReRank approximates are
-      // exact-rescored. Codebooks are deterministic per-subspace
-      // hash-samples (the e05 seeding scheme); every distance/dot is
-      // decimal-exact, so encoding, LUT, and the approx ranking are
-      // bit-reproducible across engines. Fixed-order lut0+..+lut3
-      // addition keeps the approx score IEEE-identical in both engines.
+      // coarse partitioning), now a PURE PROBE against the stored PQ
+      // artifacts (AnnIndex.pqCodebooks / AnnIndex.pqCodes — the last
+      // ANN family to get the train()/add() split): the codebooks and
+      // the M-small-int per-vector code table are built once per corpus
+      // digest; the query builds an M×KSub lookup table of exact
+      // sub-dot-products against the stored codebooks, every stored
+      // code row's APPROXIMATE dot is the sum of M broadcast-join
+      // lookups (map-side over the code table — no window, no encode,
+      // no corpus pass; pinned in PlanQualitySpec), and only the top
+      // ReRank approximates are exact-rescored via a narrow id join.
+      // Fixed-order lut0+..+lut3 addition keeps the approx score
+      // IEEE-identical in both engines; the oracle retrains + re-encodes
+      // from raw embeddings every run, so it gates the stored encode's
+      // bit-stability too.
       (s, dir) => {
-        val coded = codedVectors(s, dir)
-        // narrow (vec_id, m, subvec) rows — each sub-vector sliced ONCE
-        // (4 rows per vector), shared by codebook seeding and encoding;
-        // the per-m md5 key rides along for the seeding rank
-        val subs = coded.select(col("vec_id"),
-          explode(array((0 until MSub).map { m =>
-            struct(lit(m).as("m"),
-              expr(s"md5(concat('pq:$m:', cast(vec_id AS STRING)))").as("h"),
-              expr(s"slice(embedding, ${m * SubDim} + 1, $SubDim)").as("sv"))
-          }: _*)).as("e"))
-          .select(col("vec_id"), col("e.m").as("m"), col("e.h").as("h"), col("e.sv").as("sv"))
-        // per-subspace codebooks in ONE pass: rank by (md5, vec_id) within
-        // each subspace, keep the first KSub — identical entries and ranks
-        // to a per-m orderBy+limit, without M scans of the corpus
-        val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
-        val cb = subs
-          .withColumn("k", row_number().over(wSeed) - 1)
-          .where(col("k") < KSub)
-          .select(col("m"), col("k"), col("sv").as("cvec"))
-          .withColumn("cn2", dotNative("cvec", "cvec"))
-          .localCheckpoint() // M×KSub rows; two consumers (encode, LUT)
-        // encode: argmin_k ||x_m − c||² per (vector, subspace); ||x_m||²
-        // is constant within the argmin so −2·x·c + ||c||² suffices —
-        // narrow (vec_id, m, k) rows, codebooks broadcast
-        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("d2").asc, col("k").asc)
-        val enc = subs.join(broadcast(cb), "m")
-          .select(col("vec_id"), col("m"), col("k"),
-            (lit(-2d) * dotNativeC(col("sv"), col("cvec")) + col("cn2")).as("d2"))
-          .withColumn("rn", row_number().over(wEnc))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("m"), col("k"))
-        // the stored compressed index: one row per vector, M code columns
-        val kCols = (0 until MSub).map(m => max(when(col("m") === m, col("k"))).as(s"k$m"))
-        val wide = enc.groupBy(col("vec_id")).agg(kCols.head, kCols.tail: _*)
+        val codes = pqCodes(s, dir)
+        val cb = pqCodebooks(s, dir)
+        val q = queryVec(s, dir)
         // query-time LUT: exact sub-dots of the query against every entry
-        val q = coded.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
         val lut = cb.crossJoin(broadcast(q))
           .select(col("m"), col("k"),
             dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
           .localCheckpoint() // M×KSub rows, joined MSub times below
-        val approx = (0 until MSub).foldLeft(wide) { (df, m) =>
+        val approx = (0 until MSub).foldLeft(codes) { (df, m) =>
           df.join(broadcast(lut.where(col("m") === m).select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
         }
           .select(col("vec_id"),
@@ -970,7 +565,7 @@ object VectorQueries {
         approx.where(col("vec_id") =!= 0)
           .orderBy(col("approx").desc, col("vec_id").asc)
           .limit(ReRank)
-          .join(coded.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(emb(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
           .crossJoin(broadcast(q))
           .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
           .orderBy(col("score").desc, col("vec_id").asc)
@@ -981,22 +576,21 @@ object VectorQueries {
           s"""(SELECT $m AS m,
              |  row_number() OVER (ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
              |  list_slice(embedding, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
-             |FROM codes ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
+             |FROM embeddings ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
         }.mkString("\nUNION ALL\n")
         val lutJoins = (0 until MSub)
           .map(m => s"JOIN lut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
-        s"""WITH codes AS ($codesSql),
-           |cb0 AS ($cbSql),
+        s"""WITH cb0 AS ($cbSql),
            |cb AS (SELECT m, k, cvec, ${dotSqlOf("cvec", "cvec")} AS cn2 FROM cb0),
            |enc AS (SELECT vec_id, m, k FROM (
            |    SELECT v.vec_id, c.m, c.k,
            |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
            |        -2 * ${dotSqlOf(s"list_slice(v.embedding, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} + c.cn2 ASC,
            |        c.k) AS rn
-           |    FROM codes v CROSS JOIN cb c) t WHERE rn = 1),
+           |    FROM embeddings v CROSS JOIN cb c) t WHERE rn = 1),
            |wide AS (SELECT vec_id, ${(0 until MSub).map(m => s"max(CASE WHEN m = $m THEN k END) AS k$m").mkString(", ")}
            |  FROM enc GROUP BY vec_id),
-           |q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |lut AS (SELECT c.m, c.k,
            |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
            |  FROM cb c CROSS JOIN q),
@@ -1005,7 +599,7 @@ object VectorQueries {
            |top AS (SELECT vec_id FROM appr WHERE vec_id <> 0
            |  ORDER BY approx DESC, vec_id LIMIT $ReRank)
            |SELECT t.vec_id, ${dotSqlOf("v.embedding", "q.qvec")} AS score
-           |FROM top t JOIN codes v ON v.vec_id = t.vec_id CROSS JOIN q
+           |FROM top t JOIN embeddings v ON v.vec_id = t.vec_id CROSS JOIN q
            |ORDER BY score DESC, t.vec_id LIMIT 5""".stripMargin
       }),
 
@@ -1025,7 +619,7 @@ object VectorQueries {
       // Johnson–Lindenstrauss sketching ahead of ANN: every embedding is
       // projected onto JlDim=16 md5-derived ±1 hyperplanes (the
       // database-friendly JL transform — Achlioptas 2003) STORED as a
-      // float32 artifact table ([[jlSketch]] — the projection is
+      // float32 artifact table (AnnIndex.jlSketch — the projection is
       // index-build cost, paid once per corpus digest), candidates are
       // ranked by SKETCH-space
       // dot product, and the winners are re-ranked exactly in the
@@ -1047,8 +641,7 @@ object VectorQueries {
           .orderBy(col("pscore").desc, col("vec_id").asc)
           .limit(10)
         top.join(e, Seq("vec_id"))
-          .crossJoin(broadcast(
-            e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))))
+          .crossJoin(broadcast(queryVec(s, dir)))
           .select(col("vec_id"), col("pscore"),
             dotNative("embedding", "qvec").as("exact_score"))
           .orderBy(col("pscore").desc, col("vec_id").asc)
@@ -1090,15 +683,14 @@ object VectorQueries {
         val merged = annRolledIndex(s, dir, nbOld)
         // vec 0 lands in the DELTA (0 % 10 == 0): the probe exercises a
         // freshly rolled-in vector against old- and new-corpus members.
-        // The query's code is the CLIENT's own quantization (e09's
-        // contract) — one pushdown row off the compact source file, NOT a
-        // lookup against the rolled artifact: filtering the 2^nb-directory
-        // index by vec_id opens every code directory (measured at sf10:
-        // the unpruned lookup alone held the probe at ~15 s)
-        val qcode = codeVectors(e.where(col("vec_id") === 0), nbOld)
-          .select(col("code")).head().getLong(0)
-        val probes = probeMasksFor(nbOld).map(_ ^ qcode)
-        val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        // The query's code is the CLIENT's own quantization (the
+        // sourcing contract) — one pushdown row off the compact source
+        // file, NOT a lookup against the rolled artifact: filtering the
+        // 2^nb-directory index by vec_id opens every code directory
+        // (measured at sf10: the unpruned lookup alone held the probe
+        // at ~15 s)
+        val probes = probeMasksFor(nbOld).map(_ ^ queryCode(s, dir, nbOld))
+        val q = queryVec(s, dir)
         merged.where(col("code").isin(probes: _*))
           .where(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
@@ -1134,8 +726,8 @@ object VectorQueries {
     * keep comparison. Output: per-cluster member/removed counts.
     *
     * Scale shape: the quantizer is the shared hash-seeded centroid table
-    * ([[seedCentroids]] at [[SemK]]; a production run trains it with the
-    * e06 Lloyd iterations and sizes K with the corpus so clusters stay
+    * (AnnIndex.seedCentroids at [[SemK]]; a production run trains it with
+    * the e06 Lloyd iterations and sizes K with the corpus so clusters stay
     * bounded) — assignment is one broadcast map-side pass, the pair join
     * shuffles once on `cid`, and the d12-style [2, cap] cluster-size gate
     * plus an observed hot-cluster metric keep a degenerate quantizer from

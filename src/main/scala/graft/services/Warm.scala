@@ -35,7 +35,7 @@ object Warm {
     val hooks: Seq[(String, () => Unit)] =
       graft.queries.TextQueries.warmResolve(s, dir) ++
         graft.queries.SearchQueries.warmResolve(s, dir) ++
-        graft.queries.VectorQueries.warmResolve(s, dir)
+        graft.sources.AnnIndex.warmResolve(s, dir)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(hooks.size, 8),
       r => { val t = new Thread(r, "graft-warm"); t.setDaemon(true); t })

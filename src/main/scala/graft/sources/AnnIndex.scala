@@ -1,0 +1,551 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The ANN index lifecycle: quantizer definitions (SRP hyperplanes, IVF
+ * centroid training, PQ codebooks, the JL sketch matrix) and the STORED
+ * artifacts they produce, published through [[ArtifactStore]]'s
+ * versioned-dir + atomic-pointer protocol and digest-keyed by the source
+ * corpus (size+mtime), so regenerated data invalidates every index at
+ * once. Query/probe plans and their DuckDB oracles live in
+ * [[graft.queries.VectorQueries]]; this object owns everything a
+ * deployment would run on its INDEXING schedule rather than per query —
+ * the FAISS train()/add() split, applied file-by-file:
+ *
+ *  - `graft_srp_meta_*`  — the derived SRP quantizer width ([[nbitsOf]])
+ *  - `graft_ivf_idx_*`   — coded vectors partitioned by bucket code
+ *  - `graft_cents1_*`    — Lloyd-trained IVF centroids ([[trainedCentroids]])
+ *  - `graft_jl_*`        — the 16-dim JL sketch table ([[jlSketch]])
+ *  - `graft_annold_*` / `graft_annroll_*` — the frozen-quantizer
+ *    roll-forward pair (e13's add()-path)
+ *  - `graft_pq_cb_*` / `graft_pq_codes_*` — PQ codebooks and the wide
+ *    per-vector code table ([[pqCodebooks]]/[[pqCodes]])
+ *
+ * Every stored value is bit-stable across partitionings and engines
+ * (decimal-exact dots, integer-exact width derivation), so an artifact
+ * read is indistinguishable from a fresh computation — the oracle, which
+ * retrains from raw embeddings every run, still hash-matches.
+ */
+object AnnIndex {
+
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
+    TestData.graph(s, dir).V("embeddings").df
+
+  private[graft] val Dim = 64
+
+  // -------------------------------------------------- SRP coarse quantizer
+  /** Hyperplane count — THE corpus-scale knob (buckets = 2^nbits, expected
+    * occupancy = N/2^nbits) — is DERIVED FROM THE CORPUS at index-build
+    * time instead of being a deployment setting: the smallest b in
+    * [NBitsFloor, NBitsMax] with N ≤ TargetOccupancy·2^b (pure integer
+    * comparison, so the Spark side and the DuckDB oracle — which derives
+    * the same b from count(*) in SQL — agree bit-exactly, no float-log2
+    * boundary). The derived value is STORED as a digest-keyed artifact
+    * next to the ANN index ([[nbitsOf]]), so probes read the stored
+    * quantizer setting rather than re-deriving — the quantizer is index
+    * metadata, exactly like the partition layout it determines.
+    * GRAFT_SRP_NBITS remains as an explicit override for A/B runs (it
+    * bypasses the store and keys the stored index by its value).
+    * TargetOccupancy=64 keeps expected occupancy ~30× under the d12
+    * bucket cap, so verification runs uncapped by default at every
+    * shipped scale. Worked examples from the ACTUAL embeddings counts per
+    * SF (these match SkewStressSpec's pins): sf0.01 → 500 vectors → 6
+    * bits (the floor, ~8/bucket), sf0.1 → 2 000 → 6 (~31), sf1 →
+    * 20 000 → 9 (~39), sf10 → 200 000 → 12 (~49), sf100 → 2 000 000 → 15
+    * (~61, ~32× under the 2000 cap; NBitsMax=16 first binds past 4.2 M). */
+  private[graft] val NBitsFloor = 6
+  private[graft] val NBitsMax = 16
+  private[graft] val TargetOccupancy = 64L
+  private[graft] val envNBits: Option[Int] = sys.env.get("GRAFT_SRP_NBITS").map(_.toInt)
+  envNBits.foreach(n => require(n >= 1 && n <= NBitsMax,
+    s"GRAFT_SRP_NBITS must be in [1, $NBitsMax] (planes and the oracle's full-width code stop there)"))
+
+  /** Smallest bit count keeping expected occupancy ≤ TargetOccupancy —
+    * integer-exact, identical to the oracle's SQL derivation. */
+  private[graft] def deriveNBits(n: Long): Int =
+    (NBitsFloor to NBitsMax).find(b => n <= (TargetOccupancy << b)).getOrElse(NBitsMax)
+
+  /** The stored quantizer setting: resolve-or-build a 1-row parquet
+    * artifact (nbits, corpus_n) keyed by the embeddings source digest,
+    * through the same versioned-dir + atomic-pointer protocol as the ANN
+    * index itself. First build pays one metadata-only parquet count; every
+    * later session — probes included — reads the stored setting, so index
+    * and probe can never disagree (a regenerated corpus changes the
+    * digest, invalidating setting AND index together). */
+  private val nbitsCache = new graft.util.SessionCache[Int]
+  private[graft] def nbitsOf(s: SparkSession, dir: String): Int = envNBits.getOrElse(
+    nbitsCache.getOrElseUpdate(s, dir) {
+      import org.apache.hadoop.fs.Path
+      val digest = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "srpmeta")
+      val meta = ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_srp_meta_$digest") { path =>
+        import s.implicits._
+        val n = emb(s, dir).count()
+        Seq((deriveNBits(n), n, NBitsMax, TargetOccupancy))
+          .toDF("nbits", "corpus_n", "nbits_max", "target_occupancy")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+      meta.head().getAs[Int]("nbits")
+    })
+
+  private def mdLong(seed: String): Long = graft.functions.MinHashDefaults.mdLong(seed)
+
+  /** Integer hyperplane components in [-8, 8], md5-derived so the plan and
+    * the DuckDB oracle embed the same literals. Defined out to NBitsMax;
+    * a corpus' code uses the first `nbits` of them, so a code at b bits is
+    * exactly the NBitsMax-bit code masked to its low b bits — the identity
+    * the oracle SQL uses. */
+  private[graft] val planes: IndexedSeq[IndexedSeq[Long]] =
+    (0 until NBitsMax).map(j => (0 until Dim).map(i => mdLong(s"graft:srp:$j:$i") % 17 - 8))
+
+  /** Native decimal-exact dot (same result as the declarative
+    * zip_with/aggregate pattern, one compiled pass — Spark higher-order
+    * lambdas are interpreted). Shared by index builds and probes. */
+  private[graft] def dotNative(x: String, y: String): Column =
+    dotNativeC(col(x), col(y))
+
+  /** [[dotNative]] over arbitrary Column expressions (sub-vector slices). */
+  private[graft] def dotNativeC(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.DecimalDotProduct(
+      GraftBridge.expression(x), GraftBridge.expression(y)))
+  }
+
+  /** Spark: sign bit j of dot(embedding, plane_j) via the native decimal
+    * dot (hyperplane components are small integers, exact as floats, so
+    * the per-element double products — and therefore the decimal sum and
+    * the sign — are bit-identical to the interpreted zip_with/aggregate
+    * form the DuckDB oracle uses, at compiled-loop speed). */
+  private def planeLit(j: Int): Column =
+    array(planes(j).map(v => lit(v.toFloat)): _*)
+  private def codeCol(nbits: Int): Column =
+    (0 until nbits).map { j =>
+      val dot = dotNativeC(col("embedding"), planeLit(j))
+      when(dot > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
+    * the select the stored index materializes, and the client-side
+    * quantization a probe runs over its own query vector; also the seam
+    * for the skew stress spec. */
+  private[graft] def codeVectors(embDf: DataFrame, nbits: Int = NBitsFloor): DataFrame =
+    embDf.select(
+      col("vec_id"), col("embedding"), codeCol(nbits).as("code"),
+      sqrt(dotNative("embedding", "embedding")).as("norm"))
+
+  /** The stored "index": every vector with its SRP bucket code and L2
+    * norm, materialized once (a production table keeps this precomputed
+    * and partitioned/bucketed BY the code, so a probe is partition
+    * pruning; the stored norm means cosine scoring costs one dot per
+    * pair, not three). */
+  private val codedCache = new graft.util.SessionCache[DataFrame]
+  private[graft] def codedVectors(s: SparkSession, dir: String): DataFrame =
+    // cached per (session, dir): this IS the stored index table — e02/e03/
+    // e05/d12 all read it, as a production deployment reads the
+    // materialized code table rather than re-quantizing the corpus.
+    // When the stored partitioned index (e09's artifact — the SAME rows,
+    // written partitionBy(code)) is already live, LOAD it instead of
+    // re-coding: a fresh session then pays one stored-index read, not a
+    // corpus re-quantization (r10's e06 probe paid ~3.5 s of exactly
+    // that on rep 1; the Warm hook runs this load in the session-start
+    // batch so no query absorbs it at all). Loaded INTO a checkpoint,
+    // not served as the partitioned reader: the consumers here (Lloyd
+    // iterations, the d12 self-join) are full-scan-iterative, and
+    // re-opening a 2^nbits-directory layout per iteration is small-file
+    // death at sf10+ (measured: e06 steady 2.9 s vs 1.3 s). Probe-style
+    // pruned access keeps using [[partitionedIndex]] directly. The
+    // partition column round-trips as a directory key (inferred int) —
+    // restore the canonical column order and long type.
+    codedCache.getOrElseUpdate(s, dir) {
+      import org.apache.hadoop.fs.Path
+      val nb = nbitsOf(s, dir)
+      val digest = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
+      if (ArtifactStore.isLive(
+            s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest"))
+        // COALESCE before checkpointing: the stored layout is one small
+        // file per code directory (2^nbits of them — 4096 at sf10), and
+        // localCheckpoint freezes the scan's partitioning, so without
+        // this every downstream stage pays thousands of near-empty
+        // tasks per action (measured at sf10: e05 steady 18 s vs 1.6 s
+        // recomputed; with the coalesce the load path wins again)
+        partitionedIndex(s, dir).select(
+            col("vec_id"), col("embedding"),
+            col("code").cast("long").as("code"), col("norm"))
+          .coalesce(s.sparkContext.defaultParallelism)
+          .localCheckpoint()
+      else codeVectors(emb(s, dir), nb).localCheckpoint()
+    }
+
+  /** The stored index in its PRODUCTION layout: the coded vectors
+    * written once as a parquet table PARTITIONED BY the bucket code, so a
+    * probe is directory-level partition pruning — the scan never opens a
+    * non-probed bucket's files (asserted in PlanQualitySpec). Written to
+    * a scratch dir keyed by a strong digest of the data dir, once per
+    * (session, dir); a 100 TB deployment keeps exactly this table (plus
+    * the norm column) as its ANN index. */
+  private val idxCache = new graft.util.SessionCache[DataFrame]
+  private[graft] def partitionedIndex(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate(s, dir) {
+      import org.apache.hadoop.fs.Path
+      // Concurrency-safe resolve-or-build via the shared stored-artifact
+      // protocol (ArtifactStore: versioned dirs + atomic raw-FS pointer;
+      // stress-covered by IndexRaceSpec). The digest covers the SOURCE
+      // FILE's size+mtime, so regenerated data at the same path
+      // invalidates the index; the root is configurable
+      // (spark.graft.ann.indexDir, default local tmp) and may be HDFS or
+      // an object store.
+      val digest = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
+      // the quantizer setting is part of the index identity: an env
+      // override must never be served a stored index built at a
+      // different width (the auto-derived value is digest-stable, so
+      // it normally never varies for one digest)
+      val nb = nbitsOf(s, dir)
+      // the nb-suffixed family name replaced the bare-digest one when the
+      // quantizer width became part of the index identity — age out
+      // artifacts stranded under the old names (digest-only: 16 hex
+      // chars where the current names carry the decimal nb first)
+      ArtifactStore.sweepLegacyNames(s, "spark.graft.ann.indexDir",
+        "graft_ivf_idx_[0-9a-f]{16}(\\.ptr(\\.tmp\\..*)?|_v_.*)")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest") { path =>
+        codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)
+      }
+    }
+
+  // ------------------------------------------------------------ JL sketch
+  /** e12's JL sketch width and its ±1 sign matrix (Achlioptas-style
+    * database-friendly projection), md5-derived so the Spark plan and the
+    * DuckDB oracle embed identical literals. */
+  private[graft] final val JlDim = 16
+  private[graft] val jlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlDim).map(j =>
+      (0 until Dim).map(i => if ((mdLong(s"graft:jl:$j:$i") & 1L) == 0L) 1 else -1))
+
+  /** e12's STORED JL sketch table (vec_id, pvec: array<float>[JlDim]) —
+    * the representation a deployment persists beside the corpus (4× less
+    * scan than the 64-dim vectors). Built ONCE per corpus digest through
+    * the shared artifact protocol (same economics as the IVF index: the
+    * 16-dots-per-row projection is index-build cost, not query cost — an
+    * sf10 probe of the inline form ranked SLOWER than brute force, which
+    * is exactly the measurement that forced the artifact). Each
+    * coordinate is a decimal-exact ±sum of float elements cast float32
+    * (IEEE round-to-nearest, identical in both engines), so the stored
+    * sketch is bit-stable across partitionings and rebuilds. */
+  private val jlCache = new graft.util.SessionCache[DataFrame]
+  private[graft] def jlSketch(s: SparkSession, dir: String): DataFrame =
+    jlCache.getOrElseUpdate(s, dir) {
+      import org.apache.hadoop.fs.Path
+      val digest = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "jlsketch")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_jl_$digest") { path =>
+        jlProjection(emb(s, dir)).write.mode("overwrite").parquet(path)
+      }
+    }
+
+  /** The per-row (vec_id, pvec) projection [[jlSketch]] stores — factored
+    * so the streaming maintenance path (s14) runs the IDENTICAL
+    * expression over arriving vectors; stateless, like every other index
+    * stream (the projection depends only on the row). */
+  private[graft] def jlProjection(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      array((0 until JlDim).map(j =>
+        dotNativeC(col("embedding"),
+          array(jlSigns(j).map(v => lit(v.toFloat)): _*))): _*)
+        .cast("array<float>").as("pvec"))
+
+  /** e12's oracle SQL for one sketch coordinate — shared with s14's
+    * oracle so batch query, stored artifact, and stream maintenance all
+    * pin the same arithmetic. */
+  private[graft] def jlCoordSql(j: Int): String =
+    s"""CAST(CAST(list_sum(list_transform(list_zip(embedding, [${jlSigns(j).mkString(",")}]),
+       |    z -> CAST(CAST(z[1] AS DOUBLE) * z[2] AS DECIMAL(38,12)))) AS DOUBLE) AS REAL)""".stripMargin
+
+  private[graft] final def jlDim: Int = JlDim
+
+  // --------------------------------------------- IVF centroids (e05/e06)
+  /** IVF quantizer: centroid count (probe count NProbe lives with the
+    * probe plans in VectorQueries). */
+  private[graft] val KCent = 8
+
+  /** Deterministic hash-sample seed centroids: the `k` vectors with the
+    * smallest md5(vec_id). */
+  private[graft] def seedCentroids(coded: DataFrame, k: Int = KCent): DataFrame =
+    coded.orderBy(expr("md5(cast(vec_id AS STRING))"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
+
+  /** Nearest-centroid assignment: map-side cosine scores against the
+    * broadcast centroid table, argmax over NARROW (vec_id, cid, cos) rows
+    * — shuffling K copies of the full embedding would be a K× data blowup
+    * at scale; embeddings are re-fetched by id only where needed. */
+  private[graft] def assignToCentroids(coded: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
+    coded.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotNative("embedding", "cvec") / col("cnorm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** One spherical-Lloyd iteration (shared by e06/e06b and the stored
+    * centroid build): assign to the given centroids, then rebuild each
+    * centroid as the per-cluster per-dimension exact-decimal component
+    * SUM (cosine assignment is invariant to positive scaling, so no
+    * division — the whole update is bit-reproducible across engines and
+    * partitionings). Checkpointed: every trained centroid table has
+    * multiple consumers. */
+  private[graft] def lloydIterate(coded: DataFrame, cents: DataFrame): DataFrame =
+    centsFromSums(lloydSums(coded, cents))
+
+  /** The iteration's narrow (cid, pos, sv) component-sum table; `sv` is
+    * the exact DECIMAL(38,6) sum emitted as double (exact round-trip:
+    * ≤ 9 significant digits). */
+  private[graft] def lloydSums(coded: DataFrame, cents: DataFrame): DataFrame = {
+    val a = assignToCentroids(coded, cents)
+    coded.join(a, "vec_id")
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(graft.functions.DuckDecimalCast.duckDouble(
+        sum(graft.functions.DuckDecimalCast.duckDecimal6(col("v").cast("double")))).as("sv"))
+  }
+
+  private[graft] def centsFromSums(sums: DataFrame): DataFrame =
+    sums.groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> CAST(x.sv AS FLOAT))").as("cvec"))
+      .withColumn("cnorm", sqrt(dotNative("cvec", "cvec")))
+      .localCheckpoint()
+
+  /** e06's TRAINED centroids as a stored artifact — the FAISS
+    * train()-vs-add() split applied to the coarse quantizer (the same
+    * probe-driven precedent as e12's index-build-time projection and the
+    * stored SRP quantizer metadata): training is one Lloyd pass over the
+    * corpus, deterministic from the corpus digest, and production trains
+    * on a schedule, not per query. The artifact is K rows of
+    * (cid BIGINT, cvec array<float>, cnorm double) — every component an
+    * exact parquet round-trip (the sums are decimal-exact doubles cast
+    * float), so the stored table is bit-identical to a fresh iteration
+    * and the oracle (which retrains from raw embeddings every run) still
+    * hash-matches. e06b keeps training live on purpose — it IS the
+    * training-loop diagnostic. */
+  private[graft] def trainedCentroids(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#cents1") {
+      import org.apache.hadoop.fs.Path
+      val digest = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "cents1")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_cents1_$digest") { path =>
+        val coded = codedVectors(s, dir)
+        lloydIterate(coded, seedCentroids(coded))
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+    }
+
+  // --------------------------------------- frozen-quantizer roll (e13)
+  /** e13's frozen quantizer width: derived from the OLD corpus subset
+    * (doc 10-residue split), exactly what the oracle prices. One count
+    * job; callers cache per session via the artifact resolve. */
+  private[graft] def annNbOld(s: SparkSession, dir: String): Int =
+    deriveNBits(emb(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0).count())
+
+  /** e13's stored OLD-corpus coded index (see the e13 entry for the
+    * lifecycle story): coded at the frozen width, partitioned by code. */
+  private[graft] def annOldIndex(s: SparkSession, dir: String, nbOld: Int): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#annold") {
+      import org.apache.hadoop.fs.Path
+      val src = new Path(new Path(dir), "embeddings.parquet")
+      val dg = ArtifactStore.sourceDigest(s, src, "annold")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_annold_${nbOld}_$dg") { path =>
+        codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0), nbOld)
+          .write.mode("overwrite").partitionBy("code").parquet(path)
+      }
+    }
+
+  /** e13's ROLLED index: stored old-corpus artifact unioned with codes
+    * computed from the delta vectors only (the frozen-quantizer
+    * add()-path; delta-proportional build cost). */
+  private[graft] def annRolledIndex(s: SparkSession, dir: String, nbOld: Int): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#annroll") {
+      import org.apache.hadoop.fs.Path
+      val src = new Path(new Path(dir), "embeddings.parquet")
+      val dg = ArtifactStore.sourceDigest(s, src, "annroll")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_annroll_${nbOld}_$dg") { path =>
+        // the artifact's partition column reads back as the narrowest
+        // inferred type — normalize to the coder's LONG before union
+        annOldIndex(s, dir, nbOld)
+          .select(col("vec_id"), col("embedding"), col("norm"),
+            col("code").cast("long").as("code"))
+          .unionByName(codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) === 0), nbOld)
+            .select("vec_id", "embedding", "norm", "code"))
+          .write.mode("overwrite").partitionBy("code").parquet(path)
+      }
+    }
+
+  // --------------------------------------------- product quantization (e08)
+  /** PQ geometry: M subspaces of SubDim dims, KSub codebook entries per
+    * subspace. The codebooks and the per-vector codes are BOTH stored
+    * artifacts — every corpus pass here is index-build cost; a probe
+    * session pays only artifact reads (pinned in PlanQualitySpec). */
+  private[graft] final val MSub = 4
+  private[graft] final val SubDim = Dim / MSub
+  private[graft] final val KSub = 16
+
+  /** The stored PQ codebooks (m, k, cvec array<float>[SubDim], cn2):
+    * deterministic per-subspace hash-samples (the e05 seeding scheme),
+    * ranked in ONE corpus pass — the rank-filter window rewrites to
+    * WindowGroupLimit, so each input partition forwards only its own
+    * top-KSub rows per subspace before the M-group shuffle. cn2 is the
+    * entry's decimal-exact squared norm, stored so the encode's
+    * −2·x·c + ‖c‖² argmin never recomputes it. */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#pqcb") {
+      import org.apache.hadoop.fs.Path
+      val dg = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "pqcb")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_pq_cb_$dg") { path =>
+        // narrow (m, h, vec_id, sv) rows — each sub-vector sliced once
+        // (M rows per vector); the per-m md5 key rides along for the rank
+        val subs = emb(s, dir).select(col("vec_id"),
+          explode(array((0 until MSub).map { m =>
+            struct(lit(m).as("m"),
+              expr(s"md5(concat('pq:$m:', cast(vec_id AS STRING)))").as("h"),
+              expr(s"slice(embedding, ${m * SubDim} + 1, $SubDim)").as("sv"))
+          }: _*)).as("e"))
+          .select(col("e.m").as("m"), col("e.h").as("h"), col("vec_id"), col("e.sv").as("sv"))
+        val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
+        subs
+          .withColumn("k", row_number().over(wSeed) - 1)
+          .where(col("k") < KSub)
+          .select(col("m"), col("k"), col("sv").as("cvec"))
+          .withColumn("cn2", dotNative("cvec", "cvec"))
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+    }
+
+  /** The codebooks as driver-side values (M×KSub entries, a bounded
+    * 64-row read like every other artifact-metadata fetch): the frozen
+    * quantizer a client/encoder embeds as literals. Cached per session. */
+  private val cbCache = new graft.util.SessionCache[Seq[(Int, Int, IndexedSeq[Float], Double)]]
+  private[graft] def collectedCodebooks(s: SparkSession, dir: String): Seq[(Int, Int, IndexedSeq[Float], Double)] =
+    cbCache.getOrElseUpdate(s, dir) {
+      pqCodebooks(s, dir).collect().iterator.map { r =>
+        (r.getAs[Int]("m"), r.getAs[Int]("k"),
+          r.getAs[scala.collection.Seq[Float]]("cvec").toIndexedSeq,
+          r.getAs[Double]("cn2"))
+      }.toSeq.sortBy(e => (e._1, e._2))
+    }
+
+  /** The per-row PQ encode against FROZEN codebook literals: for each
+    * subspace m, argmin_k(−2·x_m·c_mk + ‖c_mk‖²) with a k tie-break —
+    * expressed as array_min over (d2, k) structs (lexicographic struct
+    * ordering IS the argmin + tie-break), so the encode is ONE stateless
+    * map-side expression: no join, no window, no shuffle. The batch
+    * artifact build ([[pqCodes]]) and the streaming maintenance path
+    * (s16) run this IDENTICAL expression, which is what makes them
+    * row-equal by construction — the e13 frozen-quantizer pattern applied
+    * to the encoder. Every d2 is decimal-exact (dot) with one double
+    * multiply-add tail, IEEE-identical to the oracle's −2·dot + cn2. */
+  private[graft] def pqEncodeColumns(cb: Seq[(Int, Int, IndexedSeq[Float], Double)]): Seq[Column] =
+    (0 until MSub).map { m =>
+      val entries = cb.filter(_._1 == m).sortBy(_._2).map { case (_, k, cvec, cn2) =>
+        struct(
+          (lit(-2d) * dotNativeC(
+            expr(s"slice(embedding, ${m * SubDim} + 1, $SubDim)"),
+            array(cvec.map(v => lit(v)): _*)) + lit(cn2)).as("d2"),
+          lit(k).as("k"))
+      }
+      array_min(array(entries: _*)).getField("k").as(s"k$m")
+    }
+
+  /** The stored compressed index: one row per vector, M small-int code
+    * columns (vec_id, k0..k{M-1}) — 4 ints instead of 64 floats, the
+    * 100 TB memory story. Encoded once per corpus digest with
+    * [[pqEncodeColumns]] (map-only — the build's cost is exactly one
+    * corpus scan); e08 probes are LUT joins against this table and never
+    * re-encode (the last ANN family to get the train()/add() split). */
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#pqcodes") {
+      import org.apache.hadoop.fs.Path
+      val dg = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "pqcodes")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_pq_codes_$dg") { path =>
+        val cb = collectedCodebooks(s, dir)
+        emb(s, dir).select(col("vec_id") +: pqEncodeColumns(cb): _*)
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+
+  // ------------------------------------------------------------- lifecycle
+  /** Session-start warm hook (resolve-only — see [[graft.services.Warm]]):
+    * thunks that pull each vector-side stored family that ALREADY EXISTS
+    * into this session's caches, so the first e-family query doesn't
+    * absorb the pointer reads, parquet opens and partition discovery
+    * serially (r10's e06 probe: 6.5 s rep 1 vs 1.15 s steady). A family
+    * whose artifact is absent is SKIPPED — warm never builds, so a cold
+    * root costs nothing here and the first real query builds exactly as
+    * before. The IVF thunk also pre-populates the coded-vector cache:
+    * with the stored index live, [[codedVectors]] is a parquet read. */
+  private[graft] def warmResolve(s: SparkSession, dir: String): Seq[(String, () => Unit)] = {
+    import org.apache.hadoop.fs.Path
+    def dg(tag: String) = ArtifactStore.sourceDigest(
+      s, new Path(new Path(dir), "embeddings.parquet"), tag)
+    def live(name: String) = ArtifactStore.isLive(
+      s, "spark.graft.ann.indexDir", name)
+    Seq(
+      "vec:srpmeta" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) { nbitsOf(s, dir); () }),
+      "vec:jl" -> (() => if (live(s"graft_jl_${dg("jlsketch")}")) { jlSketch(s, dir); () }),
+      "vec:cents1" -> (() => if (live(s"graft_cents1_${dg("cents1")}") &&
+        live(s"graft_srp_meta_${dg("srpmeta")}")) { trainedCentroids(s, dir); () }),
+      "vec:pqcb" -> (() => if (live(s"graft_pq_cb_${dg("pqcb")}")) { collectedCodebooks(s, dir); () }),
+      // pqCodes' resolve reaches through the codebooks (the encode is
+      // defined against them), so only warm it when BOTH are live —
+      // warm must never trigger a codebook build
+      "vec:pqcodes" -> (() => if (live(s"graft_pq_cb_${dg("pqcb")}") &&
+        live(s"graft_pq_codes_${dg("pqcodes")}")) { pqCodes(s, dir); () }),
+      "vec:annroll" -> (() => {
+        // the exact names carry the frozen quantizer width; only pay the
+        // deriving count when SOME pointer for these digests exists
+        val (dgo, dgr) = (dg("annold"), dg("annroll"))
+        def any(g: String) = ArtifactStore.anyPointer(
+          s, "spark.graft.ann.indexDir", g)
+        if (any(s"graft_annold_*_$dgo") && any(s"graft_annroll_*_$dgr")) {
+          val nb = annNbOld(s, dir)
+          if (live(s"graft_annold_${nb}_$dgo") && live(s"graft_annroll_${nb}_$dgr")) {
+            annRolledIndex(s, dir, nb)
+            ()
+          }
+        }
+      }),
+      "vec:ivf" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) {
+        val nb = nbitsOf(s, dir)
+        if (live(s"graft_ivf_idx_${nb}_${dg("ivfidx")}")) {
+          partitionedIndex(s, dir)
+          codedVectors(s, dir)
+          ()
+        }
+      }))
+  }
+
+  /** Drop this session's cached coded-vector table and free its
+    * checkpoint blocks (bench inter-family release; rebuilds lazily).
+    * The partitioned-index/codebook entries are parquet-backed —
+    * dropping them frees only driver references; the on-disk index is
+    * reused via its pointer. */
+  def releaseCaches(s: SparkSession): Unit = {
+    codedCache.removeAll(s).foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
+    idxCache.removeAll(s)
+    jlCache.removeAll(s) // parquet-backed: drops only the driver reference
+    cbCache.removeAll(s)
+  }
+}

@@ -221,7 +221,7 @@ object StreamAgg {
     * accumulated table, exactly as banding reads the signature table. */
   /** The e12 JL sketch table maintained on an embeddings stream: the
     * IDENTICAL per-row projection the stored artifact is built with
-    * ([[graft.queries.VectorQueries.jlProjection]] — factored, not
+    * ([[graft.sources.AnnIndex.jlProjection]] — factored, not
     * duplicated), run per arriving vector with zero state. Completes the
     * family contract for the round's new artifact: every stored index
     * family (signatures s08, postings s11, windows s12, norms s13, JL
@@ -230,7 +230,7 @@ object StreamAgg {
   def jlSketchStream(spark: SparkSession, dir: String): DataFrame = {
     val embStream = graft.model.Conform("embeddings",
       stagedFileStream(spark, s"$dir/embeddings.parquet"))
-    val sketch = graft.queries.VectorQueries.jlProjection(embStream)
+    val sketch = graft.sources.AnnIndex.jlProjection(embStream)
     replayToMemory(spark, sketch, "stream_jl_", "append")(_.orderBy("vec_id"))
   }
 

@@ -5,7 +5,7 @@ import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import org.apache.spark.sql.Row
 
 /** Concurrent-session safety of the production ANN index build
-  * ([[graft.queries.VectorQueries.partitionedIndex]]): two live sessions
+  * ([[graft.sources.AnnIndex.partitionedIndex]]): two live sessions
   * racing to build the same `spark.graft.ann.indexDir` must both read a
   * complete, identical index. Under the round-9 pointer protocol data
   * directories are never renamed, so the historical failure mode — the
@@ -50,7 +50,7 @@ class IndexRaceSpec extends SparkSpec {
           val futs = Seq(s1, s2).map { s =>
             pool.submit { () =>
               start.await()
-              graft.queries.VectorQueries.partitionedIndex(s, sfDir)
+              graft.sources.AnnIndex.partitionedIndex(s, sfDir)
                 .orderBy("vec_id").collect(): Array[Row]
             }
           }
@@ -88,13 +88,13 @@ class IndexRaceSpec extends SparkSpec {
         val s = spark.newSession()
         s.conf.set("spark.graft.ann.indexDir", "file:" + root)
         s.conf.set("spark.graft.ann.staleIndexMs", "0") // everything is stale
-        graft.queries.VectorQueries.partitionedIndex(s, sfDir) // builds clean
+        graft.sources.AnnIndex.partitionedIndex(s, sfDir) // builds clean
         val first = liveTarget(root)
         new java.io.File(first, "_SUCCESS").delete() // poison: live → crash leftover
         val s3 = spark.newSession()
         s3.conf.set("spark.graft.ann.indexDir", "file:" + root)
         s3.conf.set("spark.graft.ann.staleIndexMs", "0")
-        val rebuilt = graft.queries.VectorQueries.partitionedIndex(s3, sfDir)
+        val rebuilt = graft.sources.AnnIndex.partitionedIndex(s3, sfDir)
         assert(rebuilt.count() == spark.read.parquet(s"$sfDir/embeddings.parquet").count())
         val live = liveTarget(root)
         assert(live.getName != first.getName, "pointer still names the poisoned dir")

@@ -150,7 +150,7 @@ class PlanQualitySpec extends SparkSpec {
     it("e09's probe prunes the partitioned ANN index to the probed buckets") {
       // the production ANN story: the stored index is partitioned by
       // bucket code, so a probe never opens non-probed bucket files
-      val idx = graft.queries.VectorQueries.partitionedIndex(spark, sfDir)
+      val idx = graft.sources.AnnIndex.partitionedIndex(spark, sfDir)
       val probed = idx.where(col("code").isin(0L, 3L, 5L))
       val plan = probed.queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters") && plan.contains("code"), plan)
@@ -175,9 +175,9 @@ class PlanQualitySpec extends SparkSpec {
       // e05 steady ~6× slower than recomputing). A fresh session forces
       // the load path (its codedCache entry is empty while the artifact
       // from the e09 gate above is live).
-      graft.queries.VectorQueries.partitionedIndex(spark, sfDir) // ensure stored
+      graft.sources.AnnIndex.partitionedIndex(spark, sfDir) // ensure stored
       val s2 = spark.newSession()
-      val coded = graft.queries.VectorQueries.codedVectors(s2, sfDir)
+      val coded = graft.sources.AnnIndex.codedVectors(s2, sfDir)
       val parts = coded.rdd.getNumPartitions
       assert(parts <= s2.sparkContext.defaultParallelism,
         s"checkpointed coded table froze $parts partitions (files of the " +
@@ -343,6 +343,38 @@ class PlanQualitySpec extends SparkSpec {
       assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$plan")
       assert(!plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("CartesianProduct"), plan)
+    }
+
+    it("e08 probes the STORED PQ index — no corpus encode in the probe plan") {
+      // r11's last per-session corpus pass, closed in r12: the codebooks
+      // and the wide code table are digest-keyed artifacts, so the probe
+      // plan must contain (a) scans of both stored artifacts, (b) NO
+      // window (the encode argmin and the codebook seeding rank were the
+      // windows — their reappearance means the probe is re-encoding), and
+      // (c) no explode of the corpus into sub-vector rows
+      graft.sources.AnnIndex.pqCodes(spark, sfDir) // ensure stored
+      val df = graft.SparkEntry.queries("e08_pq_adc_ann")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_pq_codes_"), plan)
+      assert(!plan.contains("Window"), s"corpus encode leaked into the e08 probe:\n$plan")
+      assert(!plan.toLowerCase.contains("posexplode") && !plan.contains("Generate"),
+        s"sub-vector explode leaked into the e08 probe:\n$plan")
+      // all M LUT joins + the re-rank join are broadcasts
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    }
+
+    it("single-query ANN probes source the query vector from the compact table") {
+      // the sourcing contract (VectorQueries header): the 1-row query
+      // fetch is a PUSHED-DOWN vec_id filter on embeddings.parquet, never
+      // a filter over the stored code-partitioned index (which would open
+      // every code directory at production layout to find one row)
+      Seq("e02_ann_srp_probe", "e07_ann_recall_metric", "e08_pq_adc_ann",
+          "e09_ann_partitioned_probe").foreach { q =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"),
+          s"$q: no pushed-down compact-source query fetch in\n$plan")
+      }
     }
 
     it("never ships document or chunk text through an exchange (d24/d25)") {
@@ -535,7 +567,7 @@ class PlanQualitySpec extends SparkSpec {
 
       it(s"e09's probe prunes the partitioned ANN index (aqe=$aqe)") {
         withAqe(aqe) {
-          val idx = graft.queries.VectorQueries.partitionedIndex(spark, sfDir)
+          val idx = graft.sources.AnnIndex.partitionedIndex(spark, sfDir)
           val probed = idx.where(col("code").isin(0L, 3L, 5L))
           val plan = finalPlan(probed)
           assert(plan.contains("PartitionFilters") && plan.contains("code"), plan)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.queries.{TextQueries, VectorQueries}
+import graft.sources.AnnIndex
 
 /**
  * Scale proof-point for the dedup/ANN hot-bucket caps: a pathologically
@@ -69,7 +70,7 @@ class SkewStressSpec extends SparkSpec {
 
       val t0 = System.nanoTime()
       val out = VectorQueries.cosineNearDupFrom(
-        VectorQueries.codeVectors(stressed).localCheckpoint())
+        AnnIndex.codeVectors(stressed).localCheckpoint())
       val nPairs = out.collect().length.toLong
       val secs = (System.nanoTime() - t0) / 1e9
 
@@ -88,18 +89,18 @@ class SkewStressSpec extends SparkSpec {
       // nbits = smallest b in [6,16] with N <= 64·2^b — the SAME integer
       // comparison the DuckDB oracle runs on count(*), so the boundary
       // cases must be exact (a float log2 would wobble at N = 64·2^b)
-      assert(VectorQueries.deriveNBits(0L) == 6)
-      assert(VectorQueries.deriveNBits(1L) == 6)
-      assert(VectorQueries.deriveNBits(64L << 6) == 6)        // exactly full → still 6
-      assert(VectorQueries.deriveNBits((64L << 6) + 1) == 7)  // one over → 7
-      assert(VectorQueries.deriveNBits(2000L) == 6)           // shipped sf0.1 corpus: floor
-      assert(VectorQueries.deriveNBits(20000L) == 9)          // generated sf1 corpus
-      assert(VectorQueries.deriveNBits(2000000L) == 15)       // generated sf100 corpus
-      assert(VectorQueries.deriveNBits(60000000000L) == 16)   // beyond 64*2^16: capped at NBitsMax
-      assert(VectorQueries.deriveNBits(Long.MaxValue) == 16)
+      assert(AnnIndex.deriveNBits(0L) == 6)
+      assert(AnnIndex.deriveNBits(1L) == 6)
+      assert(AnnIndex.deriveNBits(64L << 6) == 6)        // exactly full → still 6
+      assert(AnnIndex.deriveNBits((64L << 6) + 1) == 7)  // one over → 7
+      assert(AnnIndex.deriveNBits(2000L) == 6)           // shipped sf0.1 corpus: floor
+      assert(AnnIndex.deriveNBits(20000L) == 9)          // generated sf1 corpus
+      assert(AnnIndex.deriveNBits(2000000L) == 15)       // generated sf100 corpus
+      assert(AnnIndex.deriveNBits(60000000000L) == 16)   // beyond 64*2^16: capped at NBitsMax
+      assert(AnnIndex.deriveNBits(Long.MaxValue) == 16)
       // monotone non-decreasing over three decades
       val samples = Seq(1L, 100L, 10000L, 1000000L, 100000000L, 10000000000L)
-      assert(samples.map(VectorQueries.deriveNBits) == samples.map(VectorQueries.deriveNBits).sorted)
+      assert(samples.map(AnnIndex.deriveNBits) == samples.map(AnnIndex.deriveNBits).sorted)
     }
   }
 }
