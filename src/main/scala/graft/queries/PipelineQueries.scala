@@ -221,6 +221,23 @@ object PipelineQueries {
            |FROM embeddings ORDER BY vec_id""".stripMargin
       }),
 
+    Q("s16_stream_pq_codes",
+      // e08's stored PQ code table maintained incrementally: arriving
+      // vectors encoded by the batch build's exact argmin expression
+      // against the FROZEN stored codebooks (s14's factored-expression
+      // contract + e13's frozen-quantizer contract, applied to the
+      // round's new artifact family) — stream and stored-artifact builds
+      // are row-equal by construction; the oracle recomputes codebooks
+      // AND encode from raw embeddings. Registry shape: k columns cast
+      // BIGINT to match the oracle's row_number arithmetic.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val ks = (0 until graft.sources.AnnIndex.MSub).map(m => s"k$m")
+        StreamAgg.pqCodeStream(s, dir).select(
+          col("vec_id") +: ks.map(k => col(k).cast("bigint").as(k)): _*)
+      },
+      Some(VectorQueries.pqCodesOracleSql)),
+
     Q("s15_stream_dedup_probe",
       // the stored dedup index SERVING a stream (vs s08-s14, which
       // maintain indexes FROM streams): arriving delta docs band their

@@ -201,6 +201,39 @@ object VectorQueries {
        |$outBase AS (SELECT cid, list(CAST(sv AS FLOAT) ORDER BY pos) AS cvec FROM $sumsName GROUP BY cid),
        |${outBase}n AS (SELECT cid, cvec, sqrt(${dotSqlOf("cvec", "cvec")}) AS cnorm FROM $outBase)""".stripMargin
 
+  /** Shared DuckDB CTE block (cb0 → cb → enc → wide): the PQ codebook
+    * seeding and full-corpus encode the oracle recomputes from raw
+    * embeddings — ONE definition pins the arithmetic for both the e08
+    * probe oracle and s16's stream-maintenance oracle, so the stored
+    * codebooks ([[graft.sources.AnnIndex.pqCodebooks]]), the stored code
+    * table, and the streaming encoder are all gated against the same SQL.
+    * Declared above the eager `all` registry (object-init order). */
+  private[graft] val pqEncodeSqlCtes: String = {
+    val cbSql = (0 until MSub).map { m =>
+      s"""(SELECT $m AS m,
+         |  row_number() OVER (ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
+         |  list_slice(embedding, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
+         |FROM embeddings ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""cb0 AS ($cbSql),
+       |cb AS (SELECT m, k, cvec, ${dotSqlOf("cvec", "cvec")} AS cn2 FROM cb0),
+       |enc AS (SELECT vec_id, m, k FROM (
+       |    SELECT v.vec_id, c.m, c.k,
+       |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
+       |        -2 * ${dotSqlOf(s"list_slice(v.embedding, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} + c.cn2 ASC,
+       |        c.k) AS rn
+       |    FROM embeddings v CROSS JOIN cb c) t WHERE rn = 1),
+       |wide AS (SELECT vec_id, ${(0 until MSub).map(m => s"max(CASE WHEN m = $m THEN k END) AS k$m").mkString(", ")}
+       |  FROM enc GROUP BY vec_id)""".stripMargin
+  }
+
+  /** s16's oracle: the full stored code table recomputed from raw
+    * embeddings (what the stream-maintained table must equal). */
+  private[graft] val pqCodesOracleSql: String =
+    s"""WITH $pqEncodeSqlCtes
+       |SELECT vec_id, ${(0 until MSub).map(m => s"k$m").mkString(", ")}
+       |FROM wide ORDER BY vec_id""".stripMargin
+
   private def probeRescoreSqlTail(cents: String, assign: String): String =
     s"""q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
        |qp AS (SELECT cid FROM (
@@ -572,24 +605,9 @@ object VectorQueries {
           .limit(5)
       },
       Some {
-        val cbSql = (0 until MSub).map { m =>
-          s"""(SELECT $m AS m,
-             |  row_number() OVER (ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
-             |  list_slice(embedding, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
-             |FROM embeddings ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
-        }.mkString("\nUNION ALL\n")
         val lutJoins = (0 until MSub)
           .map(m => s"JOIN lut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
-        s"""WITH cb0 AS ($cbSql),
-           |cb AS (SELECT m, k, cvec, ${dotSqlOf("cvec", "cvec")} AS cn2 FROM cb0),
-           |enc AS (SELECT vec_id, m, k FROM (
-           |    SELECT v.vec_id, c.m, c.k,
-           |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
-           |        -2 * ${dotSqlOf(s"list_slice(v.embedding, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} + c.cn2 ASC,
-           |        c.k) AS rn
-           |    FROM embeddings v CROSS JOIN cb c) t WHERE rn = 1),
-           |wide AS (SELECT vec_id, ${(0 until MSub).map(m => s"max(CASE WHEN m = $m THEN k END) AS k$m").mkString(", ")}
-           |  FROM enc GROUP BY vec_id),
+        s"""WITH $pqEncodeSqlCtes,
            |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |lut AS (SELECT c.m, c.k,
            |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l

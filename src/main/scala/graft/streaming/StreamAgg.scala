@@ -234,6 +234,26 @@ object StreamAgg {
     replayToMemory(spark, sketch, "stream_jl_", "append")(_.orderBy("vec_id"))
   }
 
+  /** The PQ code table (e08's stored compressed index) maintained on an
+    * embeddings stream (s16): arriving vectors are encoded by the
+    * IDENTICAL stateless argmin expression the batch artifact build uses
+    * ([[graft.sources.AnnIndex.pqEncodeColumns]] — factored, not
+    * duplicated) against the FROZEN STORED codebooks (the e13
+    * frozen-quantizer pattern: production retrains codebooks on a
+    * schedule, not per ingest, so between retrains the encoder is a
+    * constant), making stream and stored-artifact builds row-equal by
+    * construction — asserted directly in StreamingSpec. Zero state;
+    * probing (LUT + re-rank) stays batch-side over the accumulated
+    * table, exactly as e08 reads the published artifact. */
+  def pqCodeStream(spark: SparkSession, dir: String): DataFrame = {
+    val embStream = graft.model.Conform("embeddings",
+      stagedFileStream(spark, s"$dir/embeddings.parquet"))
+    val cb = graft.sources.AnnIndex.collectedCodebooks(spark, dir)
+    val codes = embStream.select(
+      col("vec_id") +: graft.sources.AnnIndex.pqEncodeColumns(cb): _*)
+    replayToMemory(spark, codes, "stream_pq_", "append")(_.orderBy("vec_id"))
+  }
+
   /** The stored dedup index serving a STREAM PROBE (s15): d27's
     * candidate-generation stage moved to ingest time. Arriving delta
     * documents (doc_id ≡ 0 mod 10, the same "today's crawl" split d27

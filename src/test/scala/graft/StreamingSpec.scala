@@ -33,6 +33,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get("2024-01-01 10:00:00.0").contains(2L))
   }
 
+  it("s16's stream-maintained PQ codes equal the stored batch artifact row-for-row") {
+    // the frozen-quantizer stream contract: encoding arriving vectors
+    // against the STORED codebooks with the batch build's exact
+    // expression must reproduce the stored code table exactly — a drift
+    // here would mean stream-appended index rows disagree with rebuilt
+    // ones, silently corrupting e08 probes
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamAgg.pqCodeStream(spark, sfDir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val stored = graft.sources.AnnIndex.pqCodes(spark, sfDir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == stored)
+  }
+
   it("batch dailyBuckets matches the batch time aggregation") {
     val streamed = StreamAgg.dailyBuckets(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
