@@ -38,6 +38,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ArtifactStore {
   import org.apache.hadoop.fs.Path
 
+  /** Observability for the warm-coverage gate (WarmCoverageSpec): every
+    * artifact base name ever PUBLISHED ([[getOrBuild]]) or PROBED
+    * ([[isLive]]/[[anyPointer]]) in this JVM. Plain name sets —
+    * negligible overhead, no behavior change; the spec normalizes the
+    * digest/width suffixes into family prefixes and asserts that every
+    * published family is probed by some warm hook, so a new stored
+    * family cannot silently miss session-start warm-up. */
+  private[graft] val publishedNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] val probedNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Digest of a source file's identity (qualified path + size + mtime):
     * regenerated data at the same path yields a different digest, so a
     * stale artifact is never served for new data. */
@@ -149,6 +161,7 @@ object ArtifactStore {
     * (calling the regular accessor on a cold root would trigger a full
     * index build at warm time). */
   def isLive(s: SparkSession, rootConfKey: String, baseName: String): Boolean = {
+    probedNames.add(baseName)
     val (fs, pfs, root) = rootFs(s, rootConfKey)
     readLive(fs, pfs, root, new Path(root, s"$baseName.ptr")).isDefined
   }
@@ -161,6 +174,7 @@ object ArtifactStore {
     * all, then validates the exact name with [[isLive]]. Pointer
     * presence only — no torn/_SUCCESS validation here. */
   def anyPointer(s: SparkSession, rootConfKey: String, baseGlob: String): Boolean = {
+    probedNames.add(baseGlob)
     val (_, pfs, root) = rootFs(s, rootConfKey)
     try Option(pfs.globStatus(new Path(root, baseGlob + ".ptr"))).exists(_.nonEmpty)
     catch { case _: java.io.IOException => false }
@@ -168,6 +182,7 @@ object ArtifactStore {
 
   def getOrBuild(s: SparkSession, rootConfKey: String, baseName: String)
                 (write: String => Unit): DataFrame = {
+    publishedNames.add(baseName)
     val (fs, pfs, root) = rootFs(s, rootConfKey)
     if (!fs.exists(root)) {
       fs.mkdirs(root)

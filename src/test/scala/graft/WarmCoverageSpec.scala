@@ -1,0 +1,48 @@
+package graft
+
+import graft.sources.ArtifactStore
+
+/** The warm-coverage gate: every artifact family ever published through
+  * [[ArtifactStore.getOrBuild]] must be probed by some registered warm
+  * hook ([[graft.services.Warm.resolve]]) — a new stored family that
+  * forgets its hook would silently re-absorb pointer reads / partition
+  * discovery into its first query in every fresh session (the r10 e06
+  * symptom the warm path exists to prevent). Mechanism: ArtifactStore
+  * records every getOrBuild base name and every isLive/anyPointer probe;
+  * this spec triggers every batch query's construction (artifact builds
+  * happen there), runs the warm hooks, and asserts the published family
+  * set is contained in the probed set. */
+class WarmCoverageSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  /** Digest-free family prefix: strip the 16-hex source digest, then a
+    * trailing derived-width segment (`_6`) or glob segment (`_*`). */
+  private def fam(n: String): String =
+    n.replaceAll("_[0-9a-f]{16}$", "").replaceAll("_(\\*|[0-9]+)$", "")
+
+  it("every published artifact family has a registered warm hook") {
+    val sfDir = "/root/testdata/sf0.001"
+    // Construct every batch query: getOrBuild calls run during
+    // construction, so this enumerates the full family set without
+    // executing the plans. s-prefixed queries RUN their streams on
+    // construction and are skipped — their stored families are the batch
+    // ones (the index streams maintain what the batch queries publish),
+    // so the enumeration stays complete. A future s-only family would
+    // need its query added here.
+    SparkEntry.queries.filterNot(_._1.startsWith("s")).values
+      .foreach(f => f(spark, sfDir))
+    val published = ArtifactStore.publishedNames.asScala.toSet.map(fam)
+    assert(published.nonEmpty, "no artifact publishes recorded — did getOrBuild move?")
+
+    // With every artifact live (the constructions above built them), the
+    // hooks' short-circuit gates all pass, so each hook probes its full
+    // name set; a family no hook probes can only be an uncovered one.
+    ArtifactStore.probedNames.clear()
+    graft.services.Warm.resolve(spark, sfDir)
+    val probed = ArtifactStore.probedNames.asScala.toSet.map(fam)
+    val uncovered = published -- probed
+    assert(uncovered.isEmpty,
+      s"artifact families with no warm hook: $uncovered\nprobed by hooks: $probed")
+  }
+}
