@@ -349,7 +349,8 @@ object VectorQueries {
       (s, dir) => {
         val idx = partitionedIndex(s, dir)
         val nb = nbitsOf(s, dir)
-        val probes = probeMasksFor(nb).map(_ ^ queryCode(s, dir, nb))
+        val qcode = queryCode(s, dir, nb) // ONE driver-side head(), hoisted out of the mask map
+        val probes = probeMasksFor(nb).map(_ ^ qcode)
         val q = queryVec(s, dir)
         idx.where(col("code").isin(probes: _*))
           .where(col("vec_id") =!= 0)
@@ -621,6 +622,63 @@ object VectorQueries {
            |ORDER BY score DESC, t.vec_id LIMIT 5""".stripMargin
       }),
 
+    Q("e14_ivfpq_ann",
+      // IVF + PQ COMBINED — the FAISS IVFPQ shape, composed entirely
+      // from stored artifacts: the probe directory-prunes the combined
+      // index (PQ codes partitioned by SRP bucket,
+      // AnnIndex.ivfPqIndex) to the query's Hamming ball, ADC-scores
+      // ONLY the probed buckets' code rows (M broadcast LUT joins over
+      // 4 small ints per row — candidate selection is partition
+      // pruning, no join, and the pruned scan never touches a float
+      // vector), and exact-rescores the top ReRank by id. vs e08:
+      // same compressed scoring, but the scan fraction drops from the
+      // whole code table to the probe ball; vs e09: same pruning, but
+      // what's scanned is 16× narrower. The 100 TB ANN endgame shape.
+      (s, dir) => {
+        val nb = nbitsOf(s, dir)
+        val qcode = queryCode(s, dir, nb) // ONE driver-side head(), hoisted out of the mask map
+        val probes = probeMasksFor(nb).map(_ ^ qcode)
+        val cand = ivfPqIndex(s, dir)
+          .where(col("code").isin(probes: _*))
+          .where(col("vec_id") =!= 0)
+        val q = queryVec(s, dir)
+        val lut = pqCodebooks(s, dir).crossJoin(broadcast(q))
+          .select(col("m"), col("k"),
+            dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
+          .localCheckpoint()
+        (0 until MSub).foldLeft(cand.select(col("vec_id") +: (0 until MSub).map(m => col(s"k$m")): _*)) {
+          (df, m) =>
+            df.join(broadcast(lut.where(col("m") === m).select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
+        }
+          .select(col("vec_id"),
+            (0 until MSub).map(m => col(s"l$m")).reduce(_ + _).as("approx"))
+          .orderBy(col("approx").desc, col("vec_id").asc)
+          .limit(ReRank)
+          .join(emb(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some {
+        val lutJoins = (0 until MSub)
+          .map(m => s"JOIN lut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
+        s"""WITH codes AS ($codesSql),
+           |$pqEncodeSqlCtes,
+           |q AS (SELECT code AS qcode, embedding AS qvec FROM codes WHERE vec_id = 0),
+           |cand AS (SELECT c.vec_id FROM codes c CROSS JOIN q
+           |  WHERE c.vec_id <> 0 AND bit_count(xor(c.code, q.qcode)) <= $ProbeRadius),
+           |lut AS (SELECT c.m, c.k,
+           |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
+           |  FROM cb c CROSS JOIN q),
+           |appr AS (SELECT w.vec_id, ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
+           |  FROM wide w JOIN cand USING (vec_id) $lutJoins),
+           |top AS (SELECT vec_id FROM appr ORDER BY approx DESC, vec_id LIMIT $ReRank)
+           |SELECT t.vec_id, ${dotSqlOf("v.embedding", "q.qvec")} AS score
+           |FROM top t JOIN embeddings v ON v.vec_id = t.vec_id CROSS JOIN q
+           |ORDER BY score DESC, t.vec_id LIMIT 5""".stripMargin
+      }),
+
     Q("e04_vector_norms",
       // the NATIVE decimal dot, not the declarative aggregate/transform
       // CAST form: Spark's Cast quantizes the exact binary expansion
@@ -707,7 +765,8 @@ object VectorQueries {
         // 2^nb-directory index by vec_id opens every code directory
         // (measured at sf10: the unpruned lookup alone held the probe
         // at ~15 s)
-        val probes = probeMasksFor(nbOld).map(_ ^ queryCode(s, dir, nbOld))
+        val qcode = queryCode(s, dir, nbOld) // ONE driver-side head(), hoisted out of the mask map
+        val probes = probeMasksFor(nbOld).map(_ ^ qcode)
         val q = queryVec(s, dir)
         merged.where(col("code").isin(probes: _*))
           .where(col("vec_id") =!= 0)

@@ -164,7 +164,7 @@ object AnnIndex {
       import org.apache.hadoop.fs.Path
       val nb = nbitsOf(s, dir)
       val digest = ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
+        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx2")
       if (ArtifactStore.isLive(
             s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest"))
         // COALESCE before checkpointing: the stored layout is one small
@@ -200,7 +200,7 @@ object AnnIndex {
       // (spark.graft.ann.indexDir, default local tmp) and may be HDFS or
       // an object store.
       val digest = ArtifactStore.sourceDigest(
-        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx")
+        s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx2")
       // the quantizer setting is part of the index identity: an env
       // override must never be served a stored index built at a
       // different width (the auto-derived value is digest-stable, so
@@ -214,7 +214,16 @@ object AnnIndex {
         "graft_ivf_idx_[0-9a-f]{16}(\\.ptr(\\.tmp\\..*)?|_v_.*)")
       ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest") { path =>
-        codedVectors(s, dir).write.mode("overwrite").partitionBy("code").parquet(path)
+        // repartition BY the partition column before the partitioned
+        // write: without it every write task emits one file into every
+        // code directory it holds rows for — tasks × 2^nbits tiny files
+        // (measured at sf10: 55k files across 4096 dirs; a radius-2
+        // probe opened ~1k files and cost ~6 s instead of ~0.7). With
+        // it each code's rows land in exactly one task → ONE file per
+        // directory, and the probe opens exactly its ball's files.
+        // (SearchQueries' posting artifacts established this pattern.)
+        codedVectors(s, dir).repartition(col("code"))
+          .write.mode("overwrite").partitionBy("code").parquet(path)
       }
     }
 
@@ -361,10 +370,11 @@ object AnnIndex {
     idxCache.getOrElseUpdate(s, s"$dir#annold") {
       import org.apache.hadoop.fs.Path
       val src = new Path(new Path(dir), "embeddings.parquet")
-      val dg = ArtifactStore.sourceDigest(s, src, "annold")
+      val dg = ArtifactStore.sourceDigest(s, src, "annold2")
       ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_annold_${nbOld}_$dg") { path =>
         codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0), nbOld)
+          .repartition(col("code")) // one file per code dir, see partitionedIndex
           .write.mode("overwrite").partitionBy("code").parquet(path)
       }
     }
@@ -376,7 +386,7 @@ object AnnIndex {
     idxCache.getOrElseUpdate(s, s"$dir#annroll") {
       import org.apache.hadoop.fs.Path
       val src = new Path(new Path(dir), "embeddings.parquet")
-      val dg = ArtifactStore.sourceDigest(s, src, "annroll")
+      val dg = ArtifactStore.sourceDigest(s, src, "annroll2")
       ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_annroll_${nbOld}_$dg") { path =>
         // the artifact's partition column reads back as the narrowest
@@ -386,6 +396,7 @@ object AnnIndex {
             col("code").cast("long").as("code"))
           .unionByName(codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) === 0), nbOld)
             .select("vec_id", "embedding", "norm", "code"))
+          .repartition(col("code")) // one file per code dir, see partitionedIndex
           .write.mode("overwrite").partitionBy("code").parquet(path)
       }
     }
@@ -486,6 +497,29 @@ object AnnIndex {
       }
     }
 
+  /** The COMBINED IVF-PQ index (e14 — the FAISS IVFPQ layout): every
+    * vector's M PQ code columns stored PARTITIONED BY its SRP bucket
+    * code. A probe directory-prunes to its Hamming ball and ADC-scans
+    * only the probed buckets' code rows — candidate selection is
+    * partition pruning, not a join, and what the pruned scan reads is
+    * 4 small ints per row, not 64 floats. Built by one narrow
+    * build-time join of the two stored artifacts (codes ⋈ coded on
+    * vec_id); keyed by the quantizer width like the IVF index. */
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#ivfpq") {
+      import org.apache.hadoop.fs.Path
+      val nb = nbitsOf(s, dir)
+      val dg = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "ivfpq2")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_ivfpq_${nb}_$dg") { path =>
+        pqCodes(s, dir)
+          .join(codedVectors(s, dir).select(col("vec_id"), col("code")), "vec_id")
+          .repartition(col("code")) // one file per code dir, see partitionedIndex
+          .write.mode("overwrite").partitionBy("code").parquet(path)
+      }
+    }
+
   // ------------------------------------------------------------- lifecycle
   /** Session-start warm hook (resolve-only — see [[graft.services.Warm]]):
     * thunks that pull each vector-side stored family that ALREADY EXISTS
@@ -516,7 +550,7 @@ object AnnIndex {
       "vec:annroll" -> (() => {
         // the exact names carry the frozen quantizer width; only pay the
         // deriving count when SOME pointer for these digests exists
-        val (dgo, dgr) = (dg("annold"), dg("annroll"))
+        val (dgo, dgr) = (dg("annold2"), dg("annroll2"))
         def any(g: String) = ArtifactStore.anyPointer(
           s, "spark.graft.ann.indexDir", g)
         if (any(s"graft_annold_*_$dgo") && any(s"graft_annroll_*_$dgr")) {
@@ -529,11 +563,19 @@ object AnnIndex {
       }),
       "vec:ivf" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) {
         val nb = nbitsOf(s, dir)
-        if (live(s"graft_ivf_idx_${nb}_${dg("ivfidx")}")) {
+        if (live(s"graft_ivf_idx_${nb}_${dg("ivfidx2")}")) {
           partitionedIndex(s, dir)
           codedVectors(s, dir)
           ()
         }
+      }),
+      // the combined index's resolve reaches through pqCodes and the
+      // coded table only when BUILDING; with its own artifact live the
+      // resolve is a pure partitioned read — still gate on srp_meta for
+      // the width derivation
+      "vec:ivfpq" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) {
+        val nb = nbitsOf(s, dir)
+        if (live(s"graft_ivfpq_${nb}_${dg("ivfpq2")}")) { ivfPqIndex(s, dir); () }
       }))
   }
 

@@ -363,6 +363,33 @@ class PlanQualitySpec extends SparkSpec {
       assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
     }
 
+    it("e14 directory-prunes the combined IVF-PQ index and never re-encodes") {
+      // the FAISS-IVFPQ shape: candidate selection is PartitionFilters on
+      // the stored combined artifact (PQ codes partitioned by bucket) —
+      // no join for candidates, no Window (encode) anywhere in the probe
+      graft.sources.AnnIndex.ivfPqIndex(spark, sfDir) // ensure stored
+      val df = graft.SparkEntry.queries("e14_ivfpq_ann")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_ivfpq_"), plan)
+      assert(plan.contains("PartitionFilters") && plan.contains("code"), plan)
+      assert(!plan.contains("Window"), s"corpus encode leaked into the e14 probe:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    }
+
+    it("partitioned ANN artifacts hold one file per code directory") {
+      // without repartition(code) before partitionBy(code), every write
+      // task emits a file into every directory it holds rows for —
+      // tasks × 2^nbits tiny files (sf10: 55k files / 4096 dirs, ~6 s
+      // probes); the write contract is exactly one file per bucket
+      for (df <- Seq(graft.sources.AnnIndex.partitionedIndex(spark, sfDir),
+                     graft.sources.AnnIndex.ivfPqIndex(spark, sfDir))) {
+        val files = df.inputFiles
+        val dirs = files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+        assert(files.length == dirs.length,
+          s"${files.length} files over ${dirs.length} code dirs — small-file regression")
+      }
+    }
+
     it("single-query ANN probes source the query vector from the compact table") {
       // the sourcing contract (VectorQueries header): the 1-row query
       // fetch is a PUSHED-DOWN vec_id filter on embeddings.parquet, never
