@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
  *    roll-forward pair (e13's add()-path)
  *  - `graft_pq_cb_*` / `graft_pq_codes_*` — PQ codebooks and the wide
  *    per-vector code table ([[pqCodebooks]]/[[pqCodes]])
+ *  - `graft_ivfpq_*` — the combined IVF-PQ layout: PQ codes partitioned
+ *    by bucket code ([[ivfPqIndex]], e14's probe target)
  *
  * Every stored value is bit-stable across partitionings and engines
  * (decimal-exact dots, integer-exact width derivation), so an artifact
