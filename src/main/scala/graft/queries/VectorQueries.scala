@@ -234,6 +234,38 @@ object VectorQueries {
        |SELECT vec_id, ${(0 until MSub).map(m => s"k$m").mkString(", ")}
        |FROM wide ORDER BY vec_id""".stripMargin
 
+  /** Query-time ADC lookup table: exact sub-dots of the query vector
+    * against every stored codebook entry — M×KSub rows, checkpointed
+    * (joined MSub times downstream). Shared by e08/e14/e15. */
+  private def queryLut(s: SparkSession, dir: String): DataFrame =
+    pqCodebooks(s, dir).crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("m"), col("k"),
+        dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
+      .localCheckpoint()
+
+  /** ADC scoring over a stored code table: every row's approximate dot
+    * is the fixed-order sum of M broadcast LUT lookups — map-side, no
+    * shuffle, nothing but small ints and the 64-row LUT. Shared by
+    * e08/e14/e15. */
+  private def adcApprox(codes: DataFrame, lut: DataFrame): DataFrame =
+    (0 until MSub).foldLeft(codes) { (df, m) =>
+      df.join(broadcast(lut.where(col("m") === m)
+        .select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
+    }.select(col("vec_id"),
+      (0 until MSub).map(m => col(s"l$m")).reduce(_ + _).as("approx"))
+
+  /** The DuckDB mirror of [[queryLut]]+[[adcApprox]] (CTEs `lut`,
+    * `appr`) — composes after [[pqEncodeSqlCtes]] and a `q` CTE. */
+  private val adcSqlCtes: String = {
+    val lutJoins = (0 until MSub)
+      .map(m => s"JOIN lut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
+    s"""lut AS (SELECT c.m, c.k,
+       |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
+       |  FROM cb c CROSS JOIN q),
+       |appr AS (SELECT w.vec_id, ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
+       |  FROM wide w $lutJoins)""".stripMargin
+  }
+
   private def probeRescoreSqlTail(cents: String, assign: String): String =
     s"""q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
        |qp AS (SELECT cid FROM (
@@ -583,20 +615,9 @@ object VectorQueries {
       // from raw embeddings every run, so it gates the stored encode's
       // bit-stability too.
       (s, dir) => {
-        val codes = pqCodes(s, dir)
-        val cb = pqCodebooks(s, dir)
         val q = queryVec(s, dir)
-        // query-time LUT: exact sub-dots of the query against every entry
-        val lut = cb.crossJoin(broadcast(q))
-          .select(col("m"), col("k"),
-            dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
-          .localCheckpoint() // M×KSub rows, joined MSub times below
-        val approx = (0 until MSub).foldLeft(codes) { (df, m) =>
-          df.join(broadcast(lut.where(col("m") === m).select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
-        }
-          .select(col("vec_id"),
-            (0 until MSub).map(m => col(s"l$m")).reduce(_ + _).as("approx"))
-        approx.where(col("vec_id") =!= 0)
+        adcApprox(pqCodes(s, dir), queryLut(s, dir))
+          .where(col("vec_id") =!= 0)
           .orderBy(col("approx").desc, col("vec_id").asc)
           .limit(ReRank)
           .join(emb(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
@@ -606,15 +627,9 @@ object VectorQueries {
           .limit(5)
       },
       Some {
-        val lutJoins = (0 until MSub)
-          .map(m => s"JOIN lut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
         s"""WITH $pqEncodeSqlCtes,
            |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-           |lut AS (SELECT c.m, c.k,
-           |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
-           |  FROM cb c CROSS JOIN q),
-           |appr AS (SELECT w.vec_id, ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
-           |  FROM wide w $lutJoins),
+           |$adcSqlCtes,
            |top AS (SELECT vec_id FROM appr WHERE vec_id <> 0
            |  ORDER BY approx DESC, vec_id LIMIT $ReRank)
            |SELECT t.vec_id, ${dotSqlOf("v.embedding", "q.qvec")} AS score
@@ -642,16 +657,8 @@ object VectorQueries {
           .where(col("code").isin(probes: _*))
           .where(col("vec_id") =!= 0)
         val q = queryVec(s, dir)
-        val lut = pqCodebooks(s, dir).crossJoin(broadcast(q))
-          .select(col("m"), col("k"),
-            dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
-          .localCheckpoint()
-        (0 until MSub).foldLeft(cand.select(col("vec_id") +: (0 until MSub).map(m => col(s"k$m")): _*)) {
-          (df, m) =>
-            df.join(broadcast(lut.where(col("m") === m).select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
-        }
-          .select(col("vec_id"),
-            (0 until MSub).map(m => col(s"l$m")).reduce(_ + _).as("approx"))
+        adcApprox(cand.select(col("vec_id") +: (0 until MSub).map(m => col(s"k$m")): _*),
+            queryLut(s, dir))
           .orderBy(col("approx").desc, col("vec_id").asc)
           .limit(ReRank)
           .join(emb(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
@@ -661,23 +668,51 @@ object VectorQueries {
           .limit(5)
       },
       Some {
-        val lutJoins = (0 until MSub)
-          .map(m => s"JOIN lut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
         s"""WITH codes AS ($codesSql),
            |$pqEncodeSqlCtes,
            |q AS (SELECT code AS qcode, embedding AS qvec FROM codes WHERE vec_id = 0),
            |cand AS (SELECT c.vec_id FROM codes c CROSS JOIN q
            |  WHERE c.vec_id <> 0 AND bit_count(xor(c.code, q.qcode)) <= $ProbeRadius),
-           |lut AS (SELECT c.m, c.k,
-           |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
-           |  FROM cb c CROSS JOIN q),
-           |appr AS (SELECT w.vec_id, ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
-           |  FROM wide w JOIN cand USING (vec_id) $lutJoins),
-           |top AS (SELECT vec_id FROM appr ORDER BY approx DESC, vec_id LIMIT $ReRank)
+           |$adcSqlCtes,
+           |top AS (SELECT a.vec_id FROM appr a JOIN cand USING (vec_id)
+           |  ORDER BY approx DESC, vec_id LIMIT $ReRank)
            |SELECT t.vec_id, ${dotSqlOf("v.embedding", "q.qvec")} AS score
            |FROM top t JOIN embeddings v ON v.vec_id = t.vec_id CROSS JOIN q
            |ORDER BY score DESC, t.vec_id LIMIT 5""".stripMargin
       }),
+
+    Q("e15_pq_recall_metric",
+      // e07's index-quality monitoring applied to the COMPRESSED family:
+      // recall@5 of the stored-PQ ADC ranking (e08's approximate stage,
+      // deliberately WITHOUT the exact re-rank — the re-rank would mask
+      // quantization loss) against brute-force truth, the metric that
+      // tells a deployment when MSub/KSub need retraining. The audit
+      // pays brute force once (its price); the ADC side reads the
+      // stored code table map-side.
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val approxTop = adcApprox(pqCodes(s, dir), queryLut(s, dir))
+          .where(col("vec_id") =!= 0)
+          .orderBy(col("approx").desc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"))
+        val truth = emb(s, dir).where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+        truth.join(approxTop, "vec_id")
+          .agg((count(lit(1)).cast("double") / 5d).as("recall_at_5"))
+      },
+      Some(s"""WITH $pqEncodeSqlCtes,
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |$adcSqlCtes,
+              |atop AS (SELECT vec_id FROM appr WHERE vec_id <> 0
+              |  ORDER BY approx DESC, vec_id LIMIT 5),
+              |truth AS (SELECT a.vec_id FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+              |  ORDER BY ${dotSqlOf("a.embedding", "q.qvec")} DESC, a.vec_id LIMIT 5)
+              |SELECT (SELECT CAST(count(*) AS DOUBLE) / 5 FROM truth JOIN atop USING (vec_id))
+              |  AS recall_at_5""".stripMargin)),
 
     Q("e04_vector_norms",
       // the NATIVE decimal dot, not the declarative aggregate/transform
