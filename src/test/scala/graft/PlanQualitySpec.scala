@@ -367,13 +367,27 @@ class PlanQualitySpec extends SparkSpec {
       // the FAISS-IVFPQ shape: candidate selection is PartitionFilters on
       // the stored combined artifact (PQ codes partitioned by bucket) —
       // no join for candidates, no Window (encode) anywhere in the probe
-      graft.sources.AnnIndex.ivfPqIndex(spark, sfDir) // ensure stored
+      val idx = graft.sources.AnnIndex.ivfPqIndex(spark, sfDir) // ensure stored
       val df = graft.SparkEntry.queries("e14_ivfpq_ann")(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("graft_ivfpq_"), plan)
-      assert(plan.contains("PartitionFilters") && plan.contains("code"), plan)
+      // a NON-EMPTY partition filter on code: every scan of a partitioned
+      // table prints "PartitionFilters: []", so bare contains() would
+      // pass with zero pruning (review finding r12)
+      assert("PartitionFilters: \\[[^\\]]*code".r.findFirstIn(plan).isDefined,
+        s"no non-empty partition filter on code in\n$plan")
       assert(!plan.contains("Window"), s"corpus encode leaked into the e14 probe:\n$plan")
       assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+      // directory-level teeth: the executed probe must open strictly
+      // fewer files than the index holds (the e09 gate's discipline)
+      df.count()
+      // executedScans unwraps AQE (the probe plan has joins → adaptive root)
+      val probedFiles = executedScans(df).collect {
+        case f if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq_")) =>
+          f.metrics("numFiles").value
+      }
+      assert(probedFiles.nonEmpty && probedFiles.head < idx.inputFiles.length.toLong,
+        s"probed=${probedFiles.headOption} full=${idx.inputFiles.length}")
     }
 
     it("partitioned ANN artifacts hold one file per code directory") {
