@@ -552,11 +552,14 @@ object VectorQueries {
       // — this IS the training-loop diagnostic.
       (s, dir) => {
         val coded = codedVectors(s, dir)
-        // sums1 has two consumers (cents1 and the movement join);
-        // centsFromSums checkpoints its own output for the 3-consumer
-        // centroid table
-        val sums1 = lloydSums(coded, seedCentroids(coded)).localCheckpoint()
-        val sums2 = lloydSums(coded, centsFromSums(sums1))
+        // iteration-1 state comes from STORAGE (AnnIndex.lloydSums1 —
+        // the per-iteration state a checkpoint-resumed trainer persists;
+        // bit-identical to a fresh pass), so the diagnostic pays exactly
+        // ONE live corpus pass: iteration 2's assignment+sums. The
+        // iteration-2 centroids come from the stored cents1 table (the
+        // same centsFromSums(sums1) by construction).
+        val sums1 = lloydSums1(s, dir)
+        val sums2 = lloydSums(coded, trainedCentroids(s, dir))
         // duck-exact quantization at width 18: (18,6)×(18,6) products are
         // (37,12) — still lossless in a 38-digit decimal, which a (38,6)
         // input would not be (Spark would shrink the product scale).
