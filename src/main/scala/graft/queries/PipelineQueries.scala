@@ -238,6 +238,22 @@ object PipelineQueries {
       },
       Some(VectorQueries.pqCodesOracleSql)),
 
+    Q("s17_stream_ivfpq_index",
+      // e14's COMBINED index maintained incrementally: arriving vectors
+      // emit their full index row — M PQ codes (the s16 expression,
+      // frozen stored codebooks) plus the SRP bucket code at the frozen
+      // stored width — both stateless per-row expressions, so the
+      // streamed rows are bit-identical to the stored artifact
+      // (StreamingSpec asserts it directly). Oracle recomputes codebooks,
+      // encode AND bucket codes from raw embeddings.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val ks = (0 until graft.sources.AnnIndex.MSub).map(m => s"k$m")
+        StreamAgg.ivfPqStream(s, dir).select(
+          col("vec_id") +: (ks.map(k => col(k).cast("bigint").as(k)) :+ col("code")): _*)
+      },
+      Some(VectorQueries.ivfPqOracleSql)),
+
     Q("s15_stream_dedup_probe",
       // the stored dedup index SERVING a stream (vs s08-s14, which
       // maintain indexes FROM streams): arriving delta docs band their

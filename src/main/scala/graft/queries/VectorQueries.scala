@@ -234,6 +234,15 @@ object VectorQueries {
        |SELECT vec_id, ${(0 until MSub).map(m => s"k$m").mkString(", ")}
        |FROM wide ORDER BY vec_id""".stripMargin
 
+  /** s17's oracle: the combined IVF-PQ index rows (PQ codes + SRP bucket
+    * code at the corpus-derived width) recomputed from raw embeddings —
+    * what the stream-maintained combined index must equal. */
+  private[graft] val ivfPqOracleSql: String =
+    s"""WITH codes AS ($codesSql),
+       |$pqEncodeSqlCtes
+       |SELECT w.vec_id, ${(0 until MSub).map(m => s"w.k$m").mkString(", ")}, c.code
+       |FROM wide w JOIN codes c USING (vec_id) ORDER BY vec_id""".stripMargin
+
   /** Query-time ADC lookup table: exact sub-dots of the query vector
     * against every stored codebook entry — M×KSub rows, checkpointed
     * (joined MSub times downstream). Shared by e08/e14/e15. */

@@ -130,6 +130,11 @@ object AnnIndex {
       when(dot > 0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The bare SRP bucket-code column at a FROZEN width — the per-row
+    * stateless coding expression shared by [[codeVectors]] and the
+    * streaming maintenance of the combined IVF-PQ index (s17). */
+  private[graft] def srpCode(nbits: Int): Column = codeCol(nbits)
+
   /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
     * the select the stored index materializes, and the client-side
     * quantization a probe runs over its own query vector; also the seam

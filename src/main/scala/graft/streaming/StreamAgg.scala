@@ -254,6 +254,27 @@ object StreamAgg {
     replayToMemory(spark, codes, "stream_pq_", "append")(_.orderBy("vec_id"))
   }
 
+  /** The COMBINED IVF-PQ index (e14's probe target) maintained on an
+    * embeddings stream (s17): an arriving vector's index row is its M PQ
+    * codes (the s16 expression against the frozen stored codebooks) PLUS
+    * its SRP bucket code at the frozen stored width — BOTH stateless
+    * per-row expressions, so the row that streams in is bit-identical to
+    * the stored artifact's (asserted in StreamingSpec). In production
+    * the sink appends each row into its bucket's directory (a partitioned
+    * streaming file sink), which is exactly the add()-path of the
+    * partitioned index; probes keep directory-pruning the accumulating
+    * artifact unchanged. */
+  def ivfPqStream(spark: SparkSession, dir: String): DataFrame = {
+    val embStream = graft.model.Conform("embeddings",
+      stagedFileStream(spark, s"$dir/embeddings.parquet"))
+    val cb = graft.sources.AnnIndex.collectedCodebooks(spark, dir)
+    val nb = graft.sources.AnnIndex.nbitsOf(spark, dir)
+    val rows = embStream.select(
+      (col("vec_id") +: graft.sources.AnnIndex.pqEncodeColumns(cb)) :+
+        graft.sources.AnnIndex.srpCode(nb).as("code"): _*)
+    replayToMemory(spark, rows, "stream_ivfpq_", "append")(_.orderBy("vec_id"))
+  }
+
   /** The stored dedup index serving a STREAM PROBE (s15): d27's
     * candidate-generation stage moved to ingest time. Arriving delta
     * documents (doc_id ≡ 0 mod 10, the same "today's crawl" split d27

@@ -47,6 +47,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == stored)
   }
 
+  it("s17's stream-maintained combined IVF-PQ rows equal the stored artifact row-for-row") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cols = "vec_id" +: (0 until graft.sources.AnnIndex.MSub).map(m => s"k$m") :+ "code"
+    val streamed = StreamAgg.ivfPqStream(spark, sfDir)
+      .select(cols.head, cols.tail: _*)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    // the artifact's partition column reads back as the directory key's
+    // narrowest inferred type — normalize to the coder's long
+    val stored = graft.sources.AnnIndex.ivfPqIndex(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id") +:
+        (0 until graft.sources.AnnIndex.MSub).map(m => org.apache.spark.sql.functions.col(s"k$m")) :+
+        org.apache.spark.sql.functions.col("code").cast("long").as("code"): _*)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == stored)
+  }
+
   it("batch dailyBuckets matches the batch time aggregation") {
     val streamed = StreamAgg.dailyBuckets(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
