@@ -37,12 +37,21 @@ object Multimodal {
     *     yields a row describing it, never a task failure — at 100 TB a
     *     single bad blob must not kill a stage);
     *   - output is deterministic for identical bytes (rebuilds and
-    *     speculative task retries must agree). */
+    *     speculative task retries must agree);
+    *   - [[close]] runs exactly once per [[open]], at task completion
+    *     (success, failure, OR speculative kill — the pipeline registers
+    *     it as a TaskCompletionListener), so a native decoder context
+    *     allocated in open() never leaks across the task boundary. */
   trait Codec extends Serializable {
     /** Per-partition initialization hook; the returned function is the
       * actual decoder. The default wires [[features]] straight through —
       * a real codec overrides this to allocate its native context once. */
     def open(): (Long, Array[Byte]) => BinaryFeatures = features
+    /** Per-partition teardown, invoked by the pipeline at task completion
+      * on every path (incl. failed and killed tasks). A real codec
+      * releases the native context allocated in [[open]] here; the
+      * default is a no-op to match the default open(). */
+    def close(): Unit = ()
     def features(id: Long, bytes: Array[Byte]): BinaryFeatures
   }
 
@@ -67,6 +76,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val decode = codec.open() // per-partition codec init
+        // teardown on EVERY task exit path (success/failure/kill): a real
+        // codec's native context must not survive the task, and making
+        // each implementor invent its own cleanup would guarantee leaks
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
         rows.map { case (id, bytes) => decode(id, bytes) }
       }
       .toDF()

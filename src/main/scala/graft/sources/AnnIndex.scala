@@ -219,6 +219,15 @@ object AnnIndex {
       // chars where the current names carry the decimal nb first)
       ArtifactStore.sweepLegacyNames(s, "spark.graft.ann.indexDir",
         "graft_ivf_idx_[0-9a-f]{16}(\\.ptr(\\.tmp\\..*)?|_v_.*)")
+      // the ivfidx→ivfidx2 TAG bump (pre-repartition small-file layouts)
+      // kept the prefix and changed the digest, so the stranded old-tag
+      // index of THIS source sits under a name this release can compute
+      // exactly — delete it after mere pointer idleness instead of
+      // letting a full-size index double the root's disk for the 7-day
+      // orphan horizon
+      ArtifactStore.sweepSupersededFamily(s, "spark.graft.ann.indexDir",
+        s"graft_ivf_idx_${nb}_" + ArtifactStore.sourceDigest(
+          s, new Path(new Path(dir), "embeddings.parquet"), "ivfidx"))
       ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_ivf_idx_${nb}_$digest") { path =>
         // repartition BY the partition column before the partitioned
@@ -404,6 +413,10 @@ object AnnIndex {
       import org.apache.hadoop.fs.Path
       val src = new Path(new Path(dir), "embeddings.parquet")
       val dg = ArtifactStore.sourceDigest(s, src, "annold2")
+      // annold→annold2 tag bump: see partitionedIndex — reclaim the
+      // computable old-tag family without waiting the orphan horizon
+      ArtifactStore.sweepSupersededFamily(s, "spark.graft.ann.indexDir",
+        s"graft_annold_${nbOld}_" + ArtifactStore.sourceDigest(s, src, "annold"))
       ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_annold_${nbOld}_$dg") { path =>
         codeVectors(emb(s, dir).where(pmod(col("vec_id"), lit(10)) =!= 0), nbOld)
@@ -420,6 +433,9 @@ object AnnIndex {
       import org.apache.hadoop.fs.Path
       val src = new Path(new Path(dir), "embeddings.parquet")
       val dg = ArtifactStore.sourceDigest(s, src, "annroll2")
+      // annroll→annroll2 tag bump: see partitionedIndex
+      ArtifactStore.sweepSupersededFamily(s, "spark.graft.ann.indexDir",
+        s"graft_annroll_${nbOld}_" + ArtifactStore.sourceDigest(s, src, "annroll"))
       ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_annroll_${nbOld}_$dg") { path =>
         // the artifact's partition column reads back as the narrowest

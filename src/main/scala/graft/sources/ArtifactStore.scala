@@ -121,6 +121,48 @@ object ArtifactStore {
     }
   }
 
+  /** Delete one EXACT family (`<baseName>.ptr` + its versions + tmp
+    * pointers) that this release knows is superseded — a digest-TAG bump
+    * keeps the family prefix but changes the digest, so the stranded
+    * old-tag family sits under the same prefix as live siblings and the
+    * generic prefix sweep rightly waits the full 7-day orphan horizon
+    * before touching it (a different digest usually means a different
+    * LIVE source). When the caller can COMPUTE the dead name (old tag +
+    * current source ⇒ exact superseded digest), certainty replaces the
+    * horizon: delete after only the short stale horizon of pointer
+    * idleness. The idleness guard stays because a mixed-version
+    * deployment's old binaries still resolve (and touch) the old-tag
+    * pointer — a fresh pointer vetoes the sweep; once the old binaries
+    * retire, the pointer goes idle and the space is reclaimed in minutes
+    * instead of days. */
+  def sweepSupersededFamily(s: SparkSession, rootConfKey: String, baseName: String): Unit = {
+    val (fs, pfs, root) = rootFs(s, rootConfKey)
+    try {
+      if (!fs.exists(root)) return
+      val staleMs = s.conf.get("spark.graft.artifact.staleMs",
+        s.conf.get("spark.graft.ann.staleIndexMs", "600000")).toLong
+      val now = System.currentTimeMillis()
+      val ptr = new Path(root, s"$baseName.ptr")
+      // any stat failure other than "gone" conservatively reads as live
+      val ptrIdle =
+        try !pfs.exists(ptr) || now - pfs.getFileStatus(ptr).getModificationTime > staleMs
+        catch {
+          case _: java.io.FileNotFoundException => true
+          case _: java.io.IOException => false
+        }
+      if (!ptrIdle) return
+      if (pfs.exists(ptr)) pfs.delete(ptr, false)
+      fs.globStatus(new Path(root, s"${baseName}_v_*")).foreach { vst =>
+        // version-dir idleness too: a self-served pointerless staging tree
+        // (forward-dated mtime) must survive its grace window
+        if (now - vst.getModificationTime > staleMs) fs.delete(vst.getPath, true)
+      }
+      pfs.globStatus(new Path(root, s"$baseName.ptr.tmp.*")).foreach { tst =>
+        if (now - tst.getModificationTime > staleMs) pfs.delete(tst.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** (data fs, pointer fs, root) for an artifact root — the pointer fs is
     * the RAW filesystem when the root is checksummed (see the protocol
     * note above: sidecar-free pointer renames are atomic on POSIX). */

@@ -260,6 +260,44 @@ class ArtifactStoreSpec extends SparkSpec {
       }
     }
 
+    it("sweepSupersededFamily deletes an idle old-tag family in minutes, sparing same-prefix siblings") {
+      // the tag-bump case: old tag + current source ⇒ a computable dead
+      // digest under the SAME prefix as live siblings — certainty replaces
+      // the 7-day orphan horizon, guarded only by short pointer idleness
+      withScratchDir("graft_as_supers") { root =>
+        val s = session(root)
+        val dead = "sup_7_" + "a" * 16
+        val sibling = "sup_7_" + "b" * 16
+        ArtifactStore.getOrBuild(s, RootKey, dead)(writeRange(s, 5))
+        ArtifactStore.getOrBuild(s, RootKey, sibling)(writeRange(s, 6))
+        val deadPtr = new java.io.File(root, s"$dead.ptr")
+        val deadV = new java.io.File(root).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith(s"${dead}_v_"))
+        (deadPtr +: deadV.toSeq).foreach(f => assert(f.setLastModified(1000L)))
+        s.conf.set("spark.graft.artifact.staleMs", "60000")
+        ArtifactStore.sweepSupersededFamily(s, RootKey, dead)
+        assert(!deadPtr.exists(), "superseded pointer not collected")
+        assert(deadV.forall(!_.exists()), "superseded versions not collected")
+        // the live same-prefix sibling is untouched (exact-name sweep)
+        assert(new java.io.File(root, s"$sibling.ptr").exists())
+        assert(ArtifactStore.getOrBuild(s, RootKey, sibling)(writeRange(s, 6)).count() == 6)
+      }
+    }
+
+    it("sweepSupersededFamily spares a family an old-release binary still resolves (fresh pointer)") {
+      withScratchDir("graft_as_supers2") { root =>
+        val s = session(root)
+        val served = "sup_8_" + "c" * 16
+        ArtifactStore.getOrBuild(s, RootKey, served)(writeRange(s, 4))
+        // pointer mtime is now-fresh (just resolved) — mixed-version guard
+        s.conf.set("spark.graft.artifact.staleMs", "60000")
+        ArtifactStore.sweepSupersededFamily(s, RootKey, served)
+        assert(new java.io.File(root, s"$served.ptr").exists(),
+          "sweep collected a family whose pointer is still being used")
+        assert(ArtifactStore.getOrBuild(s, RootKey, served)(writeRange(s, 4)).count() == 4)
+      }
+    }
+
     it("the usage marker never rewinds a forward-dated (pointerless self-served) tree") {
       withScratchDir("graft_as_fwd") { root =>
         val s = session(root)

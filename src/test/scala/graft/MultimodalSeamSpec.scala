@@ -18,19 +18,25 @@ class MultimodalSeamSpec extends SparkSpec {
       .repartition(parts)
 
   it("a swapped codec's features flow through the pipeline unchanged") {
-    val acc = spark.sparkContext.longAccumulator("opens")
-    val out = Multimodal.extractFeatures(spark, blobs(6, 3), new MarkingCodec(acc))
+    val out = Multimodal.extractFeatures(spark, blobs(6, 3),
+      new MarkingCodec(spark.sparkContext.longAccumulator("opens"),
+        spark.sparkContext.longAccumulator("closes")))
       .orderBy("doc_id").collect()
     assert(out.map(_.getString(3)).toSeq == (1 to 6).map(i => s"marked:$i"))
     assert(out.forall(_.getLong(2) == -99L))
   }
 
-  it("open() runs once per partition, not per row") {
-    val acc = spark.sparkContext.longAccumulator("opens")
-    Multimodal.extractFeatures(spark, blobs(8, 2), new MarkingCodec(acc)).count()
+  it("open() runs once per partition, and close() runs once per open()") {
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    Multimodal.extractFeatures(spark, blobs(8, 2), new MarkingCodec(opens, closes)).count()
     // ≤ partitions with rows (empty partitions may skip the iterator);
     // strictly < row count proves per-partition, not per-row, init
-    assert(acc.value >= 1L && acc.value <= 2L, s"opens=${acc.value}")
+    assert(opens.value >= 1L && opens.value <= 2L, s"opens=${opens.value}")
+    // the leak clause: every native context allocated in open() is
+    // released at task completion — accumulators from completed tasks are
+    // merged before the action returns, so the counts must already agree
+    assert(closes.value == opens.value, s"opens=${opens.value} closes=${closes.value}")
   }
 
   it("the default codec is the documented deterministic stand-in") {
@@ -51,12 +57,14 @@ object MultimodalSeamSpec {
     * rows and counts per-partition open() calls through an accumulator.
     * Top-level on purpose — a Codec ships inside task closures, so it
     * must not capture a non-serializable outer (the seam's first clause). */
-  private class MarkingCodec(opens: org.apache.spark.util.LongAccumulator)
+  private class MarkingCodec(opens: org.apache.spark.util.LongAccumulator,
+                             closes: org.apache.spark.util.LongAccumulator)
       extends Multimodal.Codec {
     override def open(): (Long, Array[Byte]) => Multimodal.BinaryFeatures = {
       opens.add(1L) // once per partition, NOT per row
       features
     }
+    override def close(): Unit = closes.add(1L) // once per open(), at task completion
     def features(id: Long, bytes: Array[Byte]): Multimodal.BinaryFeatures =
       Multimodal.BinaryFeatures(id, bytes.length.toLong, -99L, s"marked:${bytes.length}")
   }
