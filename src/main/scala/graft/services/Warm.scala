@@ -33,7 +33,7 @@ object Warm {
     * whose artifact is absent completes as a no-op). */
   def resolve(s: SparkSession, dir: String, timeoutSec: Int = 120): Seq[String] = {
     val hooks: Seq[(String, () => Unit)] =
-      graft.queries.TextQueries.warmResolve(s, dir) ++
+      graft.sources.TextIndex.warmResolve(s, dir) ++
         graft.queries.SearchQueries.warmResolve(s, dir) ++
         graft.sources.AnnIndex.warmResolve(s, dir)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -167,7 +167,7 @@ object StreamAgg {
     * (stream-static, as d09 does). */
   def minhashIndexStream(spark: SparkSession, dir: String): DataFrame = {
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
-    val sig = graft.queries.TextQueries.streamSignatures(docsStream)
+    val sig = graft.sources.TextIndex.streamSignatures(docsStream)
       .select(col("doc_id"), concat_ws(",", col("sig").cast("array<string>")).as("sig"))
     replayToMemory(spark, sig, "stream_sig_", "append")(_.orderBy("doc_id"))
   }
@@ -280,7 +280,7 @@ object StreamAgg {
     * documents (doc_id ≡ 0 mod 10, the same "today's crawl" split d27
     * prices) band their MinHash signatures row-locally — zero state —
     * and stream-static inner-join the STORED capped corpus member table
-    * ([[graft.queries.TextQueries.corpusMemberTable]], d27's LSH index
+    * ([[graft.sources.TextIndex.corpusMemberTable]], d27's LSH index
     * artifact), emitting (batch_id, corpus_id, band) bucket hits as they
     * arrive. 100 TB cost shape, stated honestly: a stream-static join
     * re-plans the STATIC side every trigger, so each micro-batch pays
@@ -297,12 +297,32 @@ object StreamAgg {
   def dedupProbeStream(spark: SparkSession, dir: String): DataFrame = {
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
     val delta = docsStream.where(pmod(col("doc_id"), lit(10)) === 0)
-    val hits = graft.queries.TextQueries.streamBands(delta)
-      .join(graft.queries.TextQueries.corpusMemberTable(spark, dir), Seq("band", "bkey"))
+    val hits = graft.sources.TextIndex.streamBands(delta)
+      .join(graft.sources.TextIndex.corpusMemberTable(spark, dir), Seq("band", "bkey"))
       .select(col("doc_id").as("batch_id"), col("corpus_id"), col("band"))
     replayToMemory(spark, hits, "stream_probe_", "append")(
       _.orderBy("batch_id", "corpus_id", "band"))
   }
+
+  /** The stored-artifact SIDE-INPUTS of the streaming queries above,
+    * resolvable WITHOUT starting any stream — one entry per stream that
+    * reads a stored family (s15 → the d27 corpus index via
+    * [[graft.sources.TextIndex.corpusMemberTable]]; s16/s17 → the PQ
+    * codebooks and the SRP width via [[graft.sources.AnnIndex]]).
+    * WarmCoverageSpec drives these alongside the batch-query
+    * constructions, so a family would stay gate-enforced even if every
+    * BATCH query publishing it were deleted and only a stream kept
+    * resolving it (the gate used to skip s-queries wholesale because
+    * construction runs their streams — this registry is the
+    * construction-path seam that closes that hole). Keep it in lockstep:
+    * a new stream that calls a stored-artifact accessor adds its entry
+    * here, or its family dodges the warm gate. */
+  private[graft] def artifactSeams(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "s15_stream_dedup_probe" -> (() => { graft.sources.TextIndex.corpusMemberTable(spark, dir); () }),
+    "s16_stream_pq_codes" -> (() => { graft.sources.AnnIndex.collectedCodebooks(spark, dir); () }),
+    "s17_stream_ivfpq_index" -> (() => {
+      graft.sources.AnnIndex.collectedCodebooks(spark, dir)
+      graft.sources.AnnIndex.nbitsOf(spark, dir); () }))
 
   def normsIndexStream(spark: SparkSession, dir: String): DataFrame = {
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")

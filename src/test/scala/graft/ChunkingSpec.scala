@@ -6,7 +6,7 @@ import org.scalacheck.rng.Seed
 
 /** Content-defined chunking (d24/d25) invariants.
   *
-  * The fold in `TextQueries.chunksOf` must PARTITION the token stream:
+  * The fold in `TextIndex.chunksOf` must PARTITION the token stream:
   * re-joining the chunks with single spaces reconstructs the input text
   * exactly, for any text — including empty tokens from repeated spaces,
   * punctuation, and texts whose final token is/isn't a boundary. A
@@ -14,12 +14,12 @@ import org.scalacheck.rng.Seed
   * dedup statistics.
   */
 class ChunkingSpec extends SparkSpec {
-  import graft.queries.TextQueries
+  import graft.sources.TextIndex
 
   private def chunksFor(texts: Seq[String]): Seq[(String, Seq[String])] = {
     import spark.implicits._
     texts.toDF("text")
-      .select(col("text"), TextQueries.chunksOf("text").as("chunks"))
+      .select(col("text"), TextIndex.chunksOf("text").as("chunks"))
       .as[(String, Seq[String])].collect().toSeq
   }
 

@@ -26,12 +26,15 @@ class WarmCoverageSpec extends SparkSpec {
     // Construct every batch query: getOrBuild calls run during
     // construction, so this enumerates the full family set without
     // executing the plans. s-prefixed queries RUN their streams on
-    // construction and are skipped — their stored families are the batch
-    // ones (the index streams maintain what the batch queries publish),
-    // so the enumeration stays complete. A future s-only family would
-    // need its query added here.
+    // construction, so instead of constructing them this drives their
+    // stored-artifact side-inputs through StreamAgg.artifactSeams — the
+    // stream queries' construction-path seam. A family whose batch
+    // publishers were all deleted but that an s-query keeps resolving
+    // therefore still registers its publishes and stays gate-enforced
+    // (the old wholesale s-skip let exactly that case dodge the gate).
     SparkEntry.queries.filterNot(_._1.startsWith("s")).values
       .foreach(f => f(spark, sfDir))
+    graft.streaming.StreamAgg.artifactSeams(spark, sfDir).foreach(_._2())
     // restrict to the engine's graft_ families: the recorders are
     // JVM-global and other suites (ArtifactStoreSpec) publish synthetic
     // names with no warm hooks — without the filter this gate is
