@@ -25,7 +25,8 @@ object Bench {
     "q74_sessionize", "q76_asof_join", "q77_range_join_bucketed",
     "d01_exact_dedup_keep_first", "d08_minhash_signature", "d09_lsh_band_candidates",
     "d10_ngram_jaccard_verify", "d12_embedding_cosine_neardup", "d16_curation_pipeline",
-    "d20_neardup_removal_pipeline", "e01_knn_bruteforce", "e03_knn_bucketed_join",
+    "d20_neardup_removal_pipeline", "d27_incremental_batch_dedup",
+    "e01_knn_bruteforce", "e03_knn_bucketed_join",
     "e05_ivf_coarse_ann", "e06_ivf_lloyd_ann", "e07_ann_recall_metric", "e08_pq_adc_ann",
     "q88_skew_salted_join",
     "g01_connected_components",
@@ -60,7 +61,21 @@ object Bench {
     // and the min2/first ratio over the headline keys, so a contended run
     // self-identifies in the permanent BENCH_r{N} record (SCALE.md:
     // min2/first < 0.7 ⇒ treat the run as contended).
-    val loadStart = load1
+    //
+    // Contamination guard (round 12's lesson: the committed BENCH_r12 was
+    // recorded at load1 5.4 — its own telemetry condemned it — while the
+    // clean run sat in a side file): a bench that STARTS under heavy load
+    // measures the neighbors, not the engine, so wait out transient load
+    // before the session starts. Bounded at 10 min; if load never drops
+    // the run proceeds and its telemetry still tells the truth.
+    var loadStart = load1
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
+    val waitDeadline = System.nanoTime() + 600L * 1000000000L
+    while (loadStart > loadGate && loadStart >= 0 && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] load1=$loadStart%.2f > $loadGate%.1f — waiting for the box to settle")
+      Thread.sleep(15000)
+      loadStart = load1
+    }
     val spark = SparkSession.builder()
       // GraftExtensions injects the optimizer rules into the MAIN
       // operator-optimization batch (the post-hoc extraOptimizations
@@ -173,7 +188,10 @@ object Bench {
         graft.queries.TextQueries.releaseCaches(spark)
         graft.queries.SearchQueries.releaseCaches(spark)
       }
-      if (f == "e") graft.sources.AnnIndex.releaseCaches(spark)
+      if (f == "e") {
+        graft.sources.AnnIndex.releaseCaches(spark)
+        graft.queries.VectorQueries.releaseCaches(spark)
+      }
       if (f.nonEmpty) System.gc()
     }
     var fam = ""
@@ -213,6 +231,17 @@ object Bench {
     val headKeys = (headline ++ top5).distinct.filter(timings.contains).sorted
     val headFirstPass = headKeys.map(k => timings(k)).sum
     val fns = SparkEntry.queries
+    // Clean-slate boundary before the min-of-2 re-runs: pass 1 ends in
+    // the s/t families, whose retained result checkpoints (plus any
+    // family caches the boundary walk below wouldn't release, since it
+    // starts at "d") would otherwise tax the re-run timings. This is the
+    // round-12 d27 movement: controlled A/B (r11 binary vs r13 at an
+    // identical d01→d26 neighborhood) shows d27's own first-pass cost
+    // UNCHANGED at ~2.3 s — what moved 1.35 → 1.8 was the min-of-2
+    // re-run slot growing heavier as four new queries' retained state
+    // joined pass 1. Releasing everything here puts the re-runs back on
+    // the footing pass 1's d-family had.
+    Seq("d", "e").foreach(releaseFamily)
     fam = ""
     headKeys.foreach { k =>
       val f = familyOf(k)

@@ -157,21 +157,19 @@ object TextQueries {
        |FROM bbands bb JOIN member m USING (band, bkey)
        |ORDER BY 1, 2, 3""".stripMargin
 
-  /** Drop this session's cached index artifacts (candidate pairs,
-    * verified pairs, d27 batch-side blocks, and the stored-artifact
-    * readers via [[TextIndex.releaseStored]]) and free their checkpoint
+  /** Drop this session's cached CHECKPOINT intermediates (candidate
+    * pairs, verified pairs, d27 batch-side blocks) and free their
     * blocks. The bench harness calls this between query families so one
     * family's retained blocks don't tax the next family's timings; the
-    * caches rebuild lazily on next use. */
-  def releaseCaches(s: SparkSession): Unit = {
-    // candidate/verified pairs are localCheckpoint blocks — unpersist;
-    // the stored-artifact readers are parquet scans — dropping the
-    // references is enough (the on-disk artifacts are reused via their
-    // pointer)
+    * caches rebuild lazily on next use. The STORED-artifact readers
+    * ([[TextIndex]]'s sig/chunk/corpus-index caches) are deliberately
+    * KEPT: they are bare parquet plans pinning zero executor memory, and
+    * re-resolving one costs ~0.14 s of pointer/footer/GC-sweep I/O per
+    * family re-entry (measured on d27's re-run slot, r13) — a serving
+    * session keeps its index readers open for its lifetime. */
+  def releaseCaches(s: SparkSession): Unit =
     Seq(candCache, verCache, d27Cache).foreach(
       _.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint))
-    TextIndex.releaseStored(s)
-  }
 
   /** d27's batch-side checkpoint blocks (batch signatures + candidate
     * shingle sets) — tracked so [[releaseCaches]] frees them. */
@@ -746,7 +744,12 @@ object TextQueries {
         // input, not a per-batch dependency. Both batch-side checkpoints
         // are session-cached so repeated runs reuse one set of blocks AND
         // releaseCaches can actually free them (an untracked checkpoint
-        // pins block-manager memory until session end).
+        // pins block-manager memory until session end). Re-signing the
+        // small batch beats filtering the stored signature table (r13
+        // A/B: the full-table scan the unprunable modulo filter forces
+        // costs ~+0.4 s at sf0.1 vs ~0.08 s to re-sign 10% of the docs);
+        // a production signature store partitioned by ingest date would
+        // flip that — "today's signatures" prunes to one partition.
         val bb = TextIndex.bandsFromSig(d27Cache.getOrElseUpdate(s, s"$dir#batchsig")(
           TextIndex.signatures(batch).localCheckpoint()))
         val cand = bb.join(member, Seq("band", "bkey"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import CoreQueries.Q
@@ -245,12 +245,24 @@ object VectorQueries {
 
   /** Query-time ADC lookup table: exact sub-dots of the query vector
     * against every stored codebook entry — M×KSub rows, checkpointed
-    * (joined MSub times downstream). Shared by e08/e14/e15. */
+    * (joined MSub times downstream). Shared by e08/e14/e15 — and cached
+    * per (session, dir) so one bench/serving session builds the small
+    * table once, not once per probe query (the established SessionCache
+    * pattern for every other shared intermediate); released with the
+    * e-family caches below. */
+  private val lutCache = new graft.util.SessionCache[DataFrame]
   private def queryLut(s: SparkSession, dir: String): DataFrame =
-    pqCodebooks(s, dir).crossJoin(broadcast(queryVec(s, dir)))
-      .select(col("m"), col("k"),
-        dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
-      .localCheckpoint()
+    lutCache.getOrElseUpdate(s, dir) {
+      pqCodebooks(s, dir).crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("m"), col("k"),
+          dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
+        .localCheckpoint()
+    }
+
+  /** Free this session's query-LUT checkpoint blocks (bench
+    * inter-family release; rebuilds lazily). */
+  private[graft] def releaseCaches(s: SparkSession): Unit =
+    lutCache.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint)
 
   /** ADC scoring over a stored code table: every row's approximate dot
     * is the fixed-order sum of M broadcast LUT lookups — map-side, no

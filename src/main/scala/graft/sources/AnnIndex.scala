@@ -632,13 +632,10 @@ object AnnIndex {
 
   /** Drop this session's cached coded-vector table and free its
     * checkpoint blocks (bench inter-family release; rebuilds lazily).
-    * The partitioned-index/codebook entries are parquet-backed —
-    * dropping them frees only driver references; the on-disk index is
-    * reused via its pointer. */
-  def releaseCaches(s: SparkSession): Unit = {
+    * The partitioned-index / JL-sketch / codebook entries are KEPT:
+    * parquet-backed readers and a 64-row driver-side Seq pin no executor
+    * memory, and re-resolving costs pointer/footer I/O per re-entry
+    * (see TextQueries.releaseCaches — same measurement, r13). */
+  def releaseCaches(s: SparkSession): Unit =
     codedCache.removeAll(s).foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
-    idxCache.removeAll(s)
-    jlCache.removeAll(s) // parquet-backed: drops only the driver reference
-    cbCache.removeAll(s)
-  }
 }

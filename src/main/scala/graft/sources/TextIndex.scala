@@ -268,12 +268,10 @@ object TextIndex {
         live(s"graft_sig_${dg("minhash")}")) { corpusIndex(s, dir); () }))
   }
 
-  /** Drop this session's stored-artifact READERS (parquet scans — no
-    * block-manager blocks to free; the on-disk artifacts are reused via
-    * their pointers). The bench harness calls this between query families
-    * via [[graft.queries.TextQueries.releaseCaches]]. */
-  private[graft] def releaseStored(s: SparkSession): Unit = {
-    Seq(sigCache, chunkCache).foreach(_.removeAll(s))
-    corpusIdxCache.removeAll(s)
-  }
+  // No release hook for the stored readers on purpose: every cache here
+  // holds a bare parquet plan (zero executor memory), and a serving
+  // session keeps its index readers open — re-resolving one costs
+  // ~0.14 s of pointer/footer/GC-sweep I/O (measured, r13). Data
+  // regenerated MID-session is not a supported invalidation point; a
+  // new session re-resolves by digest as always.
 }
