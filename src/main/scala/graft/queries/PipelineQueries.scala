@@ -264,6 +264,16 @@ object PipelineQueries {
       (s, dir) => StreamAgg.dedupProbeStream(s, dir),
       Some(TextQueries.streamProbeOracleSql)),
 
+    Q("s18_stream_ann_probe",
+      // the stored ANN index SERVING a query stream — s15's vector-side
+      // counterpart: arriving query vectors quantize statelessly at the
+      // frozen width, explode into their Hamming-ball probe codes, and
+      // stream-static join the stored coded-vector index; hits above the
+      // d12 cosine threshold emit at ingest time. Oracle recomputes both
+      // sides from raw embeddings.
+      (s, dir) => StreamAgg.annProbeStream(s, dir),
+      Some(VectorQueries.annProbeStreamOracleSql)),
+
     Q("s13_stream_norms_index",
       // the d35 norms table maintained incrementally: per-document length
       // rows from a stateless expression over a streaming documents

@@ -55,7 +55,9 @@ object VectorQueries {
   // private[graft] members, so the wildcard exposes them here only)
   import graft.sources.AnnIndex._
 
-  private val ProbeRadius = 2
+  // ProbeRadius/probeMasksFor live with the quantizer geometry in
+  // AnnIndex (the s18 probe stream shares them); exposed here via the
+  // wildcard import above.
   /** IVF probe width: buckets probed per query (KCent lives with the
     * training machinery in AnnIndex). */
   private val NProbe = 2
@@ -70,12 +72,6 @@ object VectorQueries {
     * (≤ ~915 even at the NBitsMax ceiling for sf100), so only genuine
     * skew/duplicate pathologies are dropped — and they are observed. */
   private val VecBucketCap = 2000L
-
-  /** All probe codes of a query code at `nbits`: XOR masks for Hamming
-    * distance 0..ProbeRadius — exhaustively enumerated by popcount, so any
-    * radius stays consistent with e02's bit_count filter. */
-  private def probeMasksFor(nbits: Int): Seq[Long] =
-    (0L until (1L << nbits)).filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
 
   /** The client side of the sourcing contract: the query vector as a
     * 1-row pushdown off the compact source. */
@@ -286,6 +282,21 @@ object VectorQueries {
        |appr AS (SELECT w.vec_id, ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
        |  FROM wide w $lutJoins)""".stripMargin
   }
+
+  /** s18's oracle: the query stream's Hamming-ball probe recomputed from
+    * raw embeddings — SRP codes + norms for everything ([[codesSql]]),
+    * ball membership by bit_count (each ball member matches exactly one
+    * of the stream's XOR masks, so the two forms enumerate identical
+    * pairs), exact decimal cosine, d12's threshold. */
+  private[graft] def annProbeStreamOracleSql: String =
+    s"""WITH codes AS ($codesSql),
+       |q AS (SELECT vec_id AS q_id, embedding AS qvec, norm AS qnorm, code AS qcode
+       |      FROM codes WHERE vec_id % 100 = 0),
+       |hits AS (
+       |  SELECT q.q_id, a.vec_id, ${dotSqlOf("a.embedding", "q.qvec")} / (a.norm * q.qnorm) AS cosine
+       |  FROM codes a JOIN q ON bit_count(xor(a.code, q.qcode)) <= $ProbeRadius AND a.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, cosine FROM hits WHERE cosine >= 0.25
+       |ORDER BY q_id, vec_id""".stripMargin
 
   private def probeRescoreSqlTail(cents: String, assign: String): String =
     s"""q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),

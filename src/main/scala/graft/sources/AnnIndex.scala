@@ -135,6 +135,17 @@ object AnnIndex {
     * streaming maintenance of the combined IVF-PQ index (s17). */
   private[graft] def srpCode(nbits: Int): Column = codeCol(nbits)
 
+  /** Multi-probe width: Hamming radius of the bucket ball every probe
+    * scans (part of the quantizer geometry — the recall/scan-fraction
+    * trade documented in VectorQueries' Scaladoc). */
+  private[graft] final val ProbeRadius = 2
+
+  /** All probe codes of a query code at `nbits`: XOR masks for Hamming
+    * distance 0..ProbeRadius — exhaustively enumerated by popcount, so
+    * any radius stays consistent with the oracle's bit_count filter. */
+  private[graft] def probeMasksFor(nbits: Int): Seq[Long] =
+    (0L until (1L << nbits)).filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
+
   /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
     * the select the stored index materializes, and the client-side
     * quantization a probe runs over its own query vector; also the seam

@@ -304,6 +304,45 @@ object StreamAgg {
       _.orderBy("batch_id", "corpus_id", "band"))
   }
 
+  /** The stored ANN index SERVING a query STREAM (s18) — the vector-side
+    * counterpart of s15's dedup probe, completing the lifecycle symmetry
+    * for the vector families too: indexes are MAINTAINED by streams
+    * (s14/s16/s17) and now also SERVE streams. Arriving query vectors
+    * (1% of ids stand in for the query stream) are coded + normed by the
+    * SAME stateless client-side quantization a batch probe runs
+    * ([[graft.sources.AnnIndex.codeVectors]] at the FROZEN stored width
+    * — the e13 frozen-quantizer pattern), exploded row-locally into
+    * their Hamming-ball probe codes (each ball member matches exactly
+    * one mask, so the equi-join needs no pair dedup — e03's identity),
+    * and stream-static inner-joined against the stored coded-vector
+    * index on the bucket code. Hits above the d12 cosine threshold are
+    * emitted as they arrive. Zero streaming state. 100 TB cost shape,
+    * stated honestly (same as s15): a stream-static join re-plans the
+    * static side per trigger, so each micro-batch pays one scan of the
+    * narrow code/norm columns hash-joined against the small query
+    * delta; per-event latency would replicate the bucket-keyed index
+    * into a keyed store and keep this job as the batch-interval tier. */
+  def annProbeStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AnnIndex
+    val nb = AnnIndex.nbitsOf(spark, dir)
+    val embStream = graft.model.Conform("embeddings",
+      stagedFileStream(spark, s"$dir/embeddings.parquet"))
+    val queries = AnnIndex.codeVectors(
+        embStream.where(pmod(col("vec_id"), lit(100)) === 0), nb)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("code").as("qcode"))
+    val probes = queries.select(col("q_id"), col("qvec"), col("qnorm"),
+      explode(array(AnnIndex.probeMasksFor(nb).map(m =>
+        col("qcode").bitwiseXOR(lit(m))): _*)).as("pcode"))
+    val hits = probes
+      .join(AnnIndex.codedVectors(spark, dir),
+        col("code") === col("pcode") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (AnnIndex.dotNative("embedding", "qvec") / (col("norm") * col("qnorm"))).as("cosine"))
+      .where(col("cosine") >= 0.25)
+    replayToMemory(spark, hits, "stream_annprobe_", "append")(_.orderBy("q_id", "vec_id"))
+  }
+
   /** The stored-artifact SIDE-INPUTS of the streaming queries above,
     * resolvable WITHOUT starting any stream — one entry per stream that
     * reads a stored family (s15 → the d27 corpus index via
@@ -322,7 +361,10 @@ object StreamAgg {
     "s16_stream_pq_codes" -> (() => { graft.sources.AnnIndex.collectedCodebooks(spark, dir); () }),
     "s17_stream_ivfpq_index" -> (() => {
       graft.sources.AnnIndex.collectedCodebooks(spark, dir)
-      graft.sources.AnnIndex.nbitsOf(spark, dir); () }))
+      graft.sources.AnnIndex.nbitsOf(spark, dir); () }),
+    "s18_stream_ann_probe" -> (() => {
+      graft.sources.AnnIndex.nbitsOf(spark, dir)
+      graft.sources.AnnIndex.codedVectors(spark, dir); () }))
 
   def normsIndexStream(spark: SparkSession, dir: String): DataFrame = {
     val docsStream = stagedFileStream(spark, s"$dir/documents.parquet")
