@@ -260,6 +260,18 @@ object VectorQueries {
   private[graft] def releaseCaches(s: SparkSession): Unit =
     lutCache.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint)
 
+  /** e16's query-time RESIDUAL ADC lookup table — [[queryLut]] against
+    * the residual-trained codebooks (the query itself is NOT residualized:
+    * dot(q, residual(x)) decomposes per subspace against the residual
+    * codebook entries directly). Session-cached like queryLut. */
+  private def rpqQueryLut(s: SparkSession, dir: String): DataFrame =
+    lutCache.getOrElseUpdate(s, s"$dir#rpq") {
+      rpqCodebooks(s, dir).crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("m"), col("k"),
+          dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
+        .localCheckpoint()
+    }
+
   /** ADC scoring over a stored code table: every row's approximate dot
     * is the fixed-order sum of M broadcast LUT lookups — map-side, no
     * shuffle, nothing but small ints and the 64-row LUT. Shared by
@@ -297,6 +309,58 @@ object VectorQueries {
        |  FROM codes a JOIN q ON bit_count(xor(a.code, q.qcode)) <= $ProbeRadius AND a.vec_id <> q.q_id)
        |SELECT q_id, vec_id, cosine FROM hits WHERE cosine >= 0.25
        |ORDER BY q_id, vec_id""".stripMargin
+
+  /** e16's oracle: the ENTIRE residual pipeline retrained + re-encoded
+    * from raw embeddings — seed→Lloyd centroids, cosine assignment,
+    * float residual subtraction (CAST(double−double AS REAL) ≡ IEEE
+    * float subtract, bit-identical to the Spark side), residual codebook
+    * hash-sample, residual argmin encode, then the probe: NProbe coarse
+    * buckets by cosine, approx = term0 + fixed-order LUT sum, top-ReRank
+    * exact re-rank. Composes the e06 Lloyd CTEs and the pqEncode CTE
+    * structure over residuals. */
+  private def residualPqOracleSql: String = {
+    val rcbSql = (0 until MSub).map { m =>
+      s"""(SELECT $m AS m,
+         |  row_number() OVER (ORDER BY md5(concat('rpq:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
+         |  list_slice(rvec, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
+         |FROM res ORDER BY md5(concat('rpq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val lutJoins = (0 until MSub)
+      .map(m => s"JOIN rlut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
+    s"""WITH codes AS ($codesSql),
+       |cents0 AS ($seedCentsSqlBody),
+       |${lloydSqlCtes("cents0", "a0", "sums0", "cents1")},
+       |a1 AS (${assignSqlBody("cents1n")}),
+       |res AS (SELECT a.vec_id, a.cid,
+       |    list_transform(list_zip(a.embedding, c.cvec),
+       |      z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS REAL)) AS rvec
+       |  FROM a1 a JOIN cents1n c USING (cid)),
+       |rcb0 AS ($rcbSql),
+       |rcb AS (SELECT m, k, cvec, ${dotSqlOf("cvec", "cvec")} AS cn2 FROM rcb0),
+       |renc AS (SELECT vec_id, cid, m, k FROM (
+       |    SELECT v.vec_id, v.cid, c.m, c.k,
+       |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
+       |        -2 * ${dotSqlOf(s"list_slice(v.rvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} + c.cn2 ASC,
+       |        c.k) AS rn
+       |    FROM res v CROSS JOIN rcb c) t WHERE rn = 1),
+       |rwide AS (SELECT vec_id, cid, ${(0 until MSub).map(m => s"max(CASE WHEN m = $m THEN k END) AS k$m").mkString(", ")}
+       |  FROM renc GROUP BY vec_id, cid),
+       |q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
+       |qp AS (SELECT cid, term0 FROM (
+       |    SELECT c.cid, ${dotSqlOf("c.cvec", "q.qvec")} AS term0,
+       |      row_number() OVER (ORDER BY ${dotSqlOf("c.cvec", "q.qvec")} / c.cnorm DESC, c.cid) AS rn
+       |    FROM cents1n c CROSS JOIN q) t WHERE rn <= $NProbe),
+       |rlut AS (SELECT c.m, c.k,
+       |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
+       |  FROM rcb c CROSS JOIN q),
+       |appr AS (SELECT w.vec_id, qp.term0 + ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
+       |  FROM rwide w JOIN qp USING (cid) $lutJoins),
+       |top AS (SELECT vec_id FROM appr WHERE vec_id <> 0
+       |  ORDER BY approx DESC, vec_id LIMIT $ReRank)
+       |SELECT t.vec_id, ${dotSqlOf("v.embedding", "q.qvec")} AS score
+       |FROM top t JOIN embeddings v ON v.vec_id = t.vec_id CROSS JOIN q
+       |ORDER BY score DESC, t.vec_id LIMIT 5""".stripMargin
+  }
 
   private def probeRescoreSqlTail(cents: String, assign: String): String =
     s"""q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
@@ -715,6 +779,55 @@ object VectorQueries {
            |FROM top t JOIN embeddings v ON v.vec_id = t.vec_id CROSS JOIN q
            |ORDER BY score DESC, t.vec_id LIMIT 5""".stripMargin
       }),
+
+    Q("e16_residual_pq_ann",
+      // IVFPQ WITH RESIDUAL ENCODING — the missing half of the real
+      // FAISS composition (e14 PQ-encodes raw vectors; production IVFPQ
+      // encodes each vector's residual against its assigned coarse
+      // centroid, concentrating the quantizer's resolution inside the
+      // bucket): dot(q,x) = dot(q, cent(x)) + dot(q, residual(x)). The
+      // first term is one constant per probed bucket; the second is
+      // e08's ADC LUT over the RESIDUAL-trained codebooks. The probe:
+      // client-side coarse probe (NProbe cids + their term0 dots — a
+      // bounded 2-row collect, the e09 qcode precedent), directory-
+      // pruned scan of the stored cid-partitioned residual code table
+      // (M small ints per row), per-row approx = term0 + M broadcast
+      // LUT lookups in fixed order (IEEE-identical across engines),
+      // exact re-rank of the top ReRank. Composes THREE stored
+      // artifacts: trained centroids, residual codebooks, residual
+      // codes. The oracle retrains + re-encodes everything from raw
+      // embeddings, so it gates the whole residual pipeline's
+      // bit-stability (float residual subtraction included).
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val probed = trainedCentroids(s, dir).crossJoin(broadcast(q))
+          .select(col("cid"), dotNative("cvec", "qvec").as("term0"),
+            (dotNative("cvec", "qvec") / col("cnorm")).as("qcos"))
+          .orderBy(col("qcos").desc, col("cid").asc)
+          .limit(NProbe)
+          .select("cid", "term0")
+          .collect() // bounded: NProbe rows — the client-side coarse probe
+        val cand = rpqCodes(s, dir)
+          .where(col("cid").isin(probed.map(_.getLong(0)): _*)) // literal → directory pruning
+          .where(col("vec_id") =!= 0)
+        val term0 = probed.foldLeft(lit(0d)) { case (acc, r) =>
+          when(col("cid") === r.getLong(0), lit(r.getDouble(1))).otherwise(acc)
+        }
+        val scored = (0 until MSub).foldLeft(cand: DataFrame) { (df, m) =>
+          df.join(broadcast(rpqQueryLut(s, dir).where(col("m") === m)
+            .select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
+        }.select(col("vec_id"),
+          (0 until MSub).map(m => col(s"l$m")).foldLeft(term0)(_ + _).as("approx"))
+        scored
+          .orderBy(col("approx").desc, col("vec_id").asc)
+          .limit(ReRank)
+          .join(emb(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some(residualPqOracleSql)),
 
     Q("e15_pq_recall_metric",
       // e07's index-quality monitoring applied to the COMPRESSED family:

@@ -527,11 +527,18 @@ object AnnIndex {
     * to the encoder. Every d2 is decimal-exact (dot) with one double
     * multiply-add tail, IEEE-identical to the oracle's −2·dot + cn2. */
   private[graft] def pqEncodeColumns(cb: Seq[(Int, Int, IndexedSeq[Float], Double)]): Seq[Column] =
+    pqEncodeColumnsOn(cb, "embedding")
+
+  /** [[pqEncodeColumns]] generalized over the input vector column — the
+    * residual index (e16) encodes `rvec` with the SAME argmin expression
+    * against its residual-trained codebooks. */
+  private[graft] def pqEncodeColumnsOn(cb: Seq[(Int, Int, IndexedSeq[Float], Double)],
+      vecCol: String): Seq[Column] =
     (0 until MSub).map { m =>
       val entries = cb.filter(_._1 == m).sortBy(_._2).map { case (_, k, cvec, cn2) =>
         struct(
           (lit(-2d) * dotNativeC(
-            expr(s"slice(embedding, ${m * SubDim} + 1, $SubDim)"),
+            expr(s"slice($vecCol, ${m * SubDim} + 1, $SubDim)"),
             array(cvec.map(v => lit(v)): _*)) + lit(cn2)).as("d2"),
           lit(k).as("k"))
       }
@@ -554,6 +561,84 @@ object AnnIndex {
         val cb = collectedCodebooks(s, dir)
         emb(s, dir).select(col("vec_id") +: pqEncodeColumns(cb): _*)
           .write.mode("overwrite").parquet(path)
+      }
+    }
+
+  // ----------------------------- residual PQ (e16 — IVFPQ with residuals)
+
+  /** Every vector's residual against its ASSIGNED trained centroid:
+    * (vec_id, cid, rvec float[Dim]). Element-wise float32 subtraction —
+    * float−float subtraction is exactly representable in double and then
+    * correctly rounded back, so both engines produce bit-identical
+    * residuals. Not itself a stored table: it is the build-time input of
+    * the two stored residual artifacts below (one broadcast join +
+    * map-side subtract over the coded table per build). */
+  private[graft] def residualVectors(s: SparkSession, dir: String): DataFrame = {
+    val coded = codedVectors(s, dir)
+    val cents = trainedCentroids(s, dir)
+    coded.join(assignToCentroids(coded, cents), "vec_id")
+      .join(broadcast(cents.select(col("cid"), col("cvec"))), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("cvec"), (x, y) => x - y).as("rvec"))
+  }
+
+  /** The stored RESIDUAL PQ codebooks (`graft_rpq_cb_*`): the
+    * [[pqCodebooks]] hash-sample seeding applied to residual sub-vectors
+    * (distinct salt) — residual-trained codebooks concentrate the
+    * quantizer's resolution inside the coarse bucket, which is exactly
+    * why production IVFPQ encodes residuals, not raw vectors. */
+  private[graft] def rpqCodebooks(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#rpqcb") {
+      import org.apache.hadoop.fs.Path
+      val dg = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "rpqcb")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_rpq_cb_$dg") { path =>
+        val subs = residualVectors(s, dir).select(col("vec_id"),
+          explode(array((0 until MSub).map { m =>
+            struct(lit(m).as("m"),
+              expr(s"md5(concat('rpq:$m:', cast(vec_id AS STRING)))").as("h"),
+              expr(s"slice(rvec, ${m * SubDim} + 1, $SubDim)").as("sv"))
+          }: _*)).as("e"))
+          .select(col("e.m").as("m"), col("e.h").as("h"), col("vec_id"), col("e.sv").as("sv"))
+        val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
+        subs
+          .withColumn("k", row_number().over(wSeed) - 1)
+          .where(col("k") < KSub)
+          .select(col("m"), col("k"), col("sv").as("cvec"))
+          .withColumn("cn2", dotNative("cvec", "cvec"))
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+    }
+
+  /** The residual codebooks as driver-side values (bounded M×KSub-row
+    * fetch, like [[collectedCodebooks]]). */
+  private[graft] def collectedRpqCodebooks(s: SparkSession, dir: String): Seq[(Int, Int, IndexedSeq[Float], Double)] =
+    cbCache.getOrElseUpdate(s, s"$dir#rpq") {
+      rpqCodebooks(s, dir).collect().iterator.map { r =>
+        (r.getAs[Int]("m"), r.getAs[Int]("k"),
+          r.getAs[scala.collection.Seq[Float]]("cvec").toIndexedSeq,
+          r.getAs[Double]("cn2"))
+      }.toSeq.sortBy(e => (e._1, e._2))
+    }
+
+  /** The stored RESIDUAL code table (`graft_rpq_codes_*`): one row per
+    * vector, (vec_id, k0..k{M-1}) PARTITIONED BY the assigned coarse
+    * centroid id — a probe directory-prunes to its NProbe centroid
+    * buckets and what it scans is M small ints per row. Encoded once per
+    * corpus digest with [[pqEncodeColumnsOn]] over the residuals. */
+  private[graft] def rpqCodes(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate(s, s"$dir#rpqcodes") {
+      import org.apache.hadoop.fs.Path
+      val dg = ArtifactStore.sourceDigest(
+        s, new Path(new Path(dir), "embeddings.parquet"), "rpqcodes")
+      ArtifactStore.getOrBuild(
+        s, "spark.graft.ann.indexDir", s"graft_rpq_codes_$dg") { path =>
+        val cb = collectedRpqCodebooks(s, dir)
+        residualVectors(s, dir)
+          .select(Seq(col("vec_id"), col("cid")) ++ pqEncodeColumnsOn(cb, "rvec"): _*)
+          .repartition(col("cid")) // one file per cid dir, see partitionedIndex
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
       }
     }
 
@@ -638,7 +723,13 @@ object AnnIndex {
       "vec:ivfpq" -> (() => if (live(s"graft_srp_meta_${dg("srpmeta")}")) {
         val nb = nbitsOf(s, dir)
         if (live(s"graft_ivfpq_${nb}_${dg("ivfpq2")}")) { ivfPqIndex(s, dir); () }
-      }))
+      }),
+      // the residual-code resolve reaches through the residual codebooks
+      // (encode defined against them) only when BUILDING; gate both on
+      // their own artifacts so warm never triggers the residual pipeline
+      "vec:rpqcb" -> (() => if (live(s"graft_rpq_cb_${dg("rpqcb")}")) { collectedRpqCodebooks(s, dir); () }),
+      "vec:rpqcodes" -> (() => if (live(s"graft_rpq_cb_${dg("rpqcb")}") &&
+        live(s"graft_rpq_codes_${dg("rpqcodes")}")) { rpqCodes(s, dir); () }))
   }
 
   /** Drop this session's cached coded-vector table and free its

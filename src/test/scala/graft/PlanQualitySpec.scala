@@ -390,13 +390,41 @@ class PlanQualitySpec extends SparkSpec {
         s"probed=${probedFiles.headOption} full=${idx.inputFiles.length}")
     }
 
+    it("e16 directory-prunes the residual code table and never re-runs the residual pipeline") {
+      // the residual-IVFPQ probe reads THREE stored artifacts (trained
+      // centroids, residual codebooks, residual codes); the probe plan
+      // must directory-prune the cid-partitioned code table (literal
+      // isin from the bounded client-side coarse probe) and contain no
+      // Window (the assignment argmax / codebook rank / encode argmin
+      // are windows — any of them in the probe means the residual
+      // pipeline is being re-run per query)
+      val codes = graft.sources.AnnIndex.rpqCodes(spark, sfDir) // ensure stored
+      val df = graft.SparkEntry.queries("e16_residual_pq_ann")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_rpq_codes_"), plan)
+      assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+        s"no non-empty partition filter on cid in\n$plan")
+      assert(!plan.contains("Window"), s"residual pipeline leaked into the e16 probe:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+      // directory-level teeth: NProbe of KCent buckets → strictly fewer
+      // files opened than the index holds
+      df.count()
+      val probedFiles = executedScans(df).collect {
+        case f if f.relation.location.rootPaths.exists(_.toString.contains("graft_rpq_codes_")) =>
+          f.metrics("numFiles").value
+      }
+      assert(probedFiles.nonEmpty && probedFiles.head < codes.inputFiles.length.toLong,
+        s"probed=${probedFiles.headOption} full=${codes.inputFiles.length}")
+    }
+
     it("partitioned ANN artifacts hold one file per code directory") {
       // without repartition(code) before partitionBy(code), every write
       // task emits a file into every directory it holds rows for —
       // tasks × 2^nbits tiny files (sf10: 55k files / 4096 dirs, ~6 s
       // probes); the write contract is exactly one file per bucket
       for (df <- Seq(graft.sources.AnnIndex.partitionedIndex(spark, sfDir),
-                     graft.sources.AnnIndex.ivfPqIndex(spark, sfDir))) {
+                     graft.sources.AnnIndex.ivfPqIndex(spark, sfDir),
+                     graft.sources.AnnIndex.rpqCodes(spark, sfDir))) {
         val files = df.inputFiles
         val dirs = files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
         assert(files.length == dirs.length,
