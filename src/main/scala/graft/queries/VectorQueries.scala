@@ -21,7 +21,7 @@ import CoreQueries.Q
  * assignment is deterministic across engines and partitionings. The code
  * table is materialized (the stored IVF index of a production deployment,
  * where it is also the partition key). Queries multi-probe all buckets
- * within Hamming distance [[VectorQueries.ProbeRadius]] and rescore
+ * within Hamming distance [[graft.sources.AnnIndex.ProbeRadius]] and rescore
  * candidates exactly. The k-NN JOIN explodes each query into its probe
  * codes and equi-joins on the code — one broadcast/shuffle join on a
  * short key, not an O(N×Q) cross join.
@@ -107,7 +107,7 @@ object VectorQueries {
     a.join(b, col("code") === col("code_b") && col("a_id") < col("b_id"))
       .withColumn("dot", dotNative("ea", "eb"))
       .select(col("a_id"), col("b_id"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
-      .where(col("cosine") >= 0.25)
+      .where(col("cosine") >= NearDupCosine)
       .orderBy("a_id", "b_id")
   }
 
@@ -248,29 +248,28 @@ object VectorQueries {
     * e-family caches below. */
   private val lutCache = new graft.util.SessionCache[DataFrame]
   private def queryLut(s: SparkSession, dir: String): DataFrame =
-    lutCache.getOrElseUpdate(s, dir) {
-      pqCodebooks(s, dir).crossJoin(broadcast(queryVec(s, dir)))
-        .select(col("m"), col("k"),
-          dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
-        .localCheckpoint()
-    }
+    lutCache.getOrElseUpdate(s, dir)(lutOf(s, dir, pqCodebooks(s, dir)))
+
+  /** ONE definition of the LUT construction for both codebook families
+    * (raw-vector e08/e14/e15 and residual e16) — the arithmetic must not
+    * fork between them. */
+  private def lutOf(s: SparkSession, dir: String, codebooks: DataFrame): DataFrame =
+    codebooks.crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("m"), col("k"),
+        dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
+      .localCheckpoint()
 
   /** Free this session's query-LUT checkpoint blocks (bench
     * inter-family release; rebuilds lazily). */
   private[graft] def releaseCaches(s: SparkSession): Unit =
     lutCache.removeAll(s).foreach(GraftBridge.unpersistLocalCheckpoint)
 
-  /** e16's query-time RESIDUAL ADC lookup table — [[queryLut]] against
-    * the residual-trained codebooks (the query itself is NOT residualized:
+  /** e16's query-time RESIDUAL ADC lookup table — [[lutOf]] against the
+    * residual-trained codebooks (the query itself is NOT residualized:
     * dot(q, residual(x)) decomposes per subspace against the residual
     * codebook entries directly). Session-cached like queryLut. */
   private def rpqQueryLut(s: SparkSession, dir: String): DataFrame =
-    lutCache.getOrElseUpdate(s, s"$dir#rpq") {
-      rpqCodebooks(s, dir).crossJoin(broadcast(queryVec(s, dir)))
-        .select(col("m"), col("k"),
-          dotNativeC(expr(s"slice(qvec, m * $SubDim + 1, $SubDim)"), col("cvec")).as("l"))
-        .localCheckpoint()
-    }
+    lutCache.getOrElseUpdate(s, s"$dir#rpq")(lutOf(s, dir, rpqCodebooks(s, dir)))
 
   /** ADC scoring over a stored code table: every row's approximate dot
     * is the fixed-order sum of M broadcast LUT lookups — map-side, no
@@ -307,7 +306,7 @@ object VectorQueries {
        |hits AS (
        |  SELECT q.q_id, a.vec_id, ${dotSqlOf("a.embedding", "q.qvec")} / (a.norm * q.qnorm) AS cosine
        |  FROM codes a JOIN q ON bit_count(xor(a.code, q.qcode)) <= $ProbeRadius AND a.vec_id <> q.q_id)
-       |SELECT q_id, vec_id, cosine FROM hits WHERE cosine >= 0.25
+       |SELECT q_id, vec_id, cosine FROM hits WHERE cosine >= $NearDupCosine
        |ORDER BY q_id, vec_id""".stripMargin
 
   /** e16's oracle: the ENTIRE residual pipeline retrained + re-encoded
@@ -582,7 +581,7 @@ object VectorQueries {
               |    a.norm AS na, b.norm AS nb
               |  FROM ok a JOIN ok b ON a.code = b.code AND a.vec_id < b.vec_id)
               |SELECT a_id, b_id, dot / (na * nb) AS cosine FROM pairs
-              |WHERE dot / (na * nb) >= 0.25 ORDER BY 1, 2""".stripMargin)),
+              |WHERE dot / (na * nb) >= $NearDupCosine ORDER BY 1, 2""".stripMargin)),
 
     Q("e05_ivf_coarse_ann",
       // IVF-style ANN with a DATA-DERIVED coarse quantizer: centroids are

@@ -146,6 +146,11 @@ object AnnIndex {
   private[graft] def probeMasksFor(nbits: Int): Seq[Long] =
     (0L until (1L << nbits)).filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
 
+  /** Near-duplicate cosine decision threshold — ONE definition shared by
+    * d12's batch near-dup pair filter and s18's stream-probe hit filter
+    * (and interpolated into both of their oracles). */
+  private[graft] final val NearDupCosine = 0.25
+
   /** SRP-code + norm an arbitrary embeddings table (vec_id, embedding) —
     * the select the stored index materializes, and the client-side
     * quantization a probe runs over its own query vector; also the seam
@@ -571,16 +576,21 @@ object AnnIndex {
     * float−float subtraction is exactly representable in double and then
     * correctly rounded back, so both engines produce bit-identical
     * residuals. Not itself a stored table: it is the build-time input of
-    * the two stored residual artifacts below (one broadcast join +
-    * map-side subtract over the coded table per build). */
-  private[graft] def residualVectors(s: SparkSession, dir: String): DataFrame = {
-    val coded = codedVectors(s, dir)
-    val cents = trainedCentroids(s, dir)
-    coded.join(assignToCentroids(coded, cents), "vec_id")
-      .join(broadcast(cents.select(col("cid"), col("cvec"))), "cid")
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("embedding"), col("cvec"), (x, y) => x - y).as("rvec"))
-  }
+    * the two stored residual artifacts below — session-cached as a
+    * tracked checkpoint so a cold root's TWO builds (codebooks, then
+    * codes) pay the corpus-scale assignment pass ONCE, not twice;
+    * [[releaseCaches]] frees the blocks with the coded table's. */
+  private val resCache = new graft.util.SessionCache[DataFrame]
+  private[graft] def residualVectors(s: SparkSession, dir: String): DataFrame =
+    resCache.getOrElseUpdate(s, dir) {
+      val coded = codedVectors(s, dir)
+      val cents = trainedCentroids(s, dir)
+      coded.join(assignToCentroids(coded, cents), "vec_id")
+        .join(broadcast(cents.select(col("cid"), col("cvec"))), "cid")
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("embedding"), col("cvec"), (x, y) => x - y).as("rvec"))
+        .localCheckpoint()
+    }
 
   /** The stored RESIDUAL PQ codebooks (`graft_rpq_cb_*`): the
     * [[pqCodebooks]] hash-sample seeding applied to residual sub-vectors
@@ -738,6 +748,8 @@ object AnnIndex {
     * parquet-backed readers and a 64-row driver-side Seq pin no executor
     * memory, and re-resolving costs pointer/footer I/O per re-entry
     * (see TextQueries.releaseCaches — same measurement, r13). */
-  def releaseCaches(s: SparkSession): Unit =
+  def releaseCaches(s: SparkSession): Unit = {
     codedCache.removeAll(s).foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
+    resCache.removeAll(s).foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
+  }
 }

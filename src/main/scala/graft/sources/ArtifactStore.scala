@@ -129,23 +129,26 @@ object ArtifactStore {
     * before touching it (a different digest usually means a different
     * LIVE source). When the caller can COMPUTE the dead name (old tag +
     * current source ⇒ exact superseded digest), certainty replaces the
-    * horizon: delete after only the short stale horizon of pointer
-    * idleness. The idleness guard stays because a mixed-version
-    * deployment's old binaries still resolve (and touch) the old-tag
-    * pointer — a fresh pointer vetoes the sweep; once the old binaries
-    * retire, the pointer goes idle and the space is reclaimed in minutes
-    * instead of days. */
+    * horizon: delete after pointer idleness of
+    * `spark.graft.artifact.supersededMs` (default 24 h). The horizon is
+    * SESSION-lifetime-scale, not the 10-min stale horizon, because a
+    * still-running old-release session touches the pointer only ONCE
+    * (its SessionCache keeps the reader for the session's lifetime) —
+    * pointer idleness proves no NEW resolves, not no live readers. A
+    * day bounds the post-upgrade disk duplication at ~1/7th of the
+    * orphan horizon while covering typical session lifetimes; a root
+    * shared with longer-lived old binaries raises the conf to its max
+    * session lifetime. */
   def sweepSupersededFamily(s: SparkSession, rootConfKey: String, baseName: String): Unit = {
     val (fs, pfs, root) = rootFs(s, rootConfKey)
     try {
       if (!fs.exists(root)) return
-      val staleMs = s.conf.get("spark.graft.artifact.staleMs",
-        s.conf.get("spark.graft.ann.staleIndexMs", "600000")).toLong
+      val idleMs = s.conf.get("spark.graft.artifact.supersededMs", "86400000").toLong
       val now = System.currentTimeMillis()
       val ptr = new Path(root, s"$baseName.ptr")
       // any stat failure other than "gone" conservatively reads as live
       val ptrIdle =
-        try !pfs.exists(ptr) || now - pfs.getFileStatus(ptr).getModificationTime > staleMs
+        try !pfs.exists(ptr) || now - pfs.getFileStatus(ptr).getModificationTime > idleMs
         catch {
           case _: java.io.FileNotFoundException => true
           case _: java.io.IOException => false
@@ -155,10 +158,10 @@ object ArtifactStore {
       fs.globStatus(new Path(root, s"${baseName}_v_*")).foreach { vst =>
         // version-dir idleness too: a self-served pointerless staging tree
         // (forward-dated mtime) must survive its grace window
-        if (now - vst.getModificationTime > staleMs) fs.delete(vst.getPath, true)
+        if (now - vst.getModificationTime > idleMs) fs.delete(vst.getPath, true)
       }
       pfs.globStatus(new Path(root, s"$baseName.ptr.tmp.*")).foreach { tst =>
-        if (now - tst.getModificationTime > staleMs) pfs.delete(tst.getPath, false)
+        if (now - tst.getModificationTime > idleMs) pfs.delete(tst.getPath, false)
       }
     } catch { case _: java.io.IOException => () }
   }

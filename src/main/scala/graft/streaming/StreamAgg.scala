@@ -339,7 +339,7 @@ object StreamAgg {
         col("code") === col("pcode") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (AnnIndex.dotNative("embedding", "qvec") / (col("norm") * col("qnorm"))).as("cosine"))
-      .where(col("cosine") >= 0.25)
+      .where(col("cosine") >= graft.sources.AnnIndex.NearDupCosine)
     replayToMemory(spark, hits, "stream_annprobe_", "append")(_.orderBy("q_id", "vec_id"))
   }
 

@@ -274,7 +274,7 @@ class ArtifactStoreSpec extends SparkSpec {
         val deadV = new java.io.File(root).listFiles()
           .filter(f => f.isDirectory && f.getName.startsWith(s"${dead}_v_"))
         (deadPtr +: deadV.toSeq).foreach(f => assert(f.setLastModified(1000L)))
-        s.conf.set("spark.graft.artifact.staleMs", "60000")
+        s.conf.set("spark.graft.artifact.supersededMs", "60000")
         ArtifactStore.sweepSupersededFamily(s, RootKey, dead)
         assert(!deadPtr.exists(), "superseded pointer not collected")
         assert(deadV.forall(!_.exists()), "superseded versions not collected")
@@ -290,7 +290,7 @@ class ArtifactStoreSpec extends SparkSpec {
         val served = "sup_8_" + "c" * 16
         ArtifactStore.getOrBuild(s, RootKey, served)(writeRange(s, 4))
         // pointer mtime is now-fresh (just resolved) — mixed-version guard
-        s.conf.set("spark.graft.artifact.staleMs", "60000")
+        s.conf.set("spark.graft.artifact.supersededMs", "60000")
         ArtifactStore.sweepSupersededFamily(s, RootKey, served)
         assert(new java.io.File(root, s"$served.ptr").exists(),
           "sweep collected a family whose pointer is still being used")
