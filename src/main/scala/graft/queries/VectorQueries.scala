@@ -271,15 +271,23 @@ object VectorQueries {
   private def rpqQueryLut(s: SparkSession, dir: String): DataFrame =
     lutCache.getOrElseUpdate(s, s"$dir#rpq")(lutOf(s, dir, rpqCodebooks(s, dir)))
 
+  /** The M broadcast LUT joins every ADC scorer runs (one l$m column per
+    * subspace) — the join stage must not fork between the raw and
+    * residual families; only the approx SUM differs (e08/e14/e15 reduce
+    * the lookups, e16 folds them onto its per-bucket term0, each with
+    * its own fixed addition order mirrored in its oracle). */
+  private def lutJoined(codes: DataFrame, lut: DataFrame): DataFrame =
+    (0 until MSub).foldLeft(codes) { (df, m) =>
+      df.join(broadcast(lut.where(col("m") === m)
+        .select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
+    }
+
   /** ADC scoring over a stored code table: every row's approximate dot
     * is the fixed-order sum of M broadcast LUT lookups — map-side, no
     * shuffle, nothing but small ints and the 64-row LUT. Shared by
     * e08/e14/e15. */
   private def adcApprox(codes: DataFrame, lut: DataFrame): DataFrame =
-    (0 until MSub).foldLeft(codes) { (df, m) =>
-      df.join(broadcast(lut.where(col("m") === m)
-        .select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
-    }.select(col("vec_id"),
+    lutJoined(codes, lut).select(col("vec_id"),
       (0 until MSub).map(m => col(s"l$m")).reduce(_ + _).as("approx"))
 
   /** The DuckDB mirror of [[queryLut]]+[[adcApprox]] (CTEs `lut`,
@@ -812,10 +820,7 @@ object VectorQueries {
         val term0 = probed.foldLeft(lit(0d)) { case (acc, r) =>
           when(col("cid") === r.getLong(0), lit(r.getDouble(1))).otherwise(acc)
         }
-        val scored = (0 until MSub).foldLeft(cand: DataFrame) { (df, m) =>
-          df.join(broadcast(rpqQueryLut(s, dir).where(col("m") === m)
-            .select(col("k").as(s"k$m"), col("l").as(s"l$m"))), s"k$m")
-        }.select(col("vec_id"),
+        val scored = lutJoined(cand, rpqQueryLut(s, dir)).select(col("vec_id"),
           (0 until MSub).map(m => col(s"l$m")).foldLeft(term0)(_ + _).as("approx"))
         scored
           .orderBy(col("approx").desc, col("vec_id").asc)
