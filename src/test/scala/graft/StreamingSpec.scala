@@ -63,6 +63,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == stored)
   }
 
+  it("s18's streamed ANN-probe hits equal the same plan run as a batch") {
+    // the serve-stream contract: the probe is stateless row-local work +
+    // a stream-static join, so replaying the query vectors through the
+    // streaming harness (file-stream staging, AvailableNow, parquet-sink
+    // round trip) must reproduce EXACTLY the rows the identical plan
+    // yields over a batch source — a difference means the streaming
+    // machinery dropped/duplicated hits, independent of the value-level
+    // oracle (which gates arithmetic, not replay fidelity)
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamAgg.annProbeStream(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val A = graft.sources.AnnIndex
+    val nb = A.nbitsOf(spark, sfDir)
+    val emb = graft.sources.TestData.graph(spark, sfDir).V("embeddings").df
+    val queries = A.codeVectors(emb.where(pmod(col("vec_id"), lit(100)) === 0), nb)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("code").as("qcode"))
+    val batch = queries
+      .select(col("q_id"), col("qvec"), col("qnorm"),
+        explode(array(A.probeMasksFor(nb).map(m =>
+          col("qcode").bitwiseXOR(lit(m))): _*)).as("pcode"))
+      .join(A.codedVectors(spark, sfDir),
+        col("code") === col("pcode") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (A.dotNative("embedding", "qvec") / (col("norm") * col("qnorm"))).as("cosine"))
+      .where(col("cosine") >= A.NearDupCosine)
+      .orderBy("q_id", "vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   it("batch dailyBuckets matches the batch time aggregation") {
     val streamed = StreamAgg.dailyBuckets(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
