@@ -317,24 +317,22 @@ object VectorQueries {
        |SELECT q_id, vec_id, cosine FROM hits WHERE cosine >= $NearDupCosine
        |ORDER BY q_id, vec_id""".stripMargin
 
-  /** e16's oracle: the ENTIRE residual pipeline retrained + re-encoded
-    * from raw embeddings — seed→Lloyd centroids, cosine assignment,
-    * float residual subtraction (CAST(double−double AS REAL) ≡ IEEE
-    * float subtract, bit-identical to the Spark side), residual codebook
-    * hash-sample, residual argmin encode, then the probe: NProbe coarse
-    * buckets by cosine, approx = term0 + fixed-order LUT sum, top-ReRank
-    * exact re-rank. Composes the e06 Lloyd CTEs and the pqEncode CTE
-    * structure over residuals. */
-  private def residualPqOracleSql: String = {
+  /** The residual pipeline retrained + re-encoded from raw embeddings as
+    * one shared CTE block (codes → Lloyd cents1n → assignment → float
+    * residuals — CAST(double−double AS REAL) ≡ IEEE float subtract,
+    * bit-identical to the Spark side — → residual codebooks `rcb` →
+    * encoded `rwide` (vec_id, cid, k0..kM), plus the query `q` and its
+    * residual LUT `rlut`). ONE definition composed by both residual
+    * oracles (e16 probe, e17 recall audit), so their arithmetic cannot
+    * fork — the same discipline as [[pqEncodeSqlCtes]]/[[adcSqlCtes]]. */
+  private def residualSqlCtes: String = {
     val rcbSql = (0 until MSub).map { m =>
       s"""(SELECT $m AS m,
          |  row_number() OVER (ORDER BY md5(concat('rpq:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
          |  list_slice(rvec, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
          |FROM res ORDER BY md5(concat('rpq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
     }.mkString("\nUNION ALL\n")
-    val lutJoins = (0 until MSub)
-      .map(m => s"JOIN rlut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
-    s"""WITH codes AS ($codesSql),
+    s"""codes AS ($codesSql),
        |cents0 AS ($seedCentsSqlBody),
        |${lloydSqlCtes("cents0", "a0", "sums0", "cents1")},
        |a1 AS (${assignSqlBody("cents1n")}),
@@ -353,21 +351,47 @@ object VectorQueries {
        |rwide AS (SELECT vec_id, cid, ${(0 until MSub).map(m => s"max(CASE WHEN m = $m THEN k END) AS k$m").mkString(", ")}
        |  FROM renc GROUP BY vec_id, cid),
        |q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
+       |rlut AS (SELECT c.m, c.k,
+       |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
+       |  FROM rcb c CROSS JOIN q)""".stripMargin
+  }
+
+  /** The M residual-LUT joins as SQL (mirrors [[lutJoined]]). */
+  private def rlutJoinsSql: String = (0 until MSub)
+    .map(m => s"JOIN rlut l$m ON l$m.m = $m AND l$m.k = w.k$m").mkString(" ")
+
+  /** e16's oracle: [[residualSqlCtes]] + the probe tail — NProbe coarse
+    * buckets by cosine, approx = term0 + fixed-order LUT sum, top-ReRank
+    * exact re-rank. */
+  private def residualPqOracleSql: String =
+    s"""WITH $residualSqlCtes,
        |qp AS (SELECT cid, term0 FROM (
        |    SELECT c.cid, ${dotSqlOf("c.cvec", "q.qvec")} AS term0,
        |      row_number() OVER (ORDER BY ${dotSqlOf("c.cvec", "q.qvec")} / c.cnorm DESC, c.cid) AS rn
        |    FROM cents1n c CROSS JOIN q) t WHERE rn <= $NProbe),
-       |rlut AS (SELECT c.m, c.k,
-       |    ${dotSqlOf(s"list_slice(q.qvec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} AS l
-       |  FROM rcb c CROSS JOIN q),
        |appr AS (SELECT w.vec_id, qp.term0 + ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
-       |  FROM rwide w JOIN qp USING (cid) $lutJoins),
+       |  FROM rwide w JOIN qp USING (cid) $rlutJoinsSql),
        |top AS (SELECT vec_id FROM appr WHERE vec_id <> 0
        |  ORDER BY approx DESC, vec_id LIMIT $ReRank)
        |SELECT t.vec_id, ${dotSqlOf("v.embedding", "q.qvec")} AS score
        |FROM top t JOIN embeddings v ON v.vec_id = t.vec_id CROSS JOIN q
        |ORDER BY score DESC, t.vec_id LIMIT 5""".stripMargin
-  }
+
+  /** e17's oracle: [[residualSqlCtes]] + the quantization-only recall
+    * tail — approx over ALL buckets (term0 joined per row's cid, no
+    * coarse pruning, no re-rank) vs brute-force truth. */
+  private def residualRecallOracleSql: String =
+    s"""WITH $residualSqlCtes,
+       |t0 AS (SELECT c.cid, ${dotSqlOf("c.cvec", "q.qvec")} AS term0
+       |  FROM cents1n c CROSS JOIN q),
+       |appr AS (SELECT w.vec_id, t0.term0 + ${(0 until MSub).map(m => s"l$m.l").mkString(" + ")} AS approx
+       |  FROM rwide w JOIN t0 USING (cid) $rlutJoinsSql),
+       |atop AS (SELECT vec_id FROM appr WHERE vec_id <> 0
+       |  ORDER BY approx DESC, vec_id LIMIT 5),
+       |truth AS (SELECT a.vec_id FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+       |  ORDER BY ${dotSqlOf("a.embedding", "q.qvec")} DESC, a.vec_id LIMIT 5)
+       |SELECT (SELECT CAST(count(*) AS DOUBLE) / 5 FROM truth JOIN atop USING (vec_id))
+       |  AS recall_at_5""".stripMargin
 
   private def probeRescoreSqlTail(cents: String, assign: String): String =
     s"""q AS (SELECT embedding AS qvec FROM codes WHERE vec_id = 0),
@@ -832,6 +856,35 @@ object VectorQueries {
           .limit(5)
       },
       Some(residualPqOracleSql)),
+
+    Q("e17_rpq_recall_metric",
+      // e15's quantization-loss audit applied to the RESIDUAL family:
+      // recall@5 of the residual-ADC ranking over ALL buckets (term0
+      // joined per row's assigned cid — deliberately no coarse pruning
+      // and no re-rank, so the metric isolates what residual encoding
+      // buys/loses vs e15's raw-vector PQ at identical M/KSub). The
+      // e15-vs-e17 delta is the number a deployment reads before
+      // switching its code table to residuals.
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val term0s = trainedCentroids(s, dir).crossJoin(broadcast(q))
+          .select(col("cid"), dotNative("cvec", "qvec").as("term0"))
+        val approxTop = lutJoined(rpqCodes(s, dir).where(col("vec_id") =!= 0), rpqQueryLut(s, dir))
+          .join(broadcast(term0s), "cid")
+          .select(col("vec_id"),
+            (0 until MSub).map(m => col(s"l$m")).foldLeft(col("term0"))(_ + _).as("approx"))
+          .orderBy(col("approx").desc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"))
+        val truth = emb(s, dir).where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(5)
+        truth.join(approxTop, "vec_id")
+          .agg((count(lit(1)).cast("double") / 5d).as("recall_at_5"))
+      },
+      Some(residualRecallOracleSql)),
 
     Q("e15_pq_recall_metric",
       // e07's index-quality monitoring applied to the COMPRESSED family:
