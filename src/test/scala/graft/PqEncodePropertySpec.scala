@@ -72,9 +72,16 @@ class PqEncodePropertySpec extends SparkSpec {
     val df = vecs.toDF("vec_id", "embedding")
       .select(col("vec_id") +: graft.sources.AnnIndex.pqEncodeColumns(cb): _*)
     val got = df.collect().map(r => r.getLong(0) -> (1 to MSub).map(r.getInt)).toMap
+    // the generalized form (e16 encodes `rvec` residuals with it) must
+    // produce the identical codes for the same values under any column
+    // name — pins that the vecCol parameterization changed nothing else
+    val gotOn = vecs.toDF("vec_id", "rvec")
+      .select(col("vec_id") +: graft.sources.AnnIndex.pqEncodeColumnsOn(cb, "rvec"): _*)
+      .collect().map(r => r.getLong(0) -> (1 to MSub).map(r.getInt)).toMap
     for ((id, v) <- vecs) {
       val want = modelEncode(v, cb)
       assert(got(id) == want, s"vec $id: got ${got(id)}, model $want")
+      assert(gotOn(id) == want, s"vec $id: pqEncodeColumnsOn got ${gotOn(id)}, model $want")
       // the duplicated entry means a k=kSub-1 win is impossible (k=0
       // ties it and wins the tie-break) — proves the tie clause fires
       assert(!got(id).contains(kSub - 1), s"tie-break lost: vec $id chose the duplicate")
