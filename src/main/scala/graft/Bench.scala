@@ -69,7 +69,12 @@ object Bench {
     // before the session starts. Bounded at 10 min; if load never drops
     // the run proceeds and its telemetry still tells the truth.
     var loadStart = load1
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
+    // fail fast on a malformed value — a silent fallback would gate at a
+    // threshold the operator didn't set
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map { v =>
+      v.toDoubleOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_LOAD_GATE must be numeric, got '$v'"))
+    }.getOrElse(1.5)
     val waitDeadline = System.nanoTime() + 600L * 1000000000L
     while (loadStart > loadGate && loadStart >= 0 && System.nanoTime() < waitDeadline) {
       System.err.println(f"[bench] load1=$loadStart%.2f > $loadGate%.1f — waiting for the box to settle")

@@ -75,12 +75,16 @@ object Multimodal {
     withBlob.select(col("doc_id").cast("long"), col("blob").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val decode = codec.open() // per-partition codec init
         // teardown on EVERY task exit path (success/failure/kill): a real
         // codec's native context must not survive the task, and making
-        // each implementor invent its own cleanup would guarantee leaks
+        // each implementor invent its own cleanup would guarantee leaks.
+        // Registered BEFORE open(): an open() that throws after partially
+        // allocating still gets its close() (implementations tolerate a
+        // never-opened state — the trait contract), so the "exactly once
+        // per open()" promise covers the failure path too.
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+        val decode = codec.open() // per-partition codec init
         rows.map { case (id, bytes) => decode(id, bytes) }
       }
       .toDF()

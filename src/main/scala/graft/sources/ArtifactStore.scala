@@ -50,6 +50,14 @@ object ArtifactStore {
   private[graft] val probedNames =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Null-safe globStatus: some Hadoop FS implementations return null
+    * (rather than an empty array) when the glob matches nothing — a bare
+    * .foreach would NPE and escape the IOException-only catches around
+    * the sweep paths. ONE guard for every glob site in this object. */
+  private def glob(fs: org.apache.hadoop.fs.FileSystem, pattern: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    Option(fs.globStatus(pattern)).map(_.toSeq).getOrElse(Seq.empty)
+
   /** Digest of a source file's identity (qualified path + size + mtime):
     * regenerated data at the same path yields a different digest, so a
     * stale artifact is never served for new data. */
@@ -154,13 +162,34 @@ object ArtifactStore {
           case _: java.io.IOException => false
         }
       if (!ptrIdle) return
+      // second usage signal: the POINTED-TO version dir's mtime (getOrBuild
+      // touches both on every resolve, and an operator can `touch` the dir
+      // to shield a known long-lived old-binary session). Idleness of the
+      // pointer alone proves no new resolves; requiring the live dir idle
+      // too means any independent freshness on the data dir also vetoes.
+      // OPS NOTE (shared roots): an old-binary session resolves ONCE and
+      // holds its reader for the session lifetime, so set
+      // spark.graft.artifact.supersededMs ≥ the max session lifetime on
+      // roots shared with older binaries — idleness cannot observe open
+      // readers, only resolves.
+      val liveDirIdle =
+        try {
+          readLive(fs, pfs, root, ptr) match {
+            case Some(dir) => now - fs.getFileStatus(dir).getModificationTime > idleMs
+            case None => true // no readable live dir — nothing a reader could hold via the pointer
+          }
+        } catch {
+          case _: java.io.FileNotFoundException => true
+          case _: java.io.IOException => false
+        }
+      if (!liveDirIdle) return
       if (pfs.exists(ptr)) pfs.delete(ptr, false)
-      fs.globStatus(new Path(root, s"${baseName}_v_*")).foreach { vst =>
+      glob(fs, new Path(root, s"${baseName}_v_*")).foreach { vst =>
         // version-dir idleness too: a self-served pointerless staging tree
         // (forward-dated mtime) must survive its grace window
         if (now - vst.getModificationTime > idleMs) fs.delete(vst.getPath, true)
       }
-      pfs.globStatus(new Path(root, s"$baseName.ptr.tmp.*")).foreach { tst =>
+      glob(pfs, new Path(root, s"$baseName.ptr.tmp.*")).foreach { tst =>
         if (now - tst.getModificationTime > idleMs) pfs.delete(tst.getPath, false)
       }
     } catch { case _: java.io.IOException => () }
@@ -328,12 +357,12 @@ object ArtifactStore {
     // opportunistic GC 1 (same digest): unreferenced versions of this
     // artifact older than the stale horizon (crash leftovers and
     // lost-race losers), plus crashed committers' tmp pointer files
-    fs.globStatus(new Path(root, s"${baseName}_v_*")).foreach { vst =>
+    glob(fs, new Path(root, s"${baseName}_v_*")).foreach { vst =>
       if (vst.getPath.getName != target.getName &&
           System.currentTimeMillis() - vst.getModificationTime > staleMs)
         fs.delete(vst.getPath, true)
     }
-    pfs.globStatus(new Path(root, s"$baseName.ptr.tmp.*")).foreach { tst =>
+    glob(pfs, new Path(root, s"$baseName.ptr.tmp.*")).foreach { tst =>
       if (System.currentTimeMillis() - tst.getModificationTime > staleMs)
         pfs.delete(tst.getPath, false)
     }
@@ -353,7 +382,7 @@ object ArtifactStore {
       // wholesale: an unreadable-but-live pointer must suppress the
       // sweep of its versions, never default them to sweepable
       val protectedFamilies = scala.collection.mutable.Set.empty[String]
-      val livePointees = pfs.globStatus(new Path(root, s"${prefix}_*.ptr")).flatMap { pst =>
+      val livePointees = glob(pfs, new Path(root, s"${prefix}_*.ptr")).flatMap { pst =>
         // re-stat before declaring the family dead: the glob's mtimes are
         // a snapshot, and a concurrent session's resolve (which touches
         // the pointer) landing between the listing and this delete must
@@ -386,7 +415,7 @@ object ArtifactStore {
           None
         } else pointee
       }.toSet
-      fs.globStatus(new Path(root, s"${prefix}_*_v_*")).foreach { vst =>
+      glob(fs, new Path(root, s"${prefix}_*_v_*")).foreach { vst =>
         val vname = vst.getPath.getName
         if (!livePointees.contains(vname) &&
             vname != target.getName &&
