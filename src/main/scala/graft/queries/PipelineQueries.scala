@@ -236,7 +236,7 @@ object PipelineQueries {
         StreamAgg.pqCodeStream(s, dir).select(
           col("vec_id") +: ks.map(k => col(k).cast("bigint").as(k)): _*)
       },
-      Some(VectorQueries.pqCodesOracleSql)),
+      Some(VectorOracles.pqCodesOracleSql)),
 
     Q("s17_stream_ivfpq_index",
       // e14's COMBINED index maintained incrementally: arriving vectors
@@ -252,7 +252,7 @@ object PipelineQueries {
         StreamAgg.ivfPqStream(s, dir).select(
           col("vec_id") +: (ks.map(k => col(k).cast("bigint").as(k)) :+ col("code")): _*)
       },
-      Some(VectorQueries.ivfPqOracleSql)),
+      Some(VectorOracles.ivfPqOracleSql)),
 
     Q("s15_stream_dedup_probe",
       // the stored dedup index SERVING a stream (vs s08-s14, which
@@ -272,7 +272,7 @@ object PipelineQueries {
       // d12 cosine threshold emit at ingest time. Oracle recomputes both
       // sides from raw embeddings.
       (s, dir) => StreamAgg.annProbeStream(s, dir),
-      Some(VectorQueries.annProbeStreamOracleSql)),
+      Some(VectorOracles.annProbeStreamOracleSql)),
 
     Q("s13_stream_norms_index",
       // the d35 norms table maintained incrementally: per-document length
