@@ -14,7 +14,8 @@ object SparkEntry {
     CoreQueries.all ++ TimeQueries.all ++ TextQueries.all ++ SearchQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ AnalyticsQueries.all ++ MiscQueries.all ++ PropertyQueries.all ++
       BranchQueries.all ++ IntegrityQueries.all ++ CoverageQueries.all ++ AnalyticalQueries.all ++
-      JoinQueries.all ++ SideChannelQueries.all ++ RenderQueries.all ++ MigrationQueries.all
+      JoinQueries.all ++ SideChannelQueries.all ++ RenderQueries.all ++ MigrationQueries.all ++
+      MogQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the TPC-H Q3-shaped shipping-priority revenue top-10 through the

@@ -82,24 +82,41 @@ private[graft] object VectorOracles {
     * codebooks ([[graft.sources.AnnIndex.pqCodebooks]]), the stored code
     * table, and the streaming encoder are all gated against the same SQL.
     * Declared above the eager `all` registry (object-init order). */
-  private[graft] val pqEncodeSqlCtes: String = {
-    val cbSql = (0 until MSub).map { m =>
-      s"""(SELECT $m AS m,
-         |  row_number() OVER (ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
-         |  list_slice(embedding, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
-         |FROM embeddings ORDER BY md5(concat('pq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""cb0 AS ($cbSql),
+  private[graft] val pqEncodeSqlCtes: String =
+    pqEncodeSqlCtesOn("embeddings", "embedding", "pq")
+
+  /** [[pqEncodeSqlCtes]] generalized over (source CTE/table, vector
+    * column, seed salt) — the MoG clustered-geometry recall audits
+    * (e18/e19) seed and encode a DERIVED corpus with the same arithmetic;
+    * the default instantiation above is byte-identical to the pre-split
+    * string. The codebook-seeding CTE body is shared with
+    * [[seedSubCbSqlBody]] so seed and encode cannot fork. */
+  def pqEncodeSqlCtesOn(src: String, vec: String, salt: String): String =
+    s"""cb0 AS (${seedSubCbSqlBody(src, vec, salt)}),
        |cb AS (SELECT m, k, cvec, ${dotSqlOf("cvec", "cvec")} AS cn2 FROM cb0),
-       |enc AS (SELECT vec_id, m, k FROM (
-       |    SELECT v.vec_id, c.m, c.k,
-       |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
-       |        -2 * ${dotSqlOf(s"list_slice(v.embedding, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} + c.cn2 ASC,
-       |        c.k) AS rn
-       |    FROM embeddings v CROSS JOIN cb c) t WHERE rn = 1),
+       |enc AS (${subEncodeSqlBody(src, vec, "cb")}),
        |wide AS (SELECT vec_id, ${(0 until MSub).map(m => s"max(CASE WHEN m = $m THEN k END) AS k$m").mkString(", ")}
        |  FROM enc GROUP BY vec_id)""".stripMargin
-  }
+
+  /** The per-subspace hash-sample codebook seeding (cb0's body): the
+    * KSub rows with the smallest salted md5 per subspace. */
+  def seedSubCbSqlBody(src: String, vec: String, salt: String): String =
+    (0 until MSub).map { m =>
+      s"""(SELECT $m AS m,
+         |  row_number() OVER (ORDER BY md5(concat('$salt:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
+         |  list_slice($vec, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
+         |FROM $src ORDER BY md5(concat('$salt:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** The per-subspace nearest-entry encode (enc's body): argmin of
+    * −2·x_m·c + ‖c‖² with a k tie-break, against codebook CTE `cb`. */
+  def subEncodeSqlBody(src: String, vec: String, cb: String): String =
+    s"""SELECT vec_id, m, k FROM (
+       |    SELECT v.vec_id, c.m, c.k,
+       |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
+       |        -2 * ${dotSqlOf(s"list_slice(v.$vec, c.m * $SubDim + 1, (c.m + 1) * $SubDim)", "c.cvec")} + c.cn2 ASC,
+       |        c.k) AS rn
+       |    FROM $src v CROSS JOIN $cb c) t WHERE rn = 1""".stripMargin
 
   /** s16's oracle: the full stored code table recomputed from raw
     * embeddings (what the stream-maintained table must equal). */
@@ -153,12 +170,7 @@ private[graft] object VectorOracles {
     * oracles (e16 probe, e17 recall audit), so their arithmetic cannot
     * fork — the same discipline as [[pqEncodeSqlCtes]]/[[adcSqlCtes]]. */
   def residualSqlCtes: String = {
-    val rcbSql = (0 until MSub).map { m =>
-      s"""(SELECT $m AS m,
-         |  row_number() OVER (ORDER BY md5(concat('rpq:$m:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS k,
-         |  list_slice(rvec, $m * $SubDim + 1, ${(m + 1) * SubDim}) AS cvec
-         |FROM res ORDER BY md5(concat('rpq:$m:', CAST(vec_id AS VARCHAR))), vec_id LIMIT $KSub)""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    val rcbSql = seedSubCbSqlBody("res", "rvec", "rpq")
     s"""codes AS ($codesSql),
        |cents0 AS ($seedCentsSqlBody),
        |${lloydSqlCtes("cents0", "a0", "sums0", "cents1")},

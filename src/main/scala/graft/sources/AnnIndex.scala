@@ -475,13 +475,36 @@ object AnnIndex {
   private[graft] final val SubDim = Dim / MSub
   private[graft] final val KSub = 16
 
-  /** The stored PQ codebooks (m, k, cvec array<float>[SubDim], cn2):
-    * deterministic per-subspace hash-samples (the e05 seeding scheme),
-    * ranked in ONE corpus pass — the rank-filter window rewrites to
-    * WindowGroupLimit, so each input partition forwards only its own
+  /** The per-subspace hash-sample codebook seeding over an arbitrary
+    * vector table — ONE definition for the stored raw family
+    * ([[pqCodebooks]], salt "pq"), the stored residual family
+    * ([[rpqCodebooks]], salt "rpq" over rvec), and the live
+    * clustered-geometry audits (MogQueries): narrow (m, h, vec_id, sv)
+    * rows — each sub-vector sliced once (M rows per vector), the per-m
+    * md5 key riding along for the rank; the rank-filter window rewrites
+    * to WindowGroupLimit, so each input partition forwards only its own
     * top-KSub rows per subspace before the M-group shuffle. cn2 is the
-    * entry's decimal-exact squared norm, stored so the encode's
-    * −2·x·c + ‖c‖² argmin never recomputes it. */
+    * entry's decimal-exact squared norm, so the encode's −2·x·c + ‖c‖²
+    * argmin never recomputes it. */
+  private[graft] def seedSubCodebooks(src: DataFrame, vecCol: String, salt: String): DataFrame = {
+    val subs = src.select(col("vec_id"),
+      explode(array((0 until MSub).map { m =>
+        struct(lit(m).as("m"),
+          expr(s"md5(concat('$salt:$m:', cast(vec_id AS STRING)))").as("h"),
+          expr(s"slice($vecCol, ${m * SubDim} + 1, $SubDim)").as("sv"))
+      }: _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.h").as("h"), col("vec_id"), col("e.sv").as("sv"))
+    val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
+    subs
+      .withColumn("k", row_number().over(wSeed) - 1)
+      .where(col("k") < KSub)
+      .select(col("m"), col("k"), col("sv").as("cvec"))
+      .withColumn("cn2", dotNative("cvec", "cvec"))
+  }
+
+  /** The stored PQ codebooks (m, k, cvec array<float>[SubDim], cn2):
+    * [[seedSubCodebooks]] over the raw embeddings, built once per corpus
+    * digest. */
   private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     idxCache.getOrElseUpdate(s, s"$dir#pqcb") {
       import org.apache.hadoop.fs.Path
@@ -489,21 +512,7 @@ object AnnIndex {
         s, new Path(new Path(dir), "embeddings.parquet"), "pqcb")
       ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_pq_cb_$dg") { path =>
-        // narrow (m, h, vec_id, sv) rows — each sub-vector sliced once
-        // (M rows per vector); the per-m md5 key rides along for the rank
-        val subs = emb(s, dir).select(col("vec_id"),
-          explode(array((0 until MSub).map { m =>
-            struct(lit(m).as("m"),
-              expr(s"md5(concat('pq:$m:', cast(vec_id AS STRING)))").as("h"),
-              expr(s"slice(embedding, ${m * SubDim} + 1, $SubDim)").as("sv"))
-          }: _*)).as("e"))
-          .select(col("e.m").as("m"), col("e.h").as("h"), col("vec_id"), col("e.sv").as("sv"))
-        val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
-        subs
-          .withColumn("k", row_number().over(wSeed) - 1)
-          .where(col("k") < KSub)
-          .select(col("m"), col("k"), col("sv").as("cvec"))
-          .withColumn("cn2", dotNative("cvec", "cvec"))
+        seedSubCodebooks(emb(s, dir), "embedding", "pq")
           .coalesce(1).write.mode("overwrite").parquet(path)
       }
     }
@@ -513,13 +522,18 @@ object AnnIndex {
     * quantizer a client/encoder embeds as literals. Cached per session. */
   private val cbCache = new graft.util.SessionCache[Seq[(Int, Int, IndexedSeq[Float], Double)]]
   private[graft] def collectedCodebooks(s: SparkSession, dir: String): Seq[(Int, Int, IndexedSeq[Float], Double)] =
-    cbCache.getOrElseUpdate(s, dir) {
-      pqCodebooks(s, dir).collect().iterator.map { r =>
-        (r.getAs[Int]("m"), r.getAs[Int]("k"),
-          r.getAs[scala.collection.Seq[Float]]("cvec").toIndexedSeq,
-          r.getAs[Double]("cn2"))
-      }.toSeq.sortBy(e => (e._1, e._2))
-    }
+    cbCache.getOrElseUpdate(s, dir)(collectCodebookRows(pqCodebooks(s, dir)))
+
+  /** Collect an (m, k, cvec, cn2) codebook table into the driver-side
+    * literal form the encoder embeds — always a bounded ≤ M×KSub-row
+    * fetch. Shared by the stored families' collectors and the live
+    * clustered-geometry audits. */
+  private[graft] def collectCodebookRows(df: DataFrame): Seq[(Int, Int, IndexedSeq[Float], Double)] =
+    df.collect().iterator.map { r =>
+      (r.getAs[Int]("m"), r.getAs[Int]("k"),
+        r.getAs[scala.collection.Seq[Float]]("cvec").toIndexedSeq,
+        r.getAs[Double]("cn2"))
+    }.toSeq.sortBy(e => (e._1, e._2))
 
   /** The per-row PQ encode against FROZEN codebook literals: for each
     * subspace m, argmin_k(−2·x_m·c_mk + ‖c_mk‖²) with a k tie-break —
@@ -604,19 +618,7 @@ object AnnIndex {
         s, new Path(new Path(dir), "embeddings.parquet"), "rpqcb")
       ArtifactStore.getOrBuild(
         s, "spark.graft.ann.indexDir", s"graft_rpq_cb_$dg") { path =>
-        val subs = residualVectors(s, dir).select(col("vec_id"),
-          explode(array((0 until MSub).map { m =>
-            struct(lit(m).as("m"),
-              expr(s"md5(concat('rpq:$m:', cast(vec_id AS STRING)))").as("h"),
-              expr(s"slice(rvec, ${m * SubDim} + 1, $SubDim)").as("sv"))
-          }: _*)).as("e"))
-          .select(col("e.m").as("m"), col("e.h").as("h"), col("vec_id"), col("e.sv").as("sv"))
-        val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
-        subs
-          .withColumn("k", row_number().over(wSeed) - 1)
-          .where(col("k") < KSub)
-          .select(col("m"), col("k"), col("sv").as("cvec"))
-          .withColumn("cn2", dotNative("cvec", "cvec"))
+        seedSubCodebooks(residualVectors(s, dir), "rvec", "rpq")
           .coalesce(1).write.mode("overwrite").parquet(path)
       }
     }
@@ -624,13 +626,7 @@ object AnnIndex {
   /** The residual codebooks as driver-side values (bounded M×KSub-row
     * fetch, like [[collectedCodebooks]]). */
   private[graft] def collectedRpqCodebooks(s: SparkSession, dir: String): Seq[(Int, Int, IndexedSeq[Float], Double)] =
-    cbCache.getOrElseUpdate(s, s"$dir#rpq") {
-      rpqCodebooks(s, dir).collect().iterator.map { r =>
-        (r.getAs[Int]("m"), r.getAs[Int]("k"),
-          r.getAs[scala.collection.Seq[Float]]("cvec").toIndexedSeq,
-          r.getAs[Double]("cn2"))
-      }.toSeq.sortBy(e => (e._1, e._2))
-    }
+    cbCache.getOrElseUpdate(s, s"$dir#rpq")(collectCodebookRows(rpqCodebooks(s, dir)))
 
   /** The stored RESIDUAL code table (`graft_rpq_codes_*`): one row per
     * vector, (vec_id, k0..k{M-1}) PARTITIONED BY the assigned coarse
