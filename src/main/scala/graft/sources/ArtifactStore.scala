@@ -50,6 +50,31 @@ object ArtifactStore {
   private[graft] val probedNames =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Thread-local capture of every artifact name touched (published OR
+    * probed) while a block runs — the seam-coverage gate brackets a
+    * stream's construction with this (after a SessionCache.dropAll, so
+    * accessors cannot serve cached readers) and compares the captured
+    * family set against the stream's artifactSeams entry. Names are
+    * recorded on the calling thread only: stored-family accessors
+    * resolve during plan CONSTRUCTION, which runs on the caller. */
+  private val captureTL = new ThreadLocal[java.util.Set[String]]
+  private[graft] def capturing[T](body: => T): (T, Set[String]) = {
+    import scala.jdk.CollectionConverters._
+    val set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    captureTL.set(set)
+    try { val r = body; (r, set.asScala.toSet) }
+    finally captureTL.remove()
+  }
+  private def recordTouch(name: String): Unit =
+    Option(captureTL.get()).foreach(_.add(name))
+
+  /** Digest-free family prefix of an artifact name: strip the 16-hex
+    * source digest, then a trailing derived-width segment (`_6`) or glob
+    * segment (`_*`). Shared by the warm-coverage and seam-coverage
+    * gates. */
+  private[graft] def familyOf(n: String): String =
+    n.replaceAll("_[0-9a-f]{16}$", "").replaceAll("_(\\*|[0-9]+)$", "")
+
   /** Null-safe globStatus: some Hadoop FS implementations return null
     * (rather than an empty array) when the glob matches nothing — a bare
     * .foreach would NPE and escape the IOException-only catches around
@@ -236,6 +261,7 @@ object ArtifactStore {
     * index build at warm time). */
   def isLive(s: SparkSession, rootConfKey: String, baseName: String): Boolean = {
     probedNames.add(baseName)
+    recordTouch(baseName)
     val (fs, pfs, root) = rootFs(s, rootConfKey)
     readLive(fs, pfs, root, new Path(root, s"$baseName.ptr")).isDefined
   }
@@ -249,6 +275,7 @@ object ArtifactStore {
     * presence only — no torn/_SUCCESS validation here. */
   def anyPointer(s: SparkSession, rootConfKey: String, baseGlob: String): Boolean = {
     probedNames.add(baseGlob)
+    recordTouch(baseGlob)
     val (_, pfs, root) = rootFs(s, rootConfKey)
     try Option(pfs.globStatus(new Path(root, baseGlob + ".ptr"))).exists(_.nonEmpty)
     catch { case _: java.io.IOException => false }
@@ -257,6 +284,7 @@ object ArtifactStore {
   def getOrBuild(s: SparkSession, rootConfKey: String, baseName: String)
                 (write: String => Unit): DataFrame = {
     publishedNames.add(baseName)
+    recordTouch(baseName)
     val (fs, pfs, root) = rootFs(s, rootConfKey)
     if (!fs.exists(root)) {
       fs.mkdirs(root)

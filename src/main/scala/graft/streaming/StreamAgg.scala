@@ -353,9 +353,12 @@ object StreamAgg {
     * BATCH query publishing it were deleted and only a stream kept
     * resolving it (the gate used to skip s-queries wholesale because
     * construction runs their streams — this registry is the
-    * construction-path seam that closes that hole). Keep it in lockstep:
-    * a new stream that calls a stored-artifact accessor adds its entry
-    * here, or its family dodges the warm gate. */
+    * construction-path seam that closes that hole). SPEC-ENFORCED as of
+    * r14 (SeamCoverageSpec): every s-query runs cold under an
+    * ArtifactStore capture and its resolved family set must be covered
+    * by its entry here — forgetting an entry (or deleting one whose
+    * stream still resolves stored families) fails the build rather than
+    * silently dodging the warm gate. */
   private[graft] def artifactSeams(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "s15_stream_dedup_probe" -> (() => { graft.sources.TextIndex.corpusMemberTable(spark, dir); () }),
     "s16_stream_pq_codes" -> (() => { graft.sources.AnnIndex.collectedCodebooks(spark, dir); () }),

@@ -36,7 +36,28 @@ import org.apache.spark.sql.SparkSession
  * checkpointed blocks would leak — discarded unreferenced, but never
  * unpersisted, and invisible to [[removeAll]].
  */
+object SessionCache {
+  private val instances =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionCache[_]]
+  private[util] def register(c: SessionCache[_]): Unit = instances.add(c)
+
+  /** Drop EVERY SessionCache's entries for `s` — the cold-session
+    * stand-in the seam-coverage gate uses so a stream's side-input
+    * accessors must re-resolve their stored artifacts (and therefore
+    * re-touch ArtifactStore, where the capture lives) instead of
+    * returning a prior test's cached reader. Dropped checkpointed values
+    * are NOT unpersisted here (the ContextCleaner reclaims unreferenced
+    * blocks); production release paths keep using the per-cache
+    * removeAll + explicit unpersist. Test-path only. */
+  private[graft] def dropAll(s: SparkSession): Unit = {
+    instances.forEach(_.removeAll(s))
+    ()
+  }
+}
+
 final class SessionCache[V] {
+
+  SessionCache.register(this)
 
   private final class Holder(build: () => V) {
     @volatile var forced = false

@@ -16,10 +16,8 @@ class WarmCoverageSpec extends SparkSpec {
 
   import scala.jdk.CollectionConverters._
 
-  /** Digest-free family prefix: strip the 16-hex source digest, then a
-    * trailing derived-width segment (`_6`) or glob segment (`_*`). */
-  private def fam(n: String): String =
-    n.replaceAll("_[0-9a-f]{16}$", "").replaceAll("_(\\*|[0-9]+)$", "")
+  /** Digest-free family prefix (shared with SeamCoverageSpec). */
+  private def fam(n: String): String = ArtifactStore.familyOf(n)
 
   it("every published artifact family has a registered warm hook") {
     val sfDir = "/root/testdata/sf0.001"
