@@ -104,12 +104,17 @@ object MogQueries {
   }
 
   /** The oracle's mirror of [[mogView]] as CTEs `mog`, `cemb` —
-    * identical literals, identical operation order. */
-  private def mogViewSql: String = {
+    * identical literals, identical operation order. `mat` injects
+    * DuckDB's MATERIALIZED hint: the engine inlines CTEs by default, so
+    * an oracle that references `cemb` from many stages recomputes the
+    * view per reference — irrelevant at the gate SFs, but e20's sf10
+    * evidence run recomputed its residual subtree five times and
+    * overran the spill disk until its hot CTEs were pinned. */
+  private def mogViewSql(mat: String = ""): String = {
     val ccLit = mogC.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     s"""mog AS (SELECT $ccLit AS cc,
        |  ${mogD1.mkString("[", ",", "]")} AS d1, ${mogD2.mkString("[", ",", "]")} AS d2),
-       |cemb AS (SELECT vec_id,
+       |cemb AS $mat (SELECT vec_id,
        |  list_transform(list_zip(embedding, range(0, $Dim)),
        |    z -> CAST($CA * cc[(vec_id % $NC) + 1][z[2] + 1]
        |      + $CB * (CAST(embedding[1] AS DOUBLE) * d1[z[2] + 1] + CAST(embedding[2] AS DOUBLE) * d2[z[2] + 1])
@@ -298,7 +303,7 @@ object MogQueries {
       // the cluster offsets), which is exactly what the audit must show.
       (s, dir) => flatPqRecall(s, dir,
         v => collectCodebookRows(seedSubCodebooks(v, "embedding", "cpq"))),
-      Some(s"""WITH $mogViewSql,
+      Some(s"""WITH ${mogViewSql()},
               |${VectorOracles.pqEncodeSqlCtesOn("cemb", "embedding", "cpq")},
               |$panelSql,
               |${lutQSql("cb")},
@@ -317,7 +322,7 @@ object MogQueries {
       (s, dir) => flatPqRecall(s, dir, v =>
         collectCodebookRows(meanTrainCb(v,
           collectCodebookRows(seedSubCodebooks(v, "embedding", "cpq")), "embedding"))),
-      Some(s"""WITH $mogViewSql,
+      Some(s"""WITH ${mogViewSql()},
               |${VectorOracles.pqEncodeSqlCtesOn("cemb", "embedding", "cpq")},
               |$meanTrainCbSql,
               |tenc AS (${VectorOracles.subEncodeSqlBody("cemb", "embedding", "tcb")}),
@@ -358,12 +363,12 @@ object MogQueries {
             (0 until MSub).map(m => col(s"l$m")).foldLeft(col("term0"))(_ + _).as("approx"))
         recallOverPanel(v, q, scored)
       },
-      Some(s"""WITH $mogViewSql,
+      Some(s"""WITH ${mogViewSql("MATERIALIZED")},
               |cents0 AS ($mogSeedsSql),
               |a0 AS (${l2AssignSql("cents0")}),
               |${meanCentsSql("a0", "cents1")},
               |a1 AS (${l2AssignSql("cents1n")}),
-              |res AS (SELECT a.vec_id, a.cid,
+              |res AS MATERIALIZED (SELECT a.vec_id, a.cid,
               |    list_transform(list_zip(v.embedding, c.cvec),
               |      z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS REAL)) AS rvec
               |  FROM a1 a JOIN cemb v USING (vec_id) JOIN cents1 c USING (cid)),
