@@ -657,7 +657,13 @@ object VectorQueries {
       // and no re-rank, so the metric isolates what residual encoding
       // buys/loses vs e15's raw-vector PQ at identical M/KSub). The
       // e15-vs-e17 delta is the number a deployment reads before
-      // switching its code table to residuals.
+      // switching its code table to residuals. On THIS synthetic
+      // random-unit corpus both audits sit at the recall floor
+      // (documented maximal-loss geometry); the clustered-geometry
+      // trio e18/e19/e20 ([[MogQueries]], r14) runs the same
+      // comparison on a derived corpus with real cluster structure,
+      // where the residual family's win is spec-pinned
+      // (ClusteredRecallSpec).
       (s, dir) => {
         val q = queryVec(s, dir)
         val term0s = trainedCentroids(s, dir).crossJoin(broadcast(q))
