@@ -165,9 +165,14 @@ object MogQueries {
       .select(col("q_id"), col("vec_id"), dotNative("embedding", "qvec").as("score"))
       .withColumn("rn", row_number().over(wT)).where(col("rn") <= 5)
       .select(col("q_id"), col("vec_id"))
-    val hits = truth.join(atop, Seq("q_id", "vec_id"))
+    // both sides are ≤ 5·panel rows; broadcast the ADC side so the
+    // intersection is a hash probe, not a two-sided shuffle-sort
+    val hits = truth.join(broadcast(atop), Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
-    q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+    // broadcast: hits is ≤ panel-size rows — without the hint the static
+    // plan SMJ-shuffles both tiny sides (AQE fixes it at runtime, but
+    // the declared plan should already be the right one)
+    q.select(col("q_id")).join(broadcast(hits), Seq("q_id"), "left")
       .agg(count(lit(1)).as("n_queries"),
         (sum(coalesce(col("h"), lit(0L))).cast("double") / (lit(5d) * count(lit(1))))
           .as("recall_at_5"))

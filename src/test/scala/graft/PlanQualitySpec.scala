@@ -114,6 +114,26 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), plan)
     }
 
+    it("the mog audits (e18/e19/e20) never go cartesian and window only on per-key partitions") {
+      // every cross join in the audits must carry a broadcast small side
+      // (the ≤80-row panel / ≤64-row codebooks — BroadcastNestedLoopJoin
+      // is the intended physical shape, CartesianProduct is the 100 TB
+      // killer), every window must partition by vec_id/q_id/m (a global
+      // window would single-partition the corpus), and nothing may
+      // SortMergeJoin (all non-corpus sides are bounded).
+      for (name <- Seq("e18_mog_pq_recall", "e19_mog_trained_pq_recall", "e20_mog_residual_recall")) {
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        val planStr = plan.toString
+        assert(!planStr.contains("CartesianProduct"), s"$name:\n$planStr")
+        assert(!planStr.contains("SortMergeJoin"), s"$name:\n$planStr")
+        val globalWindows = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }
+        assert(globalWindows.isEmpty, s"$name has a global window:\n$planStr")
+      }
+    }
+
     it("e12's sketch pass is shuffle-free: broadcast joins only, embeddings never exchanged") {
       // the JL first pass must be a per-row map over the corpus — the
       // query sketch and the exact re-rank vector are 1-row broadcasts,
