@@ -196,6 +196,7 @@ object Bench {
       if (f == "e") {
         graft.sources.AnnIndex.releaseCaches(spark)
         graft.queries.VectorQueries.releaseCaches(spark)
+        graft.queries.MogQueries.releaseCaches(spark)
       }
       if (f.nonEmpty) System.gc()
     }
