@@ -56,15 +56,51 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
   /** Boxed result: null when any paired element slot is null — matching
     * the declarative `aggregate(zip_with(...))` form, where a null
     * product nulls the running decimal sum (getFloat on a null slot
-    * would silently read garbage instead). */
+    * would silently read garbage instead).
+    *
+    * Fast path (r15): every rounded term is an INTEGRAL double (floor /
+    * rint output), and an integral double's exact binary value IS that
+    * integer, so summing the terms exactly is plain long arithmetic on
+    * the 1e12-scaled integers — one BigDecimal per dot (the final
+    * ×10⁻¹² + correctly-rounded doubleValue) instead of one allocation
+    * + decimal add PER ELEMENT. `(long) t` is exact for any integral
+    * double with |t| < 2^63; terms outside that range (or NaN/Inf
+    * products), and any accumulator overflow, fall back to the original
+    * all-BigDecimal loop — same values on every input, including the
+    * same NumberFormatException on non-finite products. Validated by
+    * NativeExprPropertySpec (oracle-arithmetic model + golden file) and
+    * a dedicated fast-vs-slow equivalence property. */
   def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val prod = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      // 1e12 is exact in double, so the scaled multiply is DuckDB's own
+      val t = DecimalDotProduct.duckRound(prod * 1e12)
+      // exact-long guard: integral |t| < 2^63 converts exactly; the
+      // round-trip compare rejects NaN and ±Inf too (NaN != NaN)
+      val l = t.toLong
+      if (l.toDouble != t) return computeExact(x, y, n)
+      val sum = acc + l
+      // two's-complement overflow test (Math.addExact's condition)
+      if (((acc ^ sum) & (l ^ sum)) < 0) return computeExact(x, y, n)
+      acc = sum
+      i += 1
+    }
+    Double.box(JBigDecimal.valueOf(acc, 12).doubleValue())
+  }
+
+  /** The original all-BigDecimal accumulation — the fallback for inputs
+    * whose scaled terms leave the exact-long range (never hit by any
+    * shipped corpus; kept for unconditional correctness). */
+  private def computeExact(x: ArrayData, y: ArrayData, n: Int): java.lang.Double = {
     var acc = JBigDecimal.ZERO
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val prod = x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      // 1e12 is exact in double, so the scaled multiply is DuckDB's own;
       // new JBigDecimal(double) keeps the rounded double's exact binary value
       acc = acc.add(new JBigDecimal(DecimalDotProduct.duckRound(prod * 1e12)).movePointLeft(12))
       i += 1

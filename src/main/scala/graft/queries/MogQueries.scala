@@ -227,15 +227,32 @@ object MogQueries {
     * tie-break) — the FAISS IVF formulation, required once vectors carry
     * cluster-dependent norms (cosine assignment, correct for the
     * unit-norm corpus, scrambles buckets here — measured in the round-14
-    * notes). Narrow (vec_id, cid) output; centroids broadcast. */
-  private def l2Assign(v: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2x").asc, col("cid").asc)
-    v.crossJoin(broadcast(cents.select(col("cid"), col("cvec"), col("cn2"))))
-      .select(col("vec_id"), col("cid"),
-        (lit(-2d) * dotNative("embedding", "cvec") + col("cn2")).as("d2x"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-  }
+    * notes).
+    *
+    * r15: the centroid table is bounded (≤ CKMog = 64 rows — the same
+    * bounded driver fetch every frozen-codebook encode does), so the
+    * argmin is a MAP-SIDE literal expression — `array_min` over
+    * (d2x, cid) structs, whose lexicographic ordering IS the
+    * distance-then-cid tie-break — exactly the [[pqEncodeColumnsOn]]
+    * pattern. The previous form crossJoined the broadcast centroids
+    * (64× row explosion) and ranked with a per-vec_id window: one
+    * shuffle + sort of 64·N rows per assignment, twice per e20 run.
+    * Arithmetic per candidate is unchanged (−2·decimal-dot + cn2 on the
+    * identical float literals), so assignments are bit-identical. */
+  private def l2AssignCol(cents: Seq[(Long, IndexedSeq[Float], Double)], vecCol: String): Column =
+    array_min(array(cents.map { case (cid, cvec, cn2) =>
+      struct(
+        (lit(-2d) * dotNativeC(col(vecCol), array(cvec.map(lit): _*)) + lit(cn2)).as("d2x"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Collect a bounded centroid table (cid, cvec, cn2) to driver rows
+    * for [[l2AssignCol]] — ≤ CKMog rows, the collectCodebookRows shape. */
+  private def collectCents(cents: DataFrame): Seq[(Long, IndexedSeq[Float], Double)] =
+    cents.select(col("cid"), col("cvec"), col("cn2")).collect()
+      .iterator.map { r =>
+        (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq, r.getDouble(2))
+      }.toSeq.sortBy(_._1)
 
   private def l2AssignSql(cents: String): String =
     s"""SELECT vec_id, cid FROM (
@@ -249,9 +266,8 @@ object MogQueries {
     * is correctly rounded — identical in both engines), cast float32.
     * The L2/mean pairing is the Lloyd update that matches [[l2Assign]]
     * (the e06 cosine/sum pairing is scale-free by design; L2 is not). */
-  private def meanCents(v: DataFrame, assign: DataFrame): DataFrame =
-    v.join(assign, "vec_id")
-      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+  private def meanCents(va: DataFrame): DataFrame =
+    va.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
       .agg((duckDouble(sum(duckDecimal6(col("x").cast("double")))) / count(lit(1))).as("sv"))
       .groupBy(col("cid"))
@@ -379,11 +395,19 @@ object MogQueries {
       (s, dir) => {
         val v = mogViewCk(s, dir)
         val q = panel(v)
-        val cents1 = meanCents(v, l2Assign(v, mogSeeds(v))).localCheckpoint()
-        val res = v.join(l2Assign(v, cents1), "vec_id")
-          .join(broadcast(cents1.select(col("cid"), col("cvec"))), "cid")
+        // both assignment stages are map-side literal argmins against the
+        // ≤64-row collected centroids (see l2AssignCol) — no crossJoin
+        // explosion, no per-vec_id ranking window, and the residual's
+        // centroid attach is a literal map lookup instead of a join
+        val cents1 = meanCents(v.withColumn("cid",
+          l2AssignCol(collectCents(mogSeeds(v)), "embedding"))).localCheckpoint()
+        val c1rows = collectCents(cents1)
+        val c1vec = map_from_arrays(
+          array(c1rows.map(c => lit(c._1)): _*),
+          array(c1rows.map(c => array(c._2.map(lit): _*)): _*))
+        val res = v.withColumn("cid", l2AssignCol(c1rows, "embedding"))
           .select(col("vec_id"), col("cid"),
-            zip_with(col("embedding"), col("cvec"), (x, y) => x - y).as("rvec"))
+            zip_with(col("embedding"), element_at(c1vec, col("cid")), (x, y) => x - y).as("rvec"))
           .localCheckpoint()
         val rcbRows = collectCodebookRows(seedSubCodebooks(res, "rvec", "crpq"))
         val rwide = res.select(Seq(col("vec_id"), col("cid")) ++ pqEncodeColumnsOn(rcbRows, "rvec"): _*)

@@ -72,6 +72,45 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  it("fast long-path accumulation equals the exact decimal loop across magnitude regimes") {
+    // r15: compute() sums the 1e12-scaled integral terms in a long and
+    // falls back to the all-BigDecimal loop when a term leaves the exact
+    // long range or the accumulator would overflow. This property drives
+    // both paths: element magnitudes up to ~4000 put single products
+    // (×1e12) on either side of 2^63, and long vectors of large values
+    // force accumulator overflow mid-sum. The model is the r14
+    // implementation verbatim.
+    import java.math.{BigDecimal => JBD}
+    def model(x: Seq[Float], y: Seq[Float]): Double = {
+      var acc = JBD.ZERO
+      x.zip(y).foreach { case (a, b) =>
+        acc = acc.add(new JBD(graft.functions.DecimalDotProduct.duckRound(
+          a.toDouble * b.toDouble * 1e12)).movePointLeft(12))
+      }
+      acc.doubleValue()
+    }
+    val gen = for {
+      n <- Gen.choose(1, 96)
+      scale <- Gen.oneOf(1f, 100f, 3000f, 4000f)
+      x <- Gen.listOfN(n, Gen.choose(-scale, scale))
+      y <- Gen.listOfN(n, Gen.choose(-scale, scale))
+    } yield (x, y)
+    val cases = Gen.listOfN(300, gen)
+      .apply(Gen.Parameters.default, Seed(7L))
+      .getOrElse(fail("generator exhausted")) ++ Seq(
+      // deterministic boundary cases: products straddling 2^63/1e12≈9.22e6
+      (List(3037000.5f, -3037000.5f), List(3037000.4f, 3037000.6f)),
+      // accumulator overflow: 96 terms each ≈ 8.9e18 scaled
+      (List.fill(96)(2985000f), List.fill(96)(2985000f)))
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val expr = graft.functions.DecimalDotProduct(
+      GraftBridge.expression(lit(1)), GraftBridge.expression(lit(1)))
+    cases.zipWithIndex.foreach { case ((x, y), i) =>
+      val got = expr.compute(ArrayData.toArrayData(x.toArray), ArrayData.toArrayData(y.toArray))
+      assert(got == model(x, y), s"case $i")
+    }
+  }
+
   it("rounds representation ties like the DuckDB oracle cast") {
     import spark.implicits._
     // this float pair's double product has shortest repr 0.4318219756885 —
