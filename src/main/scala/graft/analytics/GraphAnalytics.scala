@@ -85,10 +85,15 @@ object GraphAnalytics {
       val hist = edges.join(l, col("e.src") === col("l.vid"))
         .groupBy(col("e.dst").as("nv"), col("l.label").as("nl"))
         .agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("nv")).orderBy(col("cnt").desc, col("nl").asc)
-      labels = hist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("nv").as("vid"), col("nl").as("label"))
+      // winner per vertex as a HASH AGGREGATE: min over (−cnt, nl)
+      // structs is exactly "most frequent, ties to smallest label" (the
+      // former row_number window's ordering), but it partial-aggregates
+      // map-side and never sorts — the window shape shuffled and sorted
+      // every histogram row per round (r15, guide §2.3/§2.4)
+      labels = hist
+        .groupBy(col("nv").as("vid"))
+        .agg(min(struct((-col("cnt")).as("ncnt"), col("nl"))).as("w"))
+        .select(col("vid"), col("w.nl").as("label"))
     }
     labels
   }

@@ -771,10 +771,17 @@ object TextQueries {
           .withColumn("inter", size(array_intersect(col("ssb"), col("ssc"))))
           .select(col("b_id"), col("corpus_id"),
             (col("inter").cast("double") / (size(col("ssb")) + size(col("ssc")) - col("inter"))).as("jaccard"))
-        val wBest = Window.partitionBy(col("b_id")).orderBy(col("jaccard").desc, col("corpus_id"))
-        val best = ver.withColumn("rn", row_number().over(wBest))
-          .where(col("rn") === 1 && col("jaccard") >= JaccardThreshold)
-          .select(col("b_id").as("doc_id"), col("corpus_id").as("near_id"), col("jaccard"))
+        // best match per batch doc as a hash aggregate (min over
+        // (−jaccard, corpus_id) structs ≡ the former row_number window's
+        // "jaccard desc, corpus_id asc" pick, with map-side partials and
+        // no sort; the double negation recovering jaccard is an exact
+        // sign flip — r15, guide §2.3)
+        val best = ver
+          .groupBy(col("b_id"))
+          .agg(min(struct((-col("jaccard")).as("nj"), col("corpus_id"))).as("w"))
+          .select(col("b_id").as("doc_id"), col("w.corpus_id").as("near_id"),
+            (-col("w.nj")).as("jaccard"))
+          .where(col("jaccard") >= JaccardThreshold)
         val exact = batch.select(col("doc_id"), md5(col("text").cast("binary")).as("__h"))
           .join(corpusHashes, "__h").select("doc_id", "exact_id")
         batch.select(col("doc_id"))

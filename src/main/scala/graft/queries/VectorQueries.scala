@@ -119,7 +119,7 @@ object VectorQueries {
     * vector (sourced per the client contract) and exact-rescore only
     * inside them (bucket pruning on the stored index). */
   private def probeAndRescore(s: SparkSession, dir: String,
-      coded: DataFrame, cents: DataFrame, assign: DataFrame): DataFrame = {
+      coded: DataFrame, cents: DataFrame, assigned: DataFrame): DataFrame = {
     val q = queryVec(s, dir)
     // top-NProbe via orderBy+limit (TakeOrderedAndProject), not a global
     // row_number window: same deterministic result over the K-row
@@ -131,9 +131,11 @@ object VectorQueries {
       .orderBy(col("qcos").desc, col("cid").asc)
       .limit(NProbe)
       .select(col("cid"))
-    assign.join(broadcast(qprobe), "cid")
+    // `assigned` carries (embedding, cid) from one map-side pass
+    // (AnnIndex.withCentroid) — the former narrow-assignment shape had to
+    // join the corpus back on vec_id here just to re-fetch the embedding
+    assigned.join(broadcast(qprobe), "cid")
       .where(col("vec_id") =!= 0)
-      .join(coded.select(col("vec_id"), col("embedding")), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), dotNative("embedding", "qvec").as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -426,7 +428,7 @@ object VectorQueries {
       (s, dir) => {
         val coded = codedVectors(s, dir)
         val cents = seedCentroids(coded)
-        probeAndRescore(s, dir, coded, cents, assignToCentroids(coded, cents))
+        probeAndRescore(s, dir, coded, cents, withCentroid(coded, cents))
       },
       Some(s"""WITH codes AS ($codesSql),
               |cents AS ($seedCentsSqlBody),
@@ -449,7 +451,7 @@ object VectorQueries {
       (s, dir) => {
         val coded = codedVectors(s, dir)
         val cents1 = trainedCentroids(s, dir) // stored: train once per corpus digest
-        probeAndRescore(s, dir, coded, cents1, assignToCentroids(coded, cents1))
+        probeAndRescore(s, dir, coded, cents1, withCentroid(coded, cents1))
       },
       Some(s"""WITH codes AS ($codesSql),
               |cents0 AS ($seedCentsSqlBody),
@@ -862,20 +864,24 @@ object VectorQueries {
         val coded = codedVectors(s, dir)
         val cents = seedCentroids(coded, SemK)
         // assignment with the true centroid cosine (the keep score): same
-        // argmax as assignToCentroids (norm > 0 is constant per vec_id),
-        // but ccos is comparable ACROSS vectors, which the keep policy needs
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-        val assign = coded.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cid"),
-            (dotNative("embedding", "cvec") / (col("norm") * col("cnorm"))).as("ccos"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("ccos"))
+        // argmax as AnnIndex.cosAssignCol (norm > 0 is constant per
+        // vec_id) but with ccos normalized by the vector's own norm too,
+        // which makes it comparable ACROSS vectors — the keep policy
+        // needs that. r15: map-side argmin over (−ccos, cid) structs
+        // against the collected ≤SemK-row centroids (no K×N crossJoin,
+        // no per-vec_id window, no assignment re-join — the double
+        // negation recovering ccos is an exact sign flip)
+        val best = array_min(array(collectCentroidRows(cents).map {
+          case (cid, cvec, cnorm) => struct(
+            (-(dotNativeC(col("embedding"), array(cvec.map(lit): _*)) /
+              (col("norm") * lit(cnorm)))).as("negccos"),
+            lit(cid).as("cid"))
+        }: _*))
         // materialized once (the stored cluster-assignment table of a
         // production run): the N×K assignment dots would otherwise be
         // re-planned into each of the three consumers below
-        val members = coded.select(col("vec_id"), col("embedding"), col("norm"))
-          .join(assign, "vec_id")
+        val members = coded.select(col("vec_id"), col("embedding"), col("norm"),
+            best.getField("cid").as("cid"), (-best.getField("negccos")).as("ccos"))
           .localCheckpoint()
         // cluster sizes are a K-row table — the cap gate is a broadcast
         // semi-join on it, not a per-row count window over the corpus

@@ -322,19 +322,42 @@ object AnnIndex {
       .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
 
-  /** Nearest-centroid assignment: map-side cosine scores against the
-    * broadcast centroid table, argmax over NARROW (vec_id, cid, cos) rows
-    * — shuffling K copies of the full embedding would be a K× data blowup
-    * at scale; embeddings are re-fetched by id only where needed. */
-  private[graft] def assignToCentroids(coded: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
-    coded.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dotNative("embedding", "cvec") / col("cnorm")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-  }
+  /** The centroid table collected to driver rows (cid, cvec, cnorm) —
+    * always a bounded ≤ KCent-row fetch, like [[collectCodebookRows]]. */
+  private[graft] def collectCentroidRows(cents: DataFrame): Seq[(Long, IndexedSeq[Float], Double)] =
+    cents.select(col("cid"), col("cvec"), col("cnorm")).collect().iterator.map { r =>
+      (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq, r.getDouble(2))
+    }.toSeq.sortBy(_._1)
+
+  /** Map-side nearest-centroid-by-cosine cid: `array_min` over
+    * (−cos, cid) structs against the FROZEN collected centroids — the
+    * [[pqEncodeColumnsOn]] argmin pattern applied to the coarse
+    * quantizer (r15). The previous shape crossJoined the broadcast
+    * centroid table into K×N narrow rows and ranked them with a
+    * per-vec_id row_number window: one full shuffle + sort of the K×
+    * corpus just to pick each row's argmax, per assignment pass. This is
+    * a single stateless projection — zero shuffle at ANY scale — with
+    * the identical cosine arithmetic (decimal-exact dot / cnorm) and
+    * identical tie-break (min cid on equal cosine; double negation is an
+    * exact sign flip, and ±0.0/NaN cases cannot arise: norms are > 0 and
+    * the decimal dot never emits −0.0). */
+  private[graft] def cosAssignCol(cents: Seq[(Long, IndexedSeq[Float], Double)]): Column =
+    array_min(array(cents.map { case (cid, cvec, cnorm) =>
+      struct(
+        (-(dotNativeC(col("embedding"), array(cvec.map(lit): _*)) / lit(cnorm))).as("negcos"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** `coded` plus its assigned coarse-centroid `cid` — one map-side
+    * column, so consumers that need (embedding, cid) together no longer
+    * self-join the assignment back on vec_id. */
+  private[graft] def withCentroid(coded: DataFrame, cents: DataFrame): DataFrame =
+    coded.withColumn("cid", cosAssignCol(collectCentroidRows(cents)))
+
+  /** Narrow (vec_id, cid) assignment view (kept for sites that only
+    * need ids — now a projection of [[withCentroid]], not a window). */
+  private[graft] def assignToCentroids(coded: DataFrame, cents: DataFrame): DataFrame =
+    withCentroid(coded, cents).select(col("vec_id"), col("cid"))
 
   /** One spherical-Lloyd iteration (shared by e06/e06b and the stored
     * centroid build): assign to the given centroids, then rebuild each
@@ -350,8 +373,9 @@ object AnnIndex {
     * the exact DECIMAL(38,6) sum emitted as double (exact round-trip:
     * ≤ 9 significant digits). */
   private[graft] def lloydSums(coded: DataFrame, cents: DataFrame): DataFrame = {
-    val a = assignToCentroids(coded, cents)
-    coded.join(a, "vec_id")
+    // map-side cid (see withCentroid) — the corpus-wide self-join that
+    // used to re-attach the assignment by vec_id is gone
+    withCentroid(coded, cents)
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
       .agg(graft.functions.DuckDecimalCast.duckDouble(
@@ -599,7 +623,7 @@ object AnnIndex {
     resCache.getOrElseUpdate(s, dir) {
       val coded = codedVectors(s, dir)
       val cents = trainedCentroids(s, dir)
-      coded.join(assignToCentroids(coded, cents), "vec_id")
+      withCentroid(coded, cents)
         .join(broadcast(cents.select(col("cid"), col("cvec"))), "cid")
         .select(col("vec_id"), col("cid"),
           zip_with(col("embedding"), col("cvec"), (x, y) => x - y).as("rvec"))

@@ -348,19 +348,21 @@ class PlanQualitySpec extends SparkSpec {
     // q71/q88/e09 gates are registered below, parameterized over AQE
     // (round-8 hardening: AQE re-plans could resurrect pruned exchanges)
 
-    it("keeps the trained-IVF centroid passes broadcast") {
-      // e06: both assignment passes and the probe join must broadcast the
-      // K-row centroid/probe tables — a shuffle there would move the whole
-      // corpus K times
+    it("keeps the trained-IVF centroid passes map-side or broadcast") {
+      // e06: the corpus-side centroid ASSIGNMENT is a map-side literal
+      // argmin since r15 (AnnIndex.cosAssignCol — no centroid join at
+      // all, no window), and every remaining corpus × small-table join
+      // (the probe-bucket semi-join, the query attach) must broadcast;
+      // an unhinted one would show up as a CartesianProduct or
+      // SortMergeJoin over the corpus, and a reappearing Window means
+      // the assignment regressed to the crossJoin+rank shape
       val df = graft.queries.VectorQueries.all.find(_.name == "e06_ivf_lloyd_ann").get
         .fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
-      // the plan has several corpus × centroid-table joins (two assignment
-      // passes, two probe sides, the final rescore) — ALL of them must be
-      // broadcast; a single unhinted one would show up as a
-      // CartesianProduct or SortMergeJoin over the corpus
       val broadcasts = "Broadcast(NestedLoop|Hash)Join".r.findAllIn(plan).size
-      assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$plan")
+      assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts\n$plan")
+      assert(plan.contains("array_min"), s"map-side argmin assignment missing:\n$plan")
+      assert(!plan.contains("Window"), s"assignment regressed to a window:\n$plan")
       assert(!plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("CartesianProduct"), plan)
     }
