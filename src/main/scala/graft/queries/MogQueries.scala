@@ -240,11 +240,11 @@ object MogQueries {
     * Arithmetic per candidate is unchanged (−2·decimal-dot + cn2 on the
     * identical float literals), so assignments are bit-identical. */
   private def l2AssignCol(cents: Seq[(Long, IndexedSeq[Float], Double)], vecCol: String): Column =
-    array_min(array(cents.map { case (cid, cvec, cn2) =>
+    org.apache.spark.sql.GraftBridge.knownNotNull(array_min(array(cents.map { case (cid, cvec, cn2) =>
       struct(
         (lit(-2d) * dotNativeC(col(vecCol), array(cvec.map(lit): _*)) + lit(cn2)).as("d2x"),
         lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    }: _*)).getField("cid"))
 
   /** Collect a bounded centroid table (cid, cvec, cn2) to driver rows
     * for [[l2AssignCol]] — ≤ CKMog rows, the collectCodebookRows shape. */

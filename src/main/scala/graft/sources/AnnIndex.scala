@@ -342,11 +342,11 @@ object AnnIndex {
     * exact sign flip, and ±0.0/NaN cases cannot arise: norms are > 0 and
     * the decimal dot never emits −0.0). */
   private[graft] def cosAssignCol(cents: Seq[(Long, IndexedSeq[Float], Double)]): Column =
-    array_min(array(cents.map { case (cid, cvec, cnorm) =>
+    org.apache.spark.sql.GraftBridge.knownNotNull(array_min(array(cents.map { case (cid, cvec, cnorm) =>
       struct(
         (-(dotNativeC(col("embedding"), array(cvec.map(lit): _*)) / lit(cnorm))).as("negcos"),
         lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    }: _*)).getField("cid"))
 
   /** `coded` plus its assigned coarse-centroid `cid` — one map-side
     * column, so consumers that need (embedding, cid) together no longer
@@ -585,7 +585,11 @@ object AnnIndex {
             array(cvec.map(v => lit(v)): _*)) + lit(cn2)).as("d2"),
           lit(k).as("k"))
       }
-      array_min(array(entries: _*)).getField("k").as(s"k$m")
+      // knownNotNull: k is a literal field of a non-null struct, and the
+      // mog audits JOIN on k$m — without the marker the optimizer's pushed
+      // isnotnull(k$m) guard re-evaluates the whole 16-dot argmin per row
+      org.apache.spark.sql.GraftBridge.knownNotNull(
+        array_min(array(entries: _*)).getField("k")).as(s"k$m")
     }
 
   /** The stored compressed index: one row per vector, M small-int code
