@@ -130,7 +130,23 @@ object MogQueries {
     * ([[releaseCaches]], wired into the bench's family boundary). */
   private val viewCache = new graft.util.SessionCache[DataFrame]
   private def mogViewCk(s: SparkSession, dir: String): DataFrame =
-    viewCache.getOrElseUpdate(s, dir)(mogView(s, dir).localCheckpoint())
+    viewCache.getOrElseUpdate(s, dir) {
+      val raw = mogView(s, dir)
+      // r15: the derived view inherits the source scan's split count —
+      // ONE split at the gate SFs (a single small parquet file), which
+      // ran EVERY downstream corpus pass (the truth-pass dots, both
+      // argmin assignments, the mean update, the residual encode)
+      // single-task (measured: e20's mean-update stage alone was 3.2 s
+      // at sf1). Spread the one-time checkpoint to the session's
+      // parallelism when the scan has fewer splits; at scale the scan
+      // already exceeds it and this adds nothing. Round-robin
+      // repartition only reorders rows — every consumer is a join/
+      // aggregate/window on explicit keys, and the oracle orders
+      // results, so the result set is unchanged.
+      val p = s.sparkContext.defaultParallelism
+      val spread = if (raw.rdd.getNumPartitions < p) raw.repartition(p) else raw
+      spread.localCheckpoint()
+    }
 
   /** The panel's brute-force top-5 ground truth, once per (session,
     * dir): all three audits score against the SAME truth (a production
