@@ -80,9 +80,13 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
       // 1e12 is exact in double, so the scaled multiply is DuckDB's own
       val t = DecimalDotProduct.duckRound(prod * 1e12)
       // exact-long guard: integral |t| < 2^63 converts exactly; the
-      // round-trip compare rejects NaN and ±Inf too (NaN != NaN)
+      // round-trip compare rejects NaN and ±Inf too (NaN != NaN).
+      // t == 2^63 exactly needs the explicit MaxValue check: toLong
+      // saturates to 2^63−1, whose toDouble rounds back UP to 2^63, so
+      // the round-trip alone would accept an off-by-one term (r16,
+      // ADVICE item — exactness contract at the one boundary value).
       val l = t.toLong
-      if (l.toDouble != t) return computeExact(x, y, n)
+      if (l.toDouble != t || l == Long.MaxValue) return computeExact(x, y, n)
       val sum = acc + l
       // two's-complement overflow test (Math.addExact's condition)
       if (((acc ^ sum) & (l ^ sum)) < 0) return computeExact(x, y, n)
@@ -127,6 +131,47 @@ case class DecimalDotProduct(left: Expression, right: Expression) extends Binary
 }
 
 object DecimalDotProduct {
+  /** Offset-range variant of [[DecimalDotProduct.compute]] against a
+    * plain float array (a frozen codebook/centroid row): dot of
+    * x[off ..) with y, over n = min(max(0, |x|−off), |y|) elements —
+    * exactly the `decimal_dot(slice(x, off+1, |y|), y)` composition
+    * (Slice truncates past-the-end and yields empty for off ≥ |x|; the
+    * dot of empty arrays is 0.0). Same fast long path, same fallback,
+    * same null-on-null-slot contract; y carries no nulls by construction
+    * (collected codebook floats). Used by [[CodebookArgmin]] so the
+    * argmin inner loop never allocates a slice. */
+  def dotRange(x: org.apache.spark.sql.catalyst.util.ArrayData, off: Int,
+      y: Array[Float]): java.lang.Double = {
+    val n = math.min(math.max(0, x.numElements() - off), y.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(off + i)) return null
+      val prod = x.getFloat(off + i).toDouble * y(i).toDouble
+      val t = duckRound(prod * 1e12)
+      val l = t.toLong
+      if (l.toDouble != t || l == Long.MaxValue) return dotRangeExact(x, off, y, n)
+      val sum = acc + l
+      if (((acc ^ sum) & (l ^ sum)) < 0) return dotRangeExact(x, off, y, n)
+      acc = sum
+      i += 1
+    }
+    Double.box(JBigDecimal.valueOf(acc, 12).doubleValue())
+  }
+
+  private def dotRangeExact(x: org.apache.spark.sql.catalyst.util.ArrayData, off: Int,
+      y: Array[Float], n: Int): java.lang.Double = {
+    var acc = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(off + i)) return null
+      val prod = x.getFloat(off + i).toDouble * y(i).toDouble
+      acc = acc.add(new JBigDecimal(duckRound(prod * 1e12)).movePointLeft(12))
+      i += 1
+    }
+    Double.box(acc.doubleValue())
+  }
+
   /** DuckDB's double→integer rounding as MEASURED against the oracle
     * binary on constructed exact-tie inputs (the only inputs where
     * rounding modes differ): ties round AWAY FROM ZERO below 2^24 and

@@ -137,14 +137,34 @@ object MogQueries {
       // ran EVERY downstream corpus pass (the truth-pass dots, both
       // argmin assignments, the mean update, the residual encode)
       // single-task (measured: e20's mean-update stage alone was 3.2 s
-      // at sf1). Spread the one-time checkpoint to the session's
-      // parallelism when the scan has fewer splits; at scale the scan
-      // already exceeds it and this adds nothing. Round-robin
-      // repartition only reorders rows — every consumer is a join/
-      // aggregate/window on explicit keys, and the oracle orders
-      // results, so the result set is unchanged.
+      // at sf1). Spread the one-time checkpoint when the scan has fewer
+      // splits; at scale the scan already exceeds the session's
+      // parallelism and this adds nothing. Round-robin repartition only
+      // reorders rows — every consumer is a join/aggregate/window on
+      // explicit keys, and the oracle orders results, so the result set
+      // is unchanged.
+      //
+      // r16: bound the spread by DATA SIZE, not core count (r15 spread
+      // unconditionally to defaultParallelism, which over-partitioned
+      // tiny corpora — 32 tasks over ~2 k rows across every one of the
+      // audits' many small training stages, pure scheduling overhead at
+      // the small SFs; driver-measured e20 2.33→3.34 s at sf0.1). One
+      // partition per ~128 KB of source parquet ≈ 500 view rows/task —
+      // each row fans into ≥ 64-80 decimal dots per corpus pass, so
+      // tasks stay well above scheduling cost — capped at the session's
+      // parallelism (which the target reaches by ~4 MB of input; the
+      // sf1 single-split case still spreads to every core). The divisor
+      // is a conf so a deployment with pathological single-split inputs
+      // can retune it; the TARGET is always derived from input bytes.
       val p = s.sparkContext.defaultParallelism
-      val spread = if (raw.rdd.getNumPartitions < p) raw.repartition(p) else raw
+      val bytesPerTask = s.conf.getOption("spark.graft.mog.spreadBytesPerTask")
+        .flatMap(_.toLongOption).getOrElse(128L << 10)
+      val srcBytes = try {
+        val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+        path.getFileSystem(s.sessionState.newHadoopConf()).getContentSummary(path).getLength
+      } catch { case _: java.io.IOException => 0L }
+      val target = math.min(p.toLong, math.max(1L, srcBytes / bytesPerTask)).toInt
+      val spread = if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
       spread.localCheckpoint()
     }
 
@@ -247,20 +267,29 @@ object MogQueries {
     *
     * r15: the centroid table is bounded (≤ CKMog = 64 rows — the same
     * bounded driver fetch every frozen-codebook encode does), so the
-    * argmin is a MAP-SIDE literal expression — `array_min` over
-    * (d2x, cid) structs, whose lexicographic ordering IS the
-    * distance-then-cid tie-break — exactly the [[pqEncodeColumnsOn]]
-    * pattern. The previous form crossJoined the broadcast centroids
-    * (64× row explosion) and ranked with a per-vec_id window: one
-    * shuffle + sort of 64·N rows per assignment, twice per e20 run.
-    * Arithmetic per candidate is unchanged (−2·decimal-dot + cn2 on the
-    * identical float literals), so assignments are bit-identical. */
-  private def l2AssignCol(cents: Seq[(Long, IndexedSeq[Float], Double)], vecCol: String): Column =
-    org.apache.spark.sql.GraftBridge.knownNotNull(array_min(array(cents.map { case (cid, cvec, cn2) =>
-      struct(
-        (lit(-2d) * dotNativeC(col(vecCol), array(cvec.map(lit): _*)) + lit(cn2)).as("d2x"),
-        lit(cid).as("cid"))
-    }: _*)).getField("cid"))
+    * argmin is a MAP-SIDE literal expression, exactly the
+    * [[pqEncodeColumnsOn]] pattern. The pre-r15 form crossJoined the
+    * broadcast centroids (64× row explosion) and ranked with a
+    * per-vec_id window: one shuffle + sort of 64·N rows per assignment,
+    * twice per e20 run. Arithmetic per candidate is unchanged
+    * (−2·decimal-dot + cn2 on the identical float literals), so
+    * assignments are bit-identical.
+    *
+    * r16: native [[graft.functions.CodebookArgmin]] instead of the
+    * array_min-over-(d2x, cid)-structs composition — same score, same
+    * lexicographic winner (property-pinned), one compiled call instead
+    * of 64 inlined dot+struct blocks and zero per-row allocation; its
+    * nullable=false subsumes the r15 KnownNotNull marker (pushed
+    * isnotnull guards on the cid join key still fold). */
+  private def l2AssignCol(cents: Seq[(Long, IndexedSeq[Float], Double)], vecCol: String): Column = {
+    require(cents.nonEmpty, "l2AssignCol: empty centroid table")
+    org.apache.spark.sql.GraftBridge.column(graft.functions.CodebookArgmin(
+      org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+      cents.map(_._1).toIndexedSeq,
+      cents.map(_._2).toIndexedSeq,
+      cents.map(_._3).toIndexedSeq,
+      kind = "l2", offset = 0, intOut = false))
+  }
 
   /** Collect a bounded centroid table (cid, cvec, cn2) to driver rows
     * for [[l2AssignCol]] — ≤ CKMog rows, the collectCodebookRows shape. */

@@ -775,7 +775,13 @@ object TextQueries {
         // (−jaccard, corpus_id) structs ≡ the former row_number window's
         // "jaccard desc, corpus_id asc" pick, with map-side partials and
         // no sort; the double negation recovering jaccard is an exact
-        // sign flip — r15, guide §2.3)
+        // sign flip — r15, guide §2.3). NaN jaccard (where min-vs-window
+        // NaN ordering would differ) is impossible by construction: both
+        // shingle sides come from `sh`, which is built under
+        // size(toks) >= 3, so each set has ≥ 1 element and the
+        // denominator la + lb − inter ≥ max(la, lb) ≥ 1 — the "assert
+        // shingle sets are non-empty" branch of the r15 ADVICE note is
+        // already in force.
         val best = ver
           .groupBy(col("b_id"))
           .agg(min(struct((-col("jaccard")).as("nj"), col("corpus_id"))).as("w"))

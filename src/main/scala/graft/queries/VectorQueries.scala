@@ -119,7 +119,7 @@ object VectorQueries {
     * vector (sourced per the client contract) and exact-rescore only
     * inside them (bucket pruning on the stored index). */
   private def probeAndRescore(s: SparkSession, dir: String,
-      coded: DataFrame, cents: DataFrame, assigned: DataFrame): DataFrame = {
+      cents: DataFrame, assigned: DataFrame): DataFrame = {
     val q = queryVec(s, dir)
     // top-NProbe via orderBy+limit (TakeOrderedAndProject), not a global
     // row_number window: same deterministic result over the K-row
@@ -428,7 +428,7 @@ object VectorQueries {
       (s, dir) => {
         val coded = codedVectors(s, dir)
         val cents = seedCentroids(coded)
-        probeAndRescore(s, dir, coded, cents, withCentroid(coded, cents))
+        probeAndRescore(s, dir, cents, withCentroid(coded, cents))
       },
       Some(s"""WITH codes AS ($codesSql),
               |cents AS ($seedCentsSqlBody),
@@ -451,7 +451,7 @@ object VectorQueries {
       (s, dir) => {
         val coded = codedVectors(s, dir)
         val cents1 = trainedCentroids(s, dir) // stored: train once per corpus digest
-        probeAndRescore(s, dir, coded, cents1, withCentroid(coded, cents1))
+        probeAndRescore(s, dir, cents1, withCentroid(coded, cents1))
       },
       Some(s"""WITH codes AS ($codesSql),
               |cents0 AS ($seedCentsSqlBody),

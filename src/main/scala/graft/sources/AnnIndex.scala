@@ -329,24 +329,36 @@ object AnnIndex {
       (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq, r.getDouble(2))
     }.toSeq.sortBy(_._1)
 
-  /** Map-side nearest-centroid-by-cosine cid: `array_min` over
-    * (−cos, cid) structs against the FROZEN collected centroids — the
-    * [[pqEncodeColumnsOn]] argmin pattern applied to the coarse
-    * quantizer (r15). The previous shape crossJoined the broadcast
-    * centroid table into K×N narrow rows and ranked them with a
-    * per-vec_id row_number window: one full shuffle + sort of the K×
-    * corpus just to pick each row's argmax, per assignment pass. This is
-    * a single stateless projection — zero shuffle at ANY scale — with
-    * the identical cosine arithmetic (decimal-exact dot / cnorm) and
-    * identical tie-break (min cid on equal cosine; double negation is an
-    * exact sign flip, and ±0.0/NaN cases cannot arise: norms are > 0 and
-    * the decimal dot never emits −0.0). */
-  private[graft] def cosAssignCol(cents: Seq[(Long, IndexedSeq[Float], Double)]): Column =
-    org.apache.spark.sql.GraftBridge.knownNotNull(array_min(array(cents.map { case (cid, cvec, cnorm) =>
-      struct(
-        (-(dotNativeC(col("embedding"), array(cvec.map(lit): _*)) / lit(cnorm))).as("negcos"),
-        lit(cid).as("cid"))
-    }: _*)).getField("cid"))
+  /** Map-side nearest-centroid-by-cosine cid against the FROZEN
+    * collected centroids — the [[pqEncodeColumnsOn]] argmin pattern
+    * applied to the coarse quantizer (r15). The pre-r15 shape
+    * crossJoined the broadcast centroid table into K×N narrow rows and
+    * ranked them with a per-vec_id row_number window: one full shuffle +
+    * sort of the K× corpus just to pick each row's argmax, per
+    * assignment pass. This is a single stateless projection — zero
+    * shuffle at ANY scale — with the identical cosine arithmetic
+    * (decimal-exact dot / cnorm) and identical tie-break (min cid on
+    * equal cosine).
+    *
+    * r16: the r15 `array_min(array(struct(−cos, cid), …))` composition
+    * became the native [[graft.functions.CodebookArgmin]] — same score
+    * arithmetic, same (score, id) lexicographic winner (equivalence
+    * property-pinned), but ONE compiled call instead of K inlined
+    * dot+struct blocks: zero per-row allocation, and the enclosing
+    * whole-stage-codegen method stays under the JVM's 8000-byte JIT cap
+    * (the fused mog encode+LUT spans measured 15.9 KB with the struct
+    * form — interpreter-run; see CodebookArgmin's doc). nullable=false
+    * subsumes the r15 KnownNotNull wrapper: pushed isnotnull join-key
+    * guards still fold at analysis time. */
+  private[graft] def cosAssignCol(cents: Seq[(Long, IndexedSeq[Float], Double)]): Column = {
+    require(cents.nonEmpty, "cosAssignCol: empty centroid table")
+    org.apache.spark.sql.GraftBridge.column(graft.functions.CodebookArgmin(
+      org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+      cents.map(_._1).toIndexedSeq,
+      cents.map(_._2).toIndexedSeq,
+      cents.map(_._3).toIndexedSeq,
+      kind = "cos", offset = 0, intOut = false))
+  }
 
   /** `coded` plus its assigned coarse-centroid `cid` — one map-side
     * column, so consumers that need (embedding, cid) together no longer
@@ -578,18 +590,25 @@ object AnnIndex {
   private[graft] def pqEncodeColumnsOn(cb: Seq[(Int, Int, IndexedSeq[Float], Double)],
       vecCol: String): Seq[Column] =
     (0 until MSub).map { m =>
-      val entries = cb.filter(_._1 == m).sortBy(_._2).map { case (_, k, cvec, cn2) =>
-        struct(
-          (lit(-2d) * dotNativeC(
-            expr(s"slice($vecCol, ${m * SubDim} + 1, $SubDim)"),
-            array(cvec.map(v => lit(v)): _*)) + lit(cn2)).as("d2"),
-          lit(k).as("k"))
-      }
-      // knownNotNull: k is a literal field of a non-null struct, and the
-      // mog audits JOIN on k$m — without the marker the optimizer's pushed
-      // isnotnull(k$m) guard re-evaluates the whole 16-dot argmin per row
-      org.apache.spark.sql.GraftBridge.knownNotNull(
-        array_min(array(entries: _*)).getField("k")).as(s"k$m")
+      // r16: native CodebookArgmin (kind "l2": −2·dot + cn2 over the
+      // subspace slice — the slice is an OFFSET into the vector, no
+      // array copy) replaces the r15 array_min-over-(d2, k)-structs
+      // composition: identical argmin + k tie-break (property-pinned by
+      // PqEncodePropertySpec's independent model and the old-vs-new
+      // equivalence property), one compiled call per subspace instead of
+      // KSub inlined dot+struct blocks — the fused mog encode+LUT-join
+      // codegen span measured 15.9 KB of bytecode with the struct form
+      // (past the JVM's 8000-byte JIT cap: interpreter-run). The mog
+      // audits JOIN on k$m; nullable=false folds the optimizer's pushed
+      // isnotnull(k$m) guards exactly as the r15 KnownNotNull marker did.
+      val entries = cb.filter(_._1 == m).sortBy(_._2)
+      require(entries.nonEmpty, s"pqEncodeColumnsOn: no codebook entries for subspace $m")
+      org.apache.spark.sql.GraftBridge.column(graft.functions.CodebookArgmin(
+        org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+        entries.map(_._2.toLong).toIndexedSeq,
+        entries.map(_._3).toIndexedSeq,
+        entries.map(_._4).toIndexedSeq,
+        kind = "l2", offset = m * SubDim, intOut = true)).as(s"k$m")
     }
 
   /** The stored compressed index: one row per vector, M small-int code

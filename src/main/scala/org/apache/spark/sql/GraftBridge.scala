@@ -19,7 +19,11 @@ object GraftBridge {
     * KnownNotNull folds those guards away at analysis time. ONLY for
     * expressions that cannot return null (argmins over non-empty literal
     * arrays of non-null structs over non-null inputs) — declaring a
-    * nullable expression not-null produces undefined behavior. */
+    * nullable expression not-null produces undefined behavior.
+    * (r16: the argmin sites that motivated this now use the native
+    * [[graft.functions.CodebookArgmin]], whose own nullable=false gives
+    * the same fold; the helper stays for future provably-non-null
+    * composed expressions.) */
   def knownNotNull(c: Column): Column =
     column(catalyst.expressions.KnownNotNull(expression(c)))
 

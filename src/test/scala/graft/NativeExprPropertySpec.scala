@@ -183,6 +183,69 @@ class NativeExprPropertySpec extends SparkSpec {
     pinned <- Gen.choose(0L, 4294967295L)
   } yield Some(pinned) +: xs
 
+  it("CodebookArgmin equals the r15 array_min-over-structs composition (ties, null slots, null/short vectors)") {
+    // r16: the native argmin must pick EXACTLY the entry the struct-array
+    // form picks — same decimal-dot score, Spark's struct ordering
+    // (nulls-first score, then ascending id). The generator engineers the
+    // hard cases: duplicated codebook entries (exact score ties → id
+    // tie-break), null elements inside the used slice (null score sorts
+    // FIRST), whole-null vectors (every score null → smallest id), and
+    // vectors shorter than the slice offset (empty slice → dot 0.0).
+    // Mixed cvec lengths exercise PER-ENTRY nullness.
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import graft.sources.AnnIndex.dotNativeC
+    val rnd = new scala.util.Random(20260818L)
+    def smallVec(n: Int): IndexedSeq[Float] =
+      IndexedSeq.fill(n)((rnd.nextInt(17) - 8).toFloat)
+    for (kind <- Seq("l2", "cos"); offset <- Seq(0, 3)) {
+      val dim = 6
+      val base = IndexedSeq.tabulate(4)(_ => smallVec(dim))
+      // ids 0..6 ascending; entries 4 and 5 DUPLICATE entries 0 and 2
+      // (exact ties for every input); entry 6 is SHORTER (len 3)
+      val vecs = base ++ IndexedSeq(base(0), base(2), smallVec(3))
+      val cents = vecs.zipWithIndex.map { case (v, i) =>
+        val norm = if (kind == "cos") rnd.nextInt(5) + 1.0 else (rnd.nextInt(9) - 4).toDouble
+        (i.toLong, v, norm)
+      }
+      val oldCol = array_min(array(cents.map { case (id, cvec, n2) =>
+        val dot = dotNativeC(
+          expr(s"slice(v, $offset + 1, ${cvec.length})"),
+          array(cvec.map(lit): _*))
+        val score = if (kind == "l2") lit(-2d) * dot + lit(n2) else -(dot / lit(n2))
+        struct(score.as("s"), lit(id).as("id"))
+      }: _*)).getField("id")
+      val newCol = GraftBridge.column(graft.functions.CodebookArgmin(
+        GraftBridge.expression(col("v")),
+        cents.map(_._1), cents.map(_._2), cents.map(_._3),
+        kind = kind, offset = offset, intOut = false))
+      val inputs: Seq[Seq[Option[Float]]] =
+        (1 to 60).map(_ => (0 until rnd.nextInt(12)).map(_ => Some((rnd.nextInt(17) - 8).toFloat))) ++
+        (1 to 20).map(_ => (0 until 9).map(i =>
+          if (rnd.nextInt(4) == 0) None else Some((rnd.nextInt(17) - 8).toFloat))) ++
+        Seq(Seq.empty, Seq(Some(1f)), Seq.fill(9)(None))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(inputs.map(v =>
+          org.apache.spark.sql.Row(v.map(_.map(Float.box).orNull))), 2),
+        org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField(
+          "v", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true), true))))
+      val rows = df.select(oldCol.as("old"), newCol.as("nw"), col("v")).collect()
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          s"kind=$kind off=$offset v=${r.get(2)}: old=${r.get(0)} new=${r.get(1)}")
+      }
+      // null INPUT ARRAY: the struct form nulls every score; both pick id 0
+      val nullRow = df.sparkSession.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS v")
+        .select(oldCol.as("old"), newCol.as("nw")).collect()(0)
+      assert(nullRow.getLong(0) == 0L && nullRow.getLong(1) == 0L, nullRow.toString)
+      // and the interpreted (no-codegen) eval path agrees
+      val ad: ArrayData = new GenericArrayData(Array[Any](1.0f, null, 2.0f))
+      val e = graft.functions.CodebookArgmin(GraftBridge.expression(col("v")),
+        cents.map(_._1), cents.map(_._2), cents.map(_._3), kind, offset, intOut = false)
+      assert(e.compute(null) == 0L)
+      assert(e.compute(ad) == e.compute(ad)) // deterministic
+    }
+  }
+
   it("MinHashSignature equals K independent transform+array_min columns on 200 random hash arrays") {
     import spark.implicits._
     val P = 4294967311L

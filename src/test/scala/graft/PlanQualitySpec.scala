@@ -361,7 +361,7 @@ class PlanQualitySpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       val broadcasts = "Broadcast(NestedLoop|Hash)Join".r.findAllIn(plan).size
       assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts\n$plan")
-      assert(plan.contains("array_min"), s"map-side argmin assignment missing:\n$plan")
+      assert(plan.contains("codebook_argmin"), s"map-side argmin assignment missing:\n$plan")
       assert(!plan.contains("Window"), s"assignment regressed to a window:\n$plan")
       assert(!plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("CartesianProduct"), plan)
@@ -529,6 +529,110 @@ class PlanQualitySpec extends SparkSpec {
       }
       assert(spans.nonEmpty, df.queryExecution.executedPlan.toString)
     }
+
+    it("never re-evaluates an argmin inside a Filter (the KnownNotNull guard fold, e05/e06 + mog audits)") {
+      // the map-side literal argmins (coarse assignment cid, PQ-encode
+      // k0..k3) become JOIN KEYS downstream, so the optimizer adds
+      // isnotnull(k) guards and pushes them below the projection — which
+      // re-evaluates the full 8-64-dot argmin per row (guide §4.4's
+      // duplicated-evaluation problem, JVM side; the r15 before-plans
+      // show it). GraftBridge.knownNotNull marks the keys non-null so
+      // those guards FOLD at analysis time; this pins the folded shape on
+      // the FINAL executed (AQE) plans so a Catalyst upgrade can't
+      // silently resurrect the double evaluation.
+      for (name <- Seq("e05_ivf_coarse_ann", "e06_ivf_lloyd_ann",
+          "e18_mog_pq_recall", "e19_mog_trained_pq_recall", "e20_mog_residual_recall")) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect() // collect() drives THIS queryExecution (count() would
+                     // spawn a new one and leave this AQE plan un-finalized)
+        val offenders = collection.mutable.Buffer.empty[String]
+        foreachNode(df.queryExecution.executedPlan) {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if f.condition.exists(e =>
+                e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ArrayMin] ||
+                e.isInstanceOf[graft.functions.CodebookArgmin] ||
+                e.isInstanceOf[graft.functions.DecimalDotProduct]) =>
+            offenders += s"$name: Filter re-evaluates an argmin/dot: ${f.condition.toString.take(200)}"
+          case _ => ()
+        }
+        assert(offenders.isEmpty, offenders.mkString("\n"))
+      }
+    }
+
+    it("keeps the literal argmin projections inside whole-stage codegen with JIT-compilable methods") {
+      // guide §1.2/§4 per-task work: the map-side literal argmin is the
+      // engine's hottest projection (every ANN assignment/encode). Two
+      // silent ways to lose its compiled-code half: (a) the Project falls
+      // out of the WholeStageCodegen span at planning, (b) the span
+      // compiles to a method past the JVM's 8000-byte JIT cap (or Spark's
+      // hugeMethodLimit, which would revert the whole span to interpreted
+      // row-at-a-time eval). Pin both, on the executed FINAL plans.
+      def argminSpans(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        df.collect() // drives THIS queryExecution so AQE finalizes stages
+        var bare = List.empty[String]
+        var spans = List.empty[org.apache.spark.sql.execution.WholeStageCodegenExec]
+        def walk(p: org.apache.spark.sql.execution.SparkPlan, cg: Boolean): Unit = {
+          val (nextCg, kids): (Boolean, Seq[org.apache.spark.sql.execution.SparkPlan]) = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => (false, Seq(a.executedPlan))
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => (false, Seq(q.plan))
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => (false, Seq(r.child))
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec => spans = w :: spans; (true, w.children)
+            case i: org.apache.spark.sql.execution.InputAdapter => (false, i.children)
+            case other => (cg, other.children)
+          }
+          p match {
+            case pr: org.apache.spark.sql.execution.ProjectExec
+                if !cg && pr.projectList.exists(_.exists(_.isInstanceOf[graft.functions.CodebookArgmin])) =>
+              bare = s"$name: argmin Project OUTSIDE whole-stage codegen" :: bare
+            case _ => ()
+          }
+          kids.foreach(walk(_, nextCg))
+        }
+        walk(df.queryExecution.executedPlan, cg = false)
+        assert(bare.isEmpty, bare.mkString("\n"))
+        val argminSpans = spans.filter(_.collect {
+          case pr: org.apache.spark.sql.execution.ProjectExec
+              if pr.projectList.exists(_.exists(_.isInstanceOf[graft.functions.CodebookArgmin])) => pr
+        }.nonEmpty)
+        assert(argminSpans.nonEmpty, s"$name: no argmin projection found in any codegen span")
+        argminSpans.foreach { w =>
+          val (_, code) = w.doCodeGen()
+          val (_, stats) = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compile(code)
+          assert(stats.maxMethodCodeSize < 8000,
+            s"$name: argmin span method is ${stats.maxMethodCodeSize} bytecode bytes (JIT cap 8000)")
+        }
+      }
+      // the probe shape (K = 8 centroids; e05/e06) and the stored-encode
+      // shape (MSub x KSub literal dots; e20's residual encode)
+      argminSpans(SparkEntry.queries("e05_ivf_coarse_ann")(spark, sfDir), "e05")
+      argminSpans(SparkEntry.queries("e20_mog_residual_recall")(spark, sfDir), "e20")
+      // the WIDEST shipped argmin (K = 64, the mog audits' coarse stage)
+      // runs behind a localCheckpoint, so its plan is not in any final
+      // query plan — pin the identical expression shape directly
+      val cents64 = (0 until 64).map { i =>
+        (i.toLong, IndexedSeq.tabulate(64)(j => ((i * 64 + j) % 17 - 8) / 8.0f), 1.0)
+      }
+      val wide = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), graft.sources.AnnIndex.cosAssignCol(cents64).as("cid"))
+      argminSpans(wide, "k64-assign")
+    }
+  }
+
+  /** Walk EVERY physical node, descending through the leaf-like wrappers
+    * TreeNode.collect stops at: AdaptiveSparkPlanExec (final plan),
+    * query stages, reused exchanges/subqueries, and whole-stage-codegen
+    * spans. Without this, a collect over an executed AQE plan silently
+    * sees only the root wrapper. */
+  private def foreachNode(p: org.apache.spark.sql.execution.SparkPlan)(
+      f: org.apache.spark.sql.execution.SparkPlan => Unit): Unit = {
+    f(p)
+    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    kids.foreach(foreachNode(_)(f))
   }
 
   /** Run `body` with AQE forced on (including skew-join and partition
