@@ -35,23 +35,59 @@ object StreamAgg {
     * localCheckpoint()ed so the scratch files can be deleted eagerly;
     * the temp view/dir cleanup runs in a finally so a failed replay
     * leaks nothing into the shared session. */
+  /** GRAFT_STREAM_PROF=1: print replay-harness section timings (stream
+    * start-to-termination, read-back+checkpoint, scratch cleanup) so the
+    * per-query cost OUTSIDE the micro-batch phases is attributed, not
+    * guessed (the StreamProf main covers the in-trigger phases). */
+  private val profEnabled = sys.env.get("GRAFT_STREAM_PROF").contains("1")
+  private def profMs[T](label: String, prefix: String)(body: => T): T =
+    if (!profEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      try body finally
+        println(f"[sprof-harness] $prefix$label ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
+
+  /** Scratch root for a replay's TEMP checkpoint + sink output. These
+    * live exactly as long as the replay call (deleted in its finally), so
+    * checkpoint durability buys nothing — yet the WAL/commit/state-delta
+    * writes behind it are a measured ~90-270 ms per micro-batch plus
+    * 0.3-0.9 s per no-data finalization batch of pure filesystem traffic
+    * (StreamProf r16 accounting). Default to memory-backed /dev/shm when
+    * writable; `spark.graft.stream.scratchRoot` overrides (a deployment
+    * replaying bigger-than-RAM results points it at fast local disk —
+    * and a RESTARTABLE production stream uses a real durable
+    * checkpointLocation, which this path never touches; restart
+    * semantics stay covered by StreamRestartSpec against a real dir). */
+  private def scratchBase(spark: SparkSession, prefix: String): java.nio.file.Path = {
+    val root = spark.conf.getOption("spark.graft.stream.scratchRoot")
+      .map(java.nio.file.Paths.get(_))
+      .orElse(Some(java.nio.file.Paths.get("/dev/shm"))
+        .filter(p => java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p)))
+    root match {
+      case Some(r) => java.nio.file.Files.createTempDirectory(r, "graft_replay_" + prefix)
+      case None => java.nio.file.Files.createTempDirectory("graft_replay_" + prefix)
+    }
+  }
+
   private[graft] def replayToMemory(spark: SparkSession, df: DataFrame, prefix: String,
       outputMode: String)(order: DataFrame => DataFrame): DataFrame =
     if (outputMode == "append") {
-      val base = java.nio.file.Files.createTempDirectory("graft_replay_" + prefix)
+      val base = scratchBase(spark, prefix)
       try {
         withStatePartitions(spark, 8) {
-          val q = df.writeStream
+          val q = profMs("start", prefix)(df.writeStream
             .format("parquet")
             .option("path", s"$base/out")
             .option("checkpointLocation", s"$base/ckpt")
             .outputMode("append")
             .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
+            .start())
+          profMs("await", prefix)(q.awaitTermination())
         }
-        order(spark.read.schema(df.schema).parquet(s"$base/out")).localCheckpoint()
-      } finally {
+        profMs("readback", prefix)(
+          order(spark.read.schema(df.schema).parquet(s"$base/out")).localCheckpoint())
+      } finally profMs("cleanup", prefix) {
         val st = java.nio.file.Files.walk(base)
         try st.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
@@ -59,17 +95,28 @@ object StreamAgg {
       }
     } else {
       val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+      // complete-mode replays keep the memory sink (already-reduced
+      // aggregates); the checkpoint is still explicit so it lands on the
+      // scratch root above instead of Spark's implicit tmpdir default
+      val base = scratchBase(spark, prefix)
       try {
         withStatePartitions(spark, 8) {
           val q = df.writeStream
             .format("memory").queryName(name)
+            .option("checkpointLocation", s"$base/ckpt")
             .outputMode(outputMode)
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
         }
         order(spark.table(name)).localCheckpoint()
-      } finally spark.catalog.dropTempView(name)
+      } finally {
+        spark.catalog.dropTempView(name)
+        val st = java.nio.file.Files.walk(base)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally st.close()
+      }
     }
 
   /** Run a synchronous streaming query with a reduced state-partition
@@ -483,9 +530,14 @@ object StreamAgg {
         "user_id BIGINT, event_type STRING, cnt BIGINT"))
       .write.mode("overwrite").parquet(versionPath(0))
     val name = "stream_upsert_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
+    // explicit scratch checkpoint (see scratchBase) instead of Spark's
+    // implicit tmpdir temp checkpoint; the versioned state chain itself
+    // stays on the caller's stateRoot (the production-shaped piece)
+    val ckptBase = scratchBase(spark, "upsert_")
+    try withStatePartitions(spark, 8) {
       val q = ev.writeStream
         .queryName(name)
+        .option("checkpointLocation", s"$ckptBase/ckpt")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -508,6 +560,11 @@ object StreamAgg {
         }
         .start()
       q.awaitTermination()
+    } finally {
+      val st = java.nio.file.Files.walk(ckptBase)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
     }
     // materialize the final state (localCheckpoint is eager), then clean
     // up the scratch version chain; the sort stays lazily on top of the
