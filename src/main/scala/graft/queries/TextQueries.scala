@@ -126,9 +126,12 @@ object TextQueries {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
         .select(col("doc_id"),
-          expr("""array_distinct(transform(sequence(1, size(toks) - 2),
-                 |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin)
-            .as("ss"))
+          // r16: native one-pass distinct 3-gram build (equivalence
+          // property-pinned) — the interpreted transform+concat lambda +
+          // array_distinct pass was the d10 shingle-set build's 28.7 s
+          // single-task cost at sf1
+          org.apache.spark.sql.GraftBridge.column(graft.functions.DistinctTokenNgrams(
+            org.apache.spark.sql.GraftBridge.expression(col("toks")), 3)).as("ss"))
         .localCheckpoint()
       pairs
         .join(sh.select(col("doc_id").as("a_id"), col("ss").as("ssa")), "a_id")
@@ -761,9 +764,9 @@ object TextQueries {
             .select(col("doc_id"), split(col("text"), " ").as("toks"))
             .where(size(col("toks")) >= 3)
             .select(col("doc_id"),
-              expr("""array_distinct(transform(sequence(1, size(toks) - 2),
-                     |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))""".stripMargin)
-                .as("ss"))
+              // r16: native one-pass distinct 3-gram build (see d10)
+              org.apache.spark.sql.GraftBridge.column(graft.functions.DistinctTokenNgrams(
+                org.apache.spark.sql.GraftBridge.expression(col("toks")), 3)).as("ss"))
             .localCheckpoint())
         val ver = cand
           .join(sh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")

@@ -246,6 +246,34 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  it("DistinctTokenNgrams equals array_distinct(transform(concat…)) on 200 random token arrays") {
+    // r16: the native one-pass distinct n-gram build must keep the
+    // declarative composition's exact semantics — first-occurrence order,
+    // byte-equality dedup, a NULL element at the first null-touching
+    // window, empty for short inputs. Small vocab + repeated tokens force
+    // real duplicate shingles; nulls and empty strings included.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val vocab = IndexedSeq("a", "bb", "", "dd d", "e")
+    for (n <- Seq(2, 3)) {
+      val inputs: Seq[Seq[String]] = (1 to 200).map { _ =>
+        (0 until (n + rnd.nextInt(12))).map { _ =>
+          if (rnd.nextInt(12) == 0) null else vocab(rnd.nextInt(vocab.length))
+        }
+      }
+      val df = inputs.toDF("toks").where(size(col("toks")) >= n)
+      val concatArgs = (0 until n).map(w => s"element_at(toks, i + $w)")
+        .mkString(", ' ', ")
+      val oldCol = expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat($concatArgs)))")
+      val newCol = GraftBridge.column(graft.functions.DistinctTokenNgrams(
+        GraftBridge.expression(col("toks")), n))
+      df.select(oldCol.as("old"), newCol.as("nw")).collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n: $r")
+      }
+    }
+  }
+
   it("MinHashSignature equals K independent transform+array_min columns on 200 random hash arrays") {
     import spark.implicits._
     val P = 4294967311L
