@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.functions._
 object SpanSizeDiag {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.001"
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
@@ -34,8 +34,15 @@ object SpanSizeDiag {
       }
       walk(df.queryExecution.executedPlan)
     }
-    for (n <- Seq("e05_ivf_coarse_ann", "e06_ivf_lloyd_ann", "e08_pq_adc_ann", "e18_mog_pq_recall", "e20_mog_residual_recall", "e10_semdedup"))
-      spans(SparkEntry.queries(n)(spark, sfDir), n)
+    val names: Seq[String] = args.drop(1).headOption match {
+      case Some("all") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list) => list.split(',').toSeq
+      case None => Seq("e05_ivf_coarse_ann", "e06_ivf_lloyd_ann", "e08_pq_adc_ann",
+        "e18_mog_pq_recall", "e20_mog_residual_recall", "e10_semdedup")
+    }
+    for (n <- names)
+      try spans(SparkEntry.queries(n)(spark, sfDir), n)
+      catch { case e: Throwable => println(s"$n FAILED ${e.getMessage}") }
     // the K=64 assignment shape (runs behind checkpoints in the real queries)
     val cents64 = (0 until 64).map { i =>
       (i.toLong, IndexedSeq.tabulate(64)(j => ((i * 64 + j) % 17 - 8) / 8.0f), 1.0)

@@ -98,12 +98,16 @@ object TextIndex {
     * expressions read the stored array instead of inlining B signature
     * computations (CollapseProject would otherwise duplicate the work). */
   private[graft] def bandsFromSig(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until B).map { j =>
-      val bandSlice = concat_ws(",", slice(col("sig"), j * R + 1, R).cast("array<string>"))
-      struct(lit(j).as("band"), substring(md5(bandSlice.cast("binary")), 1, 16).as("bkey"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // r16: native one-pass BandKeys (equivalence property-pinned)
+    // instead of B inlined slice→cast→concat_ws→md5→substring chains —
+    // that composition compiled to a 9,078-byte codegen method (past the
+    // JVM's 8,000-byte JIT cap: interpreter-run for d27's live batch
+    // banding and s15's stream banding). posexplode's pos IS the band
+    // index the struct form carried as lit(j).
+    sig.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.GraftBridge.column(graft.functions.BandKeys(
+          org.apache.spark.sql.GraftBridge.expression(col("sig")), B, R))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
   }
 
   /** s15's stream-probe seam: the banding select over arriving documents

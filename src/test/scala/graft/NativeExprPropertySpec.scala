@@ -274,6 +274,40 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  it("BandKeys equals the slice/concat_ws/md5/substring composition on 200 random signatures") {
+    // r16: the native band-key pass must be bit-equal to the declarative
+    // chain it replaces — Long.toString rendering, concat_ws null-skip,
+    // short/empty slices hashing "", first-16-hex truncation. Random
+    // signatures include short arrays (partial last band), null slots,
+    // negative longs, and a null signature column (concat_ws of a null
+    // array arg is "", so both forms yield md5("")-keys, not null).
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val b = 4; val r = 3
+    val inputs: Seq[Seq[Option[Long]]] =
+      (1 to 200).map { _ =>
+        (0 until rnd.nextInt(b * r + 3)).map(_ =>
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextLong()))
+      } :+ Seq.empty
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(inputs.map(v =>
+        org.apache.spark.sql.Row(v.map(_.map(Long.box).orNull))), 2),
+      org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField(
+        "sig", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, true), true))))
+    val oldCol = array((0 until b).map { j =>
+      substring(md5(concat_ws(",", slice(col("sig"), j * r + 1, r).cast("array<string>"))
+        .cast("binary")), 1, 16)
+    }: _*)
+    val newCol = GraftBridge.column(graft.functions.BandKeys(
+      GraftBridge.expression(col("sig")), b, r))
+    df.select(oldCol.as("old"), newCol.as("nw"), col("sig")).collect().foreach { row =>
+      assert(row.getSeq[String](0) == row.getSeq[String](1), row.toString)
+    }
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS sig")
+      .select(oldCol.as("old"), newCol.as("nw")).collect()(0)
+    assert(nullRow.getSeq[String](0) == nullRow.getSeq[String](1), nullRow.toString)
+  }
+
   it("MinHashSignature equals K independent transform+array_min columns on 200 random hash arrays") {
     import spark.implicits._
     val P = 4294967311L

@@ -616,6 +616,39 @@ class PlanQualitySpec extends SparkSpec {
         .select(col("vec_id"), graft.sources.AnnIndex.cosAssignCol(cents64).as("cid"))
       argminSpans(wide, "k64-assign")
     }
+
+    it("no whole-stage-codegen span compiles past the JVM's 8000-byte JIT cap (representative registry queries)") {
+      // r16 full-registry sweep (SpanSizeDiag) found two spans past the
+      // cap — the mog encode+LUT fusion (15.9 KB) and d27's inlined
+      // band-key chain (9.1 KB) — both of which ran INTERPRETER-SIDE
+      // while the plan looked fine. Both are fixed by native expressions
+      // (CodebookArgmin, BandKeys); this pins the cap on the queries
+      // that held the worst spans plus the known codegen-heavy shapes so
+      // a regression (a new inlined literal chain, a Catalyst change
+      // un-splitting a method) fails CI instead of silently falling out
+      // of JIT.
+      // q54's superkey-eliminated plan can legitimately run span-free
+      // (whole-plan LocalTableScan/broadcast shapes) — the cap assertion
+      // still applies to any span it does have
+      for (name <- Seq("d27_incremental_batch_dedup", "e18_mog_pq_recall",
+          "e20_mog_residual_recall", "q54_match_pattern", "d35_bm25_search")) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        var spans = List.empty[org.apache.spark.sql.execution.WholeStageCodegenExec]
+        foreachNode(df.queryExecution.executedPlan) {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => spans = w :: spans
+          case _ => ()
+        }
+        if (name != "q54_match_pattern")
+          assert(spans.nonEmpty, s"$name: no codegen spans found")
+        spans.foreach { w =>
+          val (_, code) = w.doCodeGen()
+          val (_, stats) = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compile(code)
+          assert(stats.maxMethodCodeSize < 8000,
+            s"$name: span method is ${stats.maxMethodCodeSize} bytecode bytes (JIT cap 8000): ${w.child.nodeName}")
+        }
+      }
+    }
   }
 
   /** Walk EVERY physical node, descending through the leaf-like wrappers
