@@ -502,9 +502,15 @@ object TextQueries {
       // byte-exact dedup (d01) misses. Same single-shuffle groupBy shape
       // as d02.
       (s, dir) => {
-        val norm = lower(regexp_replace(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " "))
+        // r16: native early-exit normalize+truncate (equivalence
+        // property-pinned) — the declarative form ran two Java-regex
+        // passes + a lowercase over the WHOLE document to keep 64 chars
+        // (3.3 s single-task at sf1); the fused scan stops once 64
+        // normalized characters exist
+        val norm64 = org.apache.spark.sql.GraftBridge.column(graft.functions.NormalizedPrefix(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 64))
         docs(s, dir)
-          .select(col("doc_id"), md5(substring(norm, 1, 64).cast("binary")).as("fp"))
+          .select(col("doc_id"), md5(norm64.cast("binary")).as("fp"))
           .groupBy("fp")
           .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
           .where(col("cnt") > 1)

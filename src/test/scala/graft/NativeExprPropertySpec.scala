@@ -308,6 +308,38 @@ class NativeExprPropertySpec extends SparkSpec {
     assert(nullRow.getSeq[String](0) == nullRow.getSeq[String](1), nullRow.toString)
   }
 
+  it("NormalizedPrefix equals the regex normalize+truncate chain on 400 adversarial strings") {
+    // r16: the early-exit scan must match substring(lower(rr(rr(text,
+    // '[^A-Za-z0-9 ]', ''), ' +', ' ')), 1, n) byte-for-byte — space
+    // runs merged ACROSS removed chars, leading/trailing/only-space
+    // collapse, the n-char cap interacting with a pending space, full
+    // Unicode removal, and null. Generator biases toward spaces,
+    // punctuation and multibyte codepoints around the 64-char boundary.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val alphabet = "aB3 ..  !?—é漢 \t😀zQ 9"
+    val inputs: Seq[String] =
+      (1 to 400).map { _ =>
+        val len = rnd.nextInt(160)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      } ++ Seq("", " ", "   ", "ab ", " ab", "a.b", "a . b", "a" * 63 + " x",
+        "a" * 63 + "  x", "a" * 64 + " tail ignored", ". . .", "——", "x")
+    for (n <- Seq(5, 64)) {
+      val oldCol = substring(lower(regexp_replace(
+        regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " ")), 1, n)
+      val newCol = GraftBridge.column(graft.functions.NormalizedPrefix(
+        GraftBridge.expression(col("text")), n))
+      inputs.toDF("text").select(oldCol.as("old"), newCol.as("nw"), col("text"))
+        .collect().foreach { r =>
+          assert(r.getString(0) == r.getString(1),
+            s"n=$n text=${r.getString(2).take(80)}: old=[${r.getString(0)}] new=[${r.getString(1)}]")
+        }
+      val nullRow = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+        .select(oldCol.as("old"), newCol.as("nw")).collect()(0)
+      assert(nullRow.isNullAt(0) && nullRow.isNullAt(1), nullRow.toString)
+    }
+  }
+
   it("MinHashSignature equals K independent transform+array_min columns on 200 random hash arrays") {
     import spark.implicits._
     val P = 4294967311L
